@@ -1,0 +1,104 @@
+"""Unified configuration for the framework.
+
+Replaces the reference's two-tier config (constants in config.py:1-7 plus
+hard-coded duplicates of the model name in app_pipeline.py:103,181 and
+color_analysis_workflow.py:92, plus per-function analysis knobs in
+mi_analysis.py:31,162,1273) with one dataclass covering model, mesh,
+index, and analysis settings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# Constants kept for compatibility with reference config.py:3-7.
+EMBEDDING_DIM = 512
+BATCH_SIZE = 100
+SCORE_THRESHOLD = 0.25
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    """CLIP ViT-B/32 hyperparameters (the reference's hard-coded
+    "openai/clip-vit-base-patch32", app_pipeline.py:103)."""
+
+    name: str = "clip-vit-base-patch32"
+    image_size: int = 224
+    patch_size: int = 32
+    vision_width: int = 768
+    vision_layers: int = 12
+    vision_heads: int = 12
+    text_width: int = 512
+    text_layers: int = 12
+    text_heads: int = 8
+    vocab_size: int = 49408
+    context_length: int = 77
+    embed_dim: int = EMBEDDING_DIM
+    dtype: str = "bfloat16"  # compute dtype; params + accum stay f32
+
+
+@dataclasses.dataclass
+class MeshConfig:
+    """Device mesh layout. `data` shards the batch / gallery rows,
+    `model` shards weight matrices (tensor parallelism)."""
+
+    data: int = -1  # -1 -> use all devices on the data axis
+    model: int = 1
+    axis_names: Tuple[str, str] = ("data", "model")
+
+
+@dataclasses.dataclass
+class IndexConfig:
+    """Sharded exact-search index settings (replaces Milvus IVF_FLAT,
+    reference ImageEmbeddingSystem.py:56-61)."""
+
+    embedding_dim: int = EMBEDDING_DIM
+    shard_axis: str = "data"  # mesh axis the gallery rows are sharded over
+    capacity_step: int = 65536  # gallery grows in device-friendly chunks
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass
+class AnalysisConfig:
+    """MI-analysis knobs (reference mi_analysis.py:31,162,1273)."""
+
+    num_pairs: int = 1000
+    num_bins: int = 20
+    bin_strategy: str = "uniform"
+    grid_size: int = 3  # weight-optimization grid (reference mi_analysis.py:1205)
+    max_sampled_comparisons: int = 50000  # reference mi_analysis.py:63
+    seed: int = 42  # reference mi_analysis.py:54,1372
+
+
+@dataclasses.dataclass
+class SearchConfig:
+    """Search behavior (reference image_search.py:34-40, app_pipeline.py:167)."""
+
+    score_threshold: float = SCORE_THRESHOLD
+    # Reference app_pipeline.py:167 ranks by abs(similarity); kept behind a flag.
+    rank_by_abs: bool = True
+    # Candidate overfetch factor used by the reference ANN path
+    # (image_search.py:93 uses 3x, :169 uses 5x). The exact index makes this a
+    # no-op for correctness but it is honored for behavioral parity.
+    overfetch: int = 3
+
+
+@dataclasses.dataclass
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    index: IndexConfig = dataclasses.field(default_factory=IndexConfig)
+    analysis: AnalysisConfig = dataclasses.field(default_factory=AnalysisConfig)
+    search: SearchConfig = dataclasses.field(default_factory=SearchConfig)
+    batch_size: int = BATCH_SIZE
+    weights_path: Optional[str] = None  # HF checkpoint dir for porting, if present
+
+    @property
+    def similarity_params(self) -> dict:
+        """Default optimized-similarity weights (reference app_pipeline.py:379-385)."""
+        return {"w_angle": 1.0, "w_l1": 0.0, "w_l2": 0.0, "w_inf": 0.0, "w_mag": 0.0}
+
+
+def default_config() -> Config:
+    return Config()

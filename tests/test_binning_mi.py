@@ -1,0 +1,82 @@
+"""Binning + MI vs sklearn oracles — the digit-parity core of the MI engine
+(reference mi_analysis.py:344-348)."""
+
+import numpy as np
+import pytest
+from sklearn.preprocessing import KBinsDiscretizer
+from sklearn.metrics import mutual_info_score
+
+from image_retrieval_tpu.ops.binning import discretize, discretize_uniform_jax
+from image_retrieval_tpu.ops.mi import (
+    mutual_info_binned,
+    mutual_info_from_labels,
+    mutual_info_uniform_jax,
+)
+
+
+def _sk_binned(x, n_bins, strategy):
+    kw = {"quantile_method": "linear"} if strategy == "quantile" else {}
+    disc = KBinsDiscretizer(n_bins=n_bins, encode="ordinal", strategy=strategy, **kw)
+    return disc.fit_transform(np.asarray(x).reshape(-1, 1)).astype(int).ravel()
+
+
+@pytest.mark.parametrize("strategy", ["uniform", "quantile"])
+@pytest.mark.parametrize("n_bins", [5, 20])
+def test_discretize_matches_sklearn(rng, strategy, n_bins):
+    x = rng.normal(size=500).astype(np.float64)
+    ours = discretize(x, n_bins, strategy)
+    theirs = _sk_binned(x, n_bins, strategy)
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_discretize_values_on_edges():
+    # Values landing exactly on bin edges must go to the upper bin
+    # (sklearn searchsorted side='right').
+    x = np.array([0.0, 0.25, 0.5, 0.75, 1.0])
+    ours = discretize(x, 4, "uniform")
+    theirs = _sk_binned(x, 4, "uniform")
+    np.testing.assert_array_equal(ours, theirs)
+    assert ours.tolist() == [0, 1, 2, 3, 3]
+
+
+def test_degenerate_constant_column():
+    x = np.full(10, 3.3)
+    assert discretize(x, 20, "uniform").tolist() == [0] * 10
+
+
+def test_mi_matches_sklearn(rng):
+    for _ in range(5):
+        xb = rng.integers(0, 20, size=400)
+        y = rng.integers(0, 4, size=400)
+        ours = mutual_info_binned(xb, y)
+        theirs = mutual_info_score(xb, y)
+        assert ours == pytest.approx(theirs, abs=1e-12)
+
+
+def test_mi_pipeline_matches_sklearn_pipeline(rng):
+    values = rng.normal(size=600)
+    labels = rng.integers(0, 4, size=600)
+    # Inject NaNs — reference filters them (mi_analysis.py:330-332).
+    values[::50] = np.nan
+    ours = mutual_info_from_labels(values, labels, 20, "uniform")
+    valid = ~np.isnan(values)
+    theirs = mutual_info_score(_sk_binned(values[valid], 20, "uniform"), labels[valid])
+    assert ours == pytest.approx(theirs, abs=1e-12)
+
+
+def test_jax_uniform_binning_matches_host(rng):
+    x = rng.normal(size=256).astype(np.float32)
+    got = np.asarray(discretize_uniform_jax(x, 20))
+    want = discretize(x.astype(np.float64), 20, "uniform")
+    # f32 vs f64 edge placement can differ on values that sit within one ulp
+    # of an edge; random data stays away from edges.
+    assert (got == want).mean() > 0.99
+
+
+def test_jax_mi_close_to_host(rng):
+    vals = rng.normal(size=(7, 300)).astype(np.float32)  # 7 "combos"
+    labels = rng.integers(0, 3, size=300).astype(np.int32)
+    got = np.asarray(mutual_info_uniform_jax(vals, labels, 20, 3))
+    for i in range(7):
+        want = mutual_info_from_labels(vals[i], labels, 20, "uniform")
+        assert got[i] == pytest.approx(want, abs=1e-4)
