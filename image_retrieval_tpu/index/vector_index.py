@@ -1,0 +1,258 @@
+"""Sharded exact-search vector index — the Milvus replacement.
+
+One index unifies the reference's two disjoint retrieval stacks (the Milvus
+collection in ImageEmbeddingSystem.py:35-66 / image_search.py:85-95 and the
+in-memory dict + O(N) Python loop in app_pipeline.py:17,155-172). Gallery
+rows live as a padded (capacity, D) f32 array sharded over the mesh `data`
+axis; search is one fused score + per-shard top-k + ICI merge
+(parallel/collectives.py). Exact, so the reference's IVF overfetch+rerank is
+subsumed.
+
+Milvus API semantics preserved (SURVEY §5):
+    insert(paths, unit_vectors, magnitudes)   ImageEmbeddingSystem.py:136-137
+    search(query, top_k, ...)                 image_search.py:88-95
+    query(limit)                              ImageEmbeddingSystem.py:158-171
+    load()/release() lifecycle                no-ops kept for API parity
+    stored decomposition (unit vec, magnitude) ImageEmbeddingSystem.py:88-94
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from image_retrieval_tpu.config import IndexConfig
+from image_retrieval_tpu.parallel.mesh import make_mesh, shard_rows, replicate
+from image_retrieval_tpu.parallel.collectives import sharded_search_topk, sharded_scores
+
+_WEIGHT_KEYS = ("w_angle", "w_l1", "w_l2", "w_inf", "w_mag")
+
+
+class ShardedVectorIndex:
+    """Exact vector index sharded over a device mesh.
+
+    Stores L2-normalized vectors plus magnitudes, mirroring the reference's
+    schema (id/image_path/embedding/magnitude, ImageEmbeddingSystem.py:41-47).
+    """
+
+    def __init__(
+        self,
+        dim: int = 512,
+        mesh: Optional[Mesh] = None,
+        config: Optional[IndexConfig] = None,
+    ):
+        self.config = config or IndexConfig(embedding_dim=dim)
+        self.dim = dim
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.axis = self.config.shard_axis
+        self._nshards = self.mesh.shape[self.axis]
+        self.paths: List[str] = []
+        self._mags_host: List[float] = []
+        self.count = 0
+        self.capacity = 0
+        self._gallery = None  # (capacity, D) sharded
+        self._mags = None  # (capacity,) sharded
+        self._valid = None  # (capacity,) bool sharded
+
+    # -- storage ------------------------------------------------------------
+
+    def _grow_to(self, n: int) -> None:
+        step = max(self.config.capacity_step, self._nshards)
+        cap = -(-n // step) * step
+        # capacity must split evenly across shards
+        cap = -(-cap // self._nshards) * self._nshards
+        if cap <= self.capacity:
+            return
+        g = np.zeros((cap, self.dim), np.float32)
+        m = np.zeros((cap,), np.float32)
+        v = np.zeros((cap,), bool)
+        if self.count:
+            g[: self.count] = np.asarray(self._gallery)[: self.count]
+            m[: self.count] = np.asarray(self._mags)[: self.count]
+            v[: self.count] = True
+        self.capacity = cap
+        self._gallery = shard_rows(g, self.mesh, self.axis)
+        self._mags = shard_rows(m, self.mesh, self.axis)
+        self._valid = shard_rows(v, self.mesh, self.axis)
+
+    def insert(
+        self,
+        paths: Sequence[str],
+        embeddings: np.ndarray,
+        magnitudes: Optional[Sequence[float]] = None,
+    ) -> int:
+        """Bulk insert. `embeddings` may be unnormalized; they are stored as
+        (unit vector, magnitude) exactly like the reference
+        (ImageEmbeddingSystem.py:88-94). Returns number inserted."""
+        emb = np.asarray(embeddings, np.float32)
+        if emb.ndim == 1:
+            emb = emb[None]
+        assert emb.shape[1] == self.dim, (emb.shape, self.dim)
+        if magnitudes is None:
+            mags = np.linalg.norm(emb, axis=1)
+            safe = np.where(mags > 0, mags, 1.0)
+            unit = emb / safe[:, None]
+        else:
+            mags = np.asarray(magnitudes, np.float32)
+            unit = emb
+        n_new = emb.shape[0]
+        start = self.count
+        self._grow_to(start + n_new)
+        g = np.array(self._gallery)
+        m = np.array(self._mags)
+        v = np.array(self._valid)
+        g[start : start + n_new] = unit
+        m[start : start + n_new] = mags
+        v[start : start + n_new] = True
+        self._gallery = shard_rows(g, self.mesh, self.axis)
+        self._mags = shard_rows(m, self.mesh, self.axis)
+        self._valid = shard_rows(v, self.mesh, self.axis)
+        self.paths.extend(str(p) for p in paths)
+        self._mags_host.extend(float(x) for x in mags)
+        self.count += n_new
+        return n_new
+
+    # Milvus lifecycle no-ops kept for API parity (image_search.py:85,141).
+    def load(self) -> None:
+        pass
+
+    def release(self) -> None:
+        pass
+
+    def flush(self) -> None:
+        pass
+
+    def __len__(self) -> int:
+        return self.count
+
+    # -- search -------------------------------------------------------------
+
+    @staticmethod
+    def _weights_tuple(params: Optional[Dict[str, float]]) -> Tuple[float, ...]:
+        params = params or {}
+        return tuple(float(params.get(k, 1.0 if k == "w_angle" else 0.0))
+                     for k in _WEIGHT_KEYS)
+
+    def _prep_queries(self, queries: np.ndarray) -> Tuple[jnp.ndarray, bool]:
+        q = np.asarray(queries, np.float32)
+        single = q.ndim == 1
+        if single:
+            q = q[None]
+        return replicate(jnp.asarray(q), self.mesh), single
+
+    def search(
+        self,
+        queries: np.ndarray,
+        top_k: int = 5,
+        metric: str = "cosine_similarity",
+        params: Optional[Dict[str, float]] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact top-k. Returns (scores (Q,k), indices (Q,k)) as numpy.
+
+        metric: any ops.metrics name or "optimized_similarity" (weighted
+        combo per reference geometric_metrics.py:60-94, computed against
+        magnitude-reconstructed stored vectors as in image_search.py:103-107).
+        """
+        if self.count == 0:
+            raise ValueError("index is empty")
+        qdev, single = self._prep_queries(queries)
+        weights = self._weights_tuple(params) if metric == "optimized_similarity" else None
+        vals, idx = sharded_search_topk(
+            qdev,
+            self._gallery,
+            self._valid,
+            self._mags,
+            min(top_k, self.count),
+            metric,
+            weights,
+            mesh=self.mesh,
+            axis=self.axis,
+        )
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        if single:
+            return vals[0], idx[0]
+        return vals, idx
+
+    def search_paths(
+        self,
+        queries: np.ndarray,
+        top_k: int = 5,
+        metric: str = "cosine_similarity",
+        params: Optional[Dict[str, float]] = None,
+    ) -> List[Dict[str, float]]:
+        """Single-query search returning reference-shaped result dicts
+        [{'path': ..., 'score': ...}] (app_pipeline.py:165-168)."""
+        vals, idx = self.search(queries, top_k, metric, params)
+        if vals.ndim != 1:
+            raise ValueError("search_paths takes a single query vector")
+        return [
+            {"path": self.paths[int(i)], "score": float(v)}
+            for v, i in zip(vals, idx)
+        ]
+
+    def scores(
+        self,
+        queries: np.ndarray,
+        metric: str = "cosine_similarity",
+        params: Optional[Dict[str, float]] = None,
+    ) -> np.ndarray:
+        """Full (Q, count) score matrix (for analysis-scale galleries)."""
+        if self.count == 0:
+            raise ValueError("index is empty")
+        qdev, single = self._prep_queries(queries)
+        weights = self._weights_tuple(params) if metric == "optimized_similarity" else None
+        s = np.asarray(
+            sharded_scores(
+                qdev, self._gallery, self._mags, metric, weights,
+                mesh=self.mesh, axis=self.axis,
+            )
+        )[:, : self.count]
+        return s[0] if single else s
+
+    # -- Milvus-style retrieval of stored data ------------------------------
+
+    def query(self, limit: int = 1000, with_magnitude: bool = False):
+        """Return stored (path, unit_embedding[, magnitude]) tuples
+        (reference ImageEmbeddingSystem.py:147-202)."""
+        n = min(limit, self.count)
+        g = np.asarray(self._gallery)[:n]
+        if with_magnitude:
+            return [
+                (self.paths[i], g[i], self._mags_host[i]) for i in range(n)
+            ]
+        return [(self.paths[i], g[i]) for i in range(n)]
+
+    def reconstruct_original_embeddings(self, limit: int = 1000):
+        """(path, unit*magnitude) round-trip (ImageEmbeddingSystem.py:204-215)."""
+        return [
+            (p, e * m) for p, e, m in self.query(limit, with_magnitude=True)
+        ]
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Persist as npz + json sidecar (replaces Milvus server-side
+        persistence, docker-compose.yml:11-12)."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        g = np.asarray(self._gallery)[: self.count] if self.count else np.zeros((0, self.dim), np.float32)
+        m = np.array(self._mags_host, np.float32)
+        np.savez(path, embeddings=g, magnitudes=m)
+        with open(path + ".paths.json", "w") as f:
+            json.dump(self.paths, f)
+
+    @classmethod
+    def load_from(cls, path: str, mesh: Optional[Mesh] = None) -> "ShardedVectorIndex":
+        data = np.load(path if path.endswith(".npz") else path + ".npz")
+        with open((path if path.endswith(".npz") else path + ".npz") + ".paths.json") as f:
+            paths = json.load(f)
+        emb = data["embeddings"]
+        idx = cls(dim=emb.shape[1] if emb.size else 512, mesh=mesh)
+        if len(paths):
+            idx.insert(paths, emb, data["magnitudes"])
+        return idx

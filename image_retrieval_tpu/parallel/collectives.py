@@ -1,0 +1,164 @@
+"""Sharded search: per-shard score + top-k, ICI all-gather merge.
+
+This is the TPU-native replacement for the Milvus client-server ANN hop
+(reference image_search.py:85-95): gallery rows live sharded across the mesh
+`data` axis; each device scores its shard and reduces to a local top-k; only
+(k values, k indices) per device cross the interconnect, merged into the
+global top-k on every device. Exact search — the reference's
+overfetch-then-rerank (image_search.py:93-107) collapses into one pass.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from image_retrieval_tpu.ops.metrics import (
+    pairwise_metrics,
+    optimized_similarity_from_metrics,
+)
+from image_retrieval_tpu.ops.topk import exact_topk, DESCENDING_METRICS
+
+_OPT_INPUTS = (
+    "cosine_similarity",
+    "l1_distance",
+    "l2_distance",
+    "linf_distance",
+    "magnitude_difference",
+)
+
+
+def _score_block(
+    queries: jnp.ndarray,
+    gallery: jnp.ndarray,
+    mags: Optional[jnp.ndarray],
+    metric: str,
+    weights: Optional[Tuple[float, ...]],
+) -> jnp.ndarray:
+    """(Q, D) x (Nl, D) -> (Q, Nl) scores for one gallery shard.
+
+    `mags` carries stored magnitudes: the index stores unit vectors plus
+    magnitude (reference ImageEmbeddingSystem.py:88-94); metrics that need
+    unnormalized geometry (L1/L2/Linf/magnitude and the optimized combo,
+    reference image_search.py:103-107 reranks with *unnormalized* query and
+    stored vectors) are computed on mags-rescaled vectors."""
+    if metric == "optimized_similarity":
+        g = gallery if mags is None else gallery * mags[:, None]
+        m = pairwise_metrics(queries, g, metrics=_OPT_INPUTS)
+        w = dict(zip(("w_angle", "w_l1", "w_l2", "w_inf", "w_mag"), weights))
+        return optimized_similarity_from_metrics(m, w)
+    if metric in ("cosine_similarity", "cosine_distance", "angular_distance"):
+        # Norm-invariant: use stored unit vectors directly.
+        return pairwise_metrics(queries, gallery, metrics=(metric,))[metric]
+    g = gallery if mags is None else gallery * mags[:, None]
+    return pairwise_metrics(queries, g, metrics=(metric,))[metric]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "weights", "mesh", "axis"),
+)
+def sharded_search_topk(
+    queries: jnp.ndarray,
+    gallery: jnp.ndarray,
+    valid: jnp.ndarray,
+    mags: Optional[jnp.ndarray],
+    k: int,
+    metric: str = "cosine_similarity",
+    weights: Optional[Tuple[float, ...]] = None,
+    *,
+    mesh: Mesh,
+    axis: str = "data",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over a row-sharded gallery.
+
+    Args:
+        queries: (Q, D) replicated.
+        gallery: (N, D) sharded over `axis` (N divisible by mesh axis size).
+        valid:   (N,) bool mask for live rows (the index pads capacity).
+        mags:    optional (N,) stored magnitudes.
+        k: results per query.
+        metric: metric name or "optimized_similarity".
+        weights: 5-tuple (w_angle, w_l1, w_l2, w_inf, w_mag) when optimized.
+
+    Returns:
+        (values, global_indices), each (Q, k), replicated on all devices.
+    """
+    descending = metric in DESCENDING_METRICS
+    nshards = mesh.shape[axis]
+    nlocal = gallery.shape[0] // nshards
+    kk = min(k, nlocal)
+
+    def local(q, g, v, m):
+        shard_id = jax.lax.axis_index(axis)
+        scores = _score_block(q, g, None if m is None else m[0], metric, weights)
+        bad = jnp.float32(-jnp.inf if descending else jnp.inf)
+        scores = jnp.where(v[0][None, :], scores, bad)
+        vals, idx = exact_topk(scores, kk, descending=descending)
+        gidx = idx + shard_id * nlocal
+        # Ship only (k, k) per shard over ICI; merge replicated on all devices.
+        all_vals = jax.lax.all_gather(vals, axis, axis=-1, tiled=True)
+        all_idx = jax.lax.all_gather(gidx, axis, axis=-1, tiled=True)
+        s = all_vals if descending else -all_vals
+        # two-key sort: index asc first, then stable score desc
+        order_idx = jnp.argsort(all_idx, axis=-1, stable=True)
+        s2 = jnp.take_along_axis(s, order_idx, axis=-1)
+        order = jnp.take_along_axis(
+            order_idx, jnp.argsort(-s2, axis=-1, stable=True), axis=-1
+        )
+        top = order[..., : min(k, nshards * kk)]
+        return (
+            jnp.take_along_axis(all_vals, top, axis=-1),
+            jnp.take_along_axis(all_idx, top, axis=-1),
+        )
+
+    in_specs = (
+        P(),  # queries replicated
+        P(axis, None),  # gallery rows sharded
+        P(axis),  # valid sharded
+        P(axis) if mags is not None else P(),
+    )
+    # valid/mags arrive inside shard_map as (nlocal,) blocks; wrap to keep the
+    # function signature uniform.
+    fn = shard_map(
+        lambda q, g, v, m: local(q, g, (v,), None if mags is None else (m,)),
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    dummy = jnp.zeros((gallery.shape[0],), jnp.float32) if mags is None else mags
+    return fn(queries, gallery, valid, dummy)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "weights", "mesh", "axis"))
+def sharded_scores(
+    queries: jnp.ndarray,
+    gallery: jnp.ndarray,
+    mags: Optional[jnp.ndarray],
+    metric: str,
+    weights: Optional[Tuple[float, ...]] = None,
+    *,
+    mesh: Mesh,
+    axis: str = "data",
+) -> jnp.ndarray:
+    """Full (Q, N) score matrix, gathered. For analysis-scale galleries."""
+
+    def local(q, g, m):
+        s = _score_block(q, g, None if mags is None else m[0], metric, weights)
+        return jax.lax.all_gather(s, axis, axis=-1, tiled=True)
+
+    fn = shard_map(
+        lambda q, g, m: local(q, g, None if mags is None else (m,)),
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis) if mags is not None else P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    dummy = jnp.zeros((gallery.shape[0],), jnp.float32) if mags is None else mags
+    return fn(queries, gallery, dummy)

@@ -1,0 +1,124 @@
+"""Sharded index: ranking parity vs NumPy brute force on an 8-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from image_retrieval_tpu.index import ShardedVectorIndex
+from image_retrieval_tpu.parallel.mesh import make_mesh
+from image_retrieval_tpu.config import MeshConfig, IndexConfig
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(MeshConfig(data=8, model=1))
+
+
+def make_index(mesh, rng, n=500, dim=64):
+    emb = rng.normal(size=(n, dim)).astype(np.float32) * rng.uniform(
+        0.5, 3.0, (n, 1)
+    ).astype(np.float32)
+    paths = [f"img_{i}.jpg" for i in range(n)]
+    idx = ShardedVectorIndex(dim=dim, mesh=mesh, config=IndexConfig(capacity_step=64))
+    idx.insert(paths, emb)
+    return idx, emb, paths
+
+
+def np_cosine(q, g):
+    qn = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    gn = g / np.linalg.norm(g, axis=-1, keepdims=True)
+    return qn @ gn.T
+
+
+def test_mesh_has_8_devices(mesh):
+    assert mesh.shape["data"] == 8
+    assert jax.device_count() >= 8
+
+
+def test_cosine_topk_parity(mesh, rng):
+    idx, emb, paths = make_index(mesh, rng)
+    q = rng.normal(size=(3, 64)).astype(np.float32)
+    vals, ids = idx.search(q, top_k=10)
+    ref = np_cosine(q.astype(np.float64), emb.astype(np.float64))
+    ref_order = np.argsort(-ref, axis=-1, kind="stable")[:, :10]
+    np.testing.assert_array_equal(ids, ref_order)
+    np.testing.assert_allclose(vals, np.take_along_axis(ref, ref_order, -1), rtol=1e-4, atol=1e-5)
+
+
+def test_distance_metric_ascending(mesh, rng):
+    idx, emb, paths = make_index(mesh, rng, n=200)
+    q = rng.normal(size=(64,)).astype(np.float32)
+    vals, ids = idx.search(q, top_k=5, metric="l2_distance")
+    diff = emb.astype(np.float64) - q.astype(np.float64)
+    ref = np.sqrt((diff**2).sum(-1)) / np.sqrt(64)
+    order = np.argsort(ref, kind="stable")[:5]
+    np.testing.assert_array_equal(ids, order)
+    np.testing.assert_allclose(vals, ref[order], rtol=1e-4, atol=1e-5)
+    assert np.all(np.diff(vals) >= 0)
+
+
+def test_optimized_similarity_uses_magnitudes(mesh, rng):
+    idx, emb, paths = make_index(mesh, rng, n=100)
+    q = rng.normal(size=(64,)).astype(np.float32)
+    params = {"w_angle": 1.0, "w_l1": 1.0, "w_l2": 1.0, "w_inf": 0.0, "w_mag": 0.5}
+    vals, ids = idx.search(q, top_k=5, metric="optimized_similarity", params=params)
+    # Host oracle against ORIGINAL (unnormalized) embeddings, as the reference
+    # reranks with unnormalized vectors (image_search.py:103-107).
+    e = emb.astype(np.float64)
+    qq = q.astype(np.float64)
+    cos = np_cosine(qq[None], e)[0]
+    l1 = np.abs(e - qq).sum(-1) / 64
+    l2 = np.sqrt(((e - qq) ** 2).sum(-1)) / np.sqrt(64)
+    mag = np.abs(np.linalg.norm(e, axis=-1) - np.linalg.norm(qq))
+    score = cos - l1 - l2 - 0.5 * mag
+    order = np.argsort(-score, kind="stable")[:5]
+    np.testing.assert_array_equal(ids, order)
+    np.testing.assert_allclose(vals, score[order], rtol=1e-3, atol=1e-3)
+
+
+def test_search_paths_result_shape(mesh, rng):
+    idx, emb, paths = make_index(mesh, rng, n=50)
+    res = idx.search_paths(emb[7], top_k=3)
+    assert res[0]["path"] == "img_7.jpg"  # self-match first
+    assert res[0]["score"] == pytest.approx(1.0, abs=1e-5)
+    assert set(res[0].keys()) == {"path", "score"}
+
+
+def test_incremental_insert_and_growth(mesh, rng):
+    idx = ShardedVectorIndex(dim=32, mesh=mesh, config=IndexConfig(capacity_step=16))
+    for batch in range(4):
+        emb = rng.normal(size=(30, 32)).astype(np.float32)
+        idx.insert([f"b{batch}_{i}" for i in range(30)], emb)
+    assert len(idx) == 120
+    q = rng.normal(size=(32,)).astype(np.float32)
+    vals, ids = idx.search(q, top_k=120)
+    assert len(set(ids.tolist())) == 120  # no padded rows leak into results
+
+
+def test_query_roundtrip(mesh, rng):
+    idx, emb, paths = make_index(mesh, rng, n=20)
+    rec = idx.reconstruct_original_embeddings(limit=20)
+    for i, (p, e) in enumerate(rec):
+        assert p == paths[i]
+        np.testing.assert_allclose(e, emb[i], rtol=1e-5, atol=1e-5)
+
+
+def test_save_load_roundtrip(tmp_path, mesh, rng):
+    idx, emb, paths = make_index(mesh, rng, n=40)
+    f = str(tmp_path / "index.npz")
+    idx.save(f)
+    idx2 = ShardedVectorIndex.load_from(f, mesh=mesh)
+    q = rng.normal(size=(64,)).astype(np.float32)
+    v1, i1 = idx.search(q, top_k=5)
+    v2, i2 = idx2.search(q, top_k=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-6)
+
+
+def test_scores_full_matrix(mesh, rng):
+    idx, emb, paths = make_index(mesh, rng, n=100)
+    q = rng.normal(size=(2, 64)).astype(np.float32)
+    s = idx.scores(q)
+    ref = np_cosine(q.astype(np.float64), emb.astype(np.float64))
+    np.testing.assert_allclose(s, ref, rtol=1e-4, atol=1e-5)
