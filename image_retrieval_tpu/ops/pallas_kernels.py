@@ -1,0 +1,181 @@
+"""Pallas TPU kernel: fused multi-metric scoring over a gallery.
+
+The reference's hot loops are per-pair Python scans (reference
+app_pipeline.py:155-172 and image_search.py:98-112). Their speed-of-light TPU
+replacement reads each gallery row from HBM exactly ONCE and computes all
+five geometric metrics (reference geometric_metrics.py:12-57) plus the
+weighted combination in VMEM:
+
+    cos   = <g_unit, q> / ||q||            (MXU, gallery stored unit-norm)
+    l1    = sum|g - q| / D                 (VPU)
+    l2    = sqrt(sum (g-q)^2) / sqrt(D)    (VPU)
+    linf  = max|g - q|                     (VPU)
+    dmag  = | ||g|| - ||q|| |              (free: magnitudes are stored)
+
+where g = g_unit * mag is the unnormalized row, reconstructed in-register
+(the index stores the (unit vector, magnitude) decomposition of reference
+ImageEmbeddingSystem.py:88-94).
+
+The kernel is HBM-bandwidth bound: for a 1M x 512 f32 gallery it moves ~2 GB
+once, vs up to 5 separate passes for unfused per-metric XLA reductions.
+Selection (top-k) happens outside — its input is only (Q, N) f32.
+
+On non-TPU backends the kernel runs in interpret mode (tests exercise it on
+CPU; the math path is identical).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Metric plane order in the stacked kernel output.
+PLANES = ("cosine_similarity", "l1_distance", "l2_distance", "linf_distance",
+          "magnitude_difference")
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _fused_kernel(q_ref, qn_ref, g_ref, mag_ref, out_ref):
+    """One gallery block: g (BN, D) unit rows, mag (BN, 1); out (5, Q, BN)."""
+    g = g_ref[:]  # (BN, D) f32
+    q = q_ref[:]  # (Q, D)  f32
+    qn = qn_ref[:]  # (Q, 1) precomputed query norms
+    mags = mag_ref[:]  # (BN, 1)
+    bn, d = g.shape
+    nq = q.shape[0]
+    inv_d = 1.0 / d
+    inv_sqrt_d = d ** -0.5
+
+    # Cosine for all queries in one MXU pass; unit gallery rows => denom ||q||.
+    dots = jnp.dot(g, q.T, preferred_element_type=jnp.float32)  # (BN, Q)
+    safe_qn = jnp.where(qn > 0, qn, 1.0)  # zero-norm query -> cos 0
+    cos = jnp.where(qn.T > 0, dots / safe_qn.T, 0.0)  # (BN, Q)
+    out_ref[0, :, :] = cos.T
+
+    gu = g * mags  # unnormalized rows, reconstructed in VMEM
+    # Elementwise metrics per query (static loop; Q is small in serving).
+    for i in range(nq):
+        diff = gu - q[i, :][None, :]  # (BN, D)
+        ad = jnp.abs(diff)
+        out_ref[1, i, :] = jnp.sum(ad, axis=1) * inv_d
+        out_ref[2, i, :] = jnp.sqrt(jnp.sum(diff * diff, axis=1)) * inv_sqrt_d
+        out_ref[3, i, :] = jnp.max(ad, axis=1)
+        out_ref[4, i, :] = jnp.abs(mags[:, 0] - qn[i, 0])
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def fused_all_metrics(
+    queries: jnp.ndarray,
+    gallery_unit: jnp.ndarray,
+    magnitudes: jnp.ndarray,
+    block_n: int = 1024,
+) -> jnp.ndarray:
+    """All five metric planes in one gallery pass.
+
+    Args:
+        queries: (Q, D) f32, unnormalized.
+        gallery_unit: (N, D) f32 unit rows (N % block_n == 0; caller pads).
+        magnitudes: (N,) f32 stored norms.
+
+    Returns:
+        (5, Q, N) f32 planes ordered as PLANES.
+    """
+    q = queries.astype(jnp.float32)
+    g = gallery_unit.astype(jnp.float32)
+    n, d = g.shape
+    nq = q.shape[0]
+    assert n % block_n == 0, (n, block_n)
+    qn = jnp.linalg.norm(q, axis=1, keepdims=True)
+    mag2d = magnitudes.astype(jnp.float32).reshape(n, 1)
+    grid = (n // block_n,)
+    return pl.pallas_call(
+        _fused_kernel,
+        out_shape=jax.ShapeDtypeStruct((5, nq, n), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (5, nq, block_n), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        interpret=_interpret(),
+    )(q, qn, g, mag2d)
+
+
+def _combo_kernel(q_ref, qn_ref, w_ref, g_ref, mag_ref, out_ref):
+    """Weighted optimized-similarity scores only: out (Q, BN)."""
+    g = g_ref[:]
+    q = q_ref[:]
+    qn = qn_ref[:]
+    mags = mag_ref[:]
+    bn, d = g.shape
+    nq = q.shape[0]
+    w_angle = w_ref[0, 0]
+    w_l1 = w_ref[0, 1]
+    w_l2 = w_ref[0, 2]
+    w_inf = w_ref[0, 3]
+    w_mag = w_ref[0, 4]
+    inv_d = 1.0 / d
+    inv_sqrt_d = d ** -0.5
+
+    dots = jnp.dot(g, q.T, preferred_element_type=jnp.float32)  # (BN, Q)
+    safe_qn = jnp.where(qn > 0, qn, 1.0)
+    cos = jnp.where(qn.T > 0, dots / safe_qn.T, 0.0)
+    gu = g * mags
+    for i in range(nq):
+        diff = gu - q[i, :][None, :]
+        ad = jnp.abs(diff)
+        l1 = jnp.sum(ad, axis=1) * inv_d
+        l2 = jnp.sqrt(jnp.sum(diff * diff, axis=1)) * inv_sqrt_d
+        linf = jnp.max(ad, axis=1)
+        dmag = jnp.abs(mags[:, 0] - qn[i, 0])
+        out_ref[i, :] = (
+            w_angle * cos[:, i] - w_l1 * l1 - w_l2 * l2 - w_inf * linf - w_mag * dmag
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def fused_optimized_scores(
+    queries: jnp.ndarray,
+    gallery_unit: jnp.ndarray,
+    magnitudes: jnp.ndarray,
+    weights: jnp.ndarray,
+    block_n: int = 1024,
+) -> jnp.ndarray:
+    """(Q, N) weighted optimized-similarity in one gallery pass.
+
+    weights: (5,) f32 = (w_angle, w_l1, w_l2, w_inf, w_mag), the reference's
+    similarity params (app_pipeline.py:379-385)."""
+    q = queries.astype(jnp.float32)
+    g = gallery_unit.astype(jnp.float32)
+    n, d = g.shape
+    nq = q.shape[0]
+    assert n % block_n == 0, (n, block_n)
+    qn = jnp.linalg.norm(q, axis=1, keepdims=True)
+    mag2d = magnitudes.astype(jnp.float32).reshape(n, 1)
+    w = weights.astype(jnp.float32).reshape(1, 5)
+    return pl.pallas_call(
+        _combo_kernel,
+        out_shape=jax.ShapeDtypeStruct((nq, n), jnp.float32),
+        grid=(n // block_n,),
+        in_specs=[
+            pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 5), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nq, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(q, qn, w, g, mag2d)
