@@ -1,0 +1,200 @@
+"""CLIP ViT-B/32 in Flax — the TPU replacement for the reference's PyTorch
+"openai/clip-vit-base-patch32" (reference app_pipeline.py:103-104,
+ImageEmbeddingSystem.py:82-85, image_search.py:61-64).
+
+Built from scratch for jit/pjit execution: bf16 compute with f32 params and
+f32 accumulation, static shapes (224x224 images, 77-token text), no Python
+control flow in the traced path. Weight layout matches the HF checkpoint
+structure so pretrained weights can be ported when available
+(models/weights.py).
+
+Architecture (HF CLIPConfig for clip-vit-base-patch32):
+  vision: 32x32 patch conv -> [CLS] + 49 tokens, width 768, 12 layers,
+          12 heads, pre-LN transformer, quick_gelu, post-LN on CLS,
+          projection 768 -> 512
+  text:   vocab 49408, 77 positions, width 512, 12 layers, 8 heads,
+          causal mask, final LN, pooled at argmax(token_id) (EOT),
+          projection 512 -> 512
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from image_retrieval_tpu.config import ModelConfig
+
+Dtype = Any
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class MLP(nn.Module):
+    width: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.width * 4, dtype=self.dtype, name="fc1")(x)
+        h = quick_gelu(h)
+        return nn.Dense(self.width, dtype=self.dtype, name="fc2")(h)
+
+
+class Attention(nn.Module):
+    width: int
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+        b, t, _ = x.shape
+        hd = self.width // self.heads
+        q = nn.Dense(self.width, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(self.width, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(self.width, dtype=self.dtype, name="v_proj")(x)
+        q = q.reshape(b, t, self.heads, hd)
+        k = k.reshape(b, t, self.heads, hd)
+        v = v.reshape(b, t, self.heads, hd)
+        scale = hd ** -0.5
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+        )
+        if mask is not None:
+            logits = logits + mask
+        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        out = out.reshape(b, t, self.width)
+        return nn.Dense(self.width, dtype=self.dtype, name="out_proj")(out)
+
+
+class Block(nn.Module):
+    width: int
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x)
+        x = x + Attention(self.width, self.heads, self.dtype, name="attn")(h, mask)
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x)
+        return x + MLP(self.width, self.dtype, name="mlp")(h)
+
+
+class CLIPVisionTower(nn.Module):
+    cfg: ModelConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
+        """pixels: (B, H, W, 3) normalized -> (B, embed_dim) unnormalized."""
+        c = self.cfg
+        b = pixels.shape[0]
+        x = nn.Conv(
+            c.vision_width,
+            kernel_size=(c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            use_bias=False,
+            dtype=self.dtype,
+            name="patch_embed",
+        )(pixels.astype(self.dtype))
+        n = (c.image_size // c.patch_size) ** 2
+        x = x.reshape(b, n, c.vision_width)
+        cls = self.param(
+            "class_embedding", nn.initializers.normal(0.02), (c.vision_width,)
+        )
+        cls = jnp.broadcast_to(cls.astype(self.dtype), (b, 1, c.vision_width))
+        x = jnp.concatenate([cls, x], axis=1)
+        pos = self.param(
+            "position_embedding", nn.initializers.normal(0.02), (n + 1, c.vision_width)
+        )
+        x = x + pos.astype(self.dtype)[None]
+        x = nn.LayerNorm(dtype=jnp.float32, name="pre_ln")(x).astype(self.dtype)
+        for i in range(c.vision_layers):
+            x = Block(c.vision_width, c.vision_heads, self.dtype, name=f"block_{i}")(x)
+        pooled = nn.LayerNorm(dtype=jnp.float32, name="post_ln")(x[:, 0])
+        proj = self.param(
+            "proj", nn.initializers.normal(0.02), (c.vision_width, c.embed_dim)
+        )
+        return jnp.dot(
+            pooled.astype(self.dtype), proj.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+
+class CLIPTextTower(nn.Module):
+    cfg: ModelConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, token_ids: jnp.ndarray) -> jnp.ndarray:
+        """token_ids: (B, T) int32 -> (B, embed_dim) unnormalized.
+
+        Pooled at argmax(token_ids) — the EOT token has the largest id in the
+        CLIP vocabulary, matching HF pooling semantics."""
+        c = self.cfg
+        b, t = token_ids.shape
+        tok = nn.Embed(
+            c.vocab_size, c.text_width, dtype=self.dtype, name="token_embedding"
+        )(token_ids)
+        pos = self.param(
+            "position_embedding", nn.initializers.normal(0.01), (c.context_length, c.text_width)
+        )
+        x = tok + pos.astype(self.dtype)[None, :t]
+        mask = jnp.triu(jnp.full((t, t), -jnp.inf, jnp.float32), k=1)[None, None]
+        for i in range(c.text_layers):
+            x = Block(c.text_width, c.text_heads, self.dtype, name=f"block_{i}")(x, mask)
+        x = nn.LayerNorm(dtype=jnp.float32, name="final_ln")(x)
+        eot = jnp.argmax(token_ids, axis=-1)
+        pooled = x[jnp.arange(b), eot]
+        proj = self.param(
+            "proj", nn.initializers.normal(0.02), (c.text_width, c.embed_dim)
+        )
+        return jnp.dot(
+            pooled.astype(self.dtype), proj.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+
+class CLIP(nn.Module):
+    """Joint model; `encode_image` / `encode_text` return unnormalized
+    embeddings (the reference stores unnormalized text and
+    (unit, magnitude)-decomposed image embeddings)."""
+
+    cfg: ModelConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.vision = CLIPVisionTower(self.cfg, self.dtype)
+        self.text = CLIPTextTower(self.cfg, self.dtype)
+        self.logit_scale = self.param(
+            "logit_scale", nn.initializers.constant(2.6592), ()
+        )
+
+    def encode_image(self, pixels):
+        return self.vision(pixels)
+
+    def encode_text(self, token_ids):
+        return self.text(token_ids)
+
+    def __call__(self, pixels, token_ids):
+        """Contrastive logits for training: (B, B) image->text similarities."""
+        img = self.encode_image(pixels)
+        txt = self.encode_text(token_ids)
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        scale = jnp.exp(self.logit_scale)
+        logits = scale * jnp.dot(img, txt.T, preferred_element_type=jnp.float32)
+        return logits
+
+
+def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.float32):
+    """Deterministic parameter init (no pretrained weights needed)."""
+    model = CLIP(cfg, dtype=dtype)
+    pixels = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    tokens = jnp.zeros((1, cfg.context_length), jnp.int32)
+    return model, model.init(jax.random.PRNGKey(seed), pixels, tokens)

@@ -1,0 +1,171 @@
+"""Encoder facade: batched, jit-compiled, mesh-sharded embedding generation.
+
+Replaces the reference's per-image, batch-size-1 CLIP loops
+(reference ImageEmbeddingSystem.py:120-129, app_pipeline.py:108-117,
+color_analysis_workflow.py:127-142) with fixed-shape device batches sharded
+over the mesh `data` axis. Also replaces the per-query model reload
+(reference app_pipeline.py:181-183) — the compiled apply functions live for
+the process lifetime.
+
+Two implementations share one interface:
+  CLIPEncoder — the real Flax CLIP ViT-B/32 (pretrained weights ported when
+                available, deterministic init otherwise).
+  FakeEncoder — deterministic projection encoder for tests/CI, the
+                reproducible version of the reference's dummy-embedding
+                fallback (app_pipeline.py:129-141).
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from image_retrieval_tpu.config import Config, ModelConfig
+from image_retrieval_tpu.models.clip import CLIP, init_params
+from image_retrieval_tpu.models.preprocess import preprocess_batch
+from image_retrieval_tpu.models.tokenizer import get_tokenizer
+from image_retrieval_tpu.parallel.mesh import make_mesh
+
+
+class Encoder:
+    """Interface: paths/texts in, unnormalized f32 embeddings out."""
+
+    dim: int = 512
+
+    def encode_images(self, paths: Sequence[str], batch_size: int = 256) -> np.ndarray:
+        raise NotImplementedError
+
+    def encode_pixels(self, pixels: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def encode_texts(self, texts: Sequence[str]) -> np.ndarray:
+        raise NotImplementedError
+
+
+def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
+    if x.shape[0] == n:
+        return x
+    pad = np.zeros((n - x.shape[0],) + x.shape[1:], x.dtype)
+    return np.concatenate([x, pad], 0)
+
+
+class CLIPEncoder(Encoder):
+    def __init__(
+        self,
+        config: Optional[Config] = None,
+        mesh: Optional[Mesh] = None,
+        params=None,
+        seed: int = 0,
+    ):
+        self.config = config or Config()
+        cfg = self.config.model
+        self.dim = cfg.embed_dim
+        self.mesh = mesh if mesh is not None else make_mesh(self.config.mesh)
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        self.model = CLIP(cfg, dtype=dtype)
+        if params is None:
+            if self.config.weights_path:
+                from image_retrieval_tpu.models.weights import load_hf_clip_params
+
+                params = load_hf_clip_params(self.config.weights_path, cfg)
+            else:
+                _, params = init_params(cfg, seed=seed, dtype=dtype)
+        self.params = jax.device_put(params, NamedSharding(self.mesh, P()))
+        self.tokenizer = get_tokenizer(self.config.weights_path)
+        data_spec = NamedSharding(self.mesh, P("data"))
+        rep = NamedSharding(self.mesh, P())
+
+        self._encode_image = jax.jit(
+            lambda p, x: self.model.apply(p, x, method=CLIP.encode_image),
+            in_shardings=(NamedSharding(self.mesh, P()), data_spec),
+            out_shardings=data_spec,
+        )
+        self._encode_text = jax.jit(
+            lambda p, t: self.model.apply(p, t, method=CLIP.encode_text),
+            in_shardings=(NamedSharding(self.mesh, P()), data_spec),
+            out_shardings=data_spec,
+        )
+        self._rep = rep
+
+    def _batch_sizes(self, requested: int) -> int:
+        # batch must divide evenly over the data axis
+        nd = self.mesh.shape["data"]
+        return max(nd, (requested // nd) * nd)
+
+    def encode_pixels(self, pixels: np.ndarray) -> np.ndarray:
+        """(B, H, W, 3) normalized f32 -> (B, dim) f32 unnormalized."""
+        n = pixels.shape[0]
+        nb = self._batch_sizes(max(n, 1))
+        padded = _pad_to(pixels.astype(np.float32), -(-n // nb) * nb)
+        outs = []
+        for i in range(0, padded.shape[0], nb):
+            outs.append(np.asarray(self._encode_image(self.params, jnp.asarray(padded[i : i + nb]))))
+        return np.concatenate(outs, 0)[:n]
+
+    def encode_images(self, paths: Sequence[str], batch_size: int = 256) -> np.ndarray:
+        """Host-parallel decode -> device-batched forward."""
+        outs = []
+        bs = self._batch_sizes(batch_size)
+        for i in range(0, len(paths), bs):
+            chunk = list(paths[i : i + bs])
+            pixels = preprocess_batch(chunk)
+            outs.append(self.encode_pixels(pixels))
+        return np.concatenate(outs, 0) if outs else np.zeros((0, self.dim), np.float32)
+
+    def encode_texts(self, texts: Sequence[str]) -> np.ndarray:
+        tokens = self.tokenizer(
+            list(texts), context_length=self.config.model.context_length
+        )
+        n = tokens.shape[0]
+        nb = self._batch_sizes(max(n, 1))
+        padded = _pad_to(tokens, -(-n // nb) * nb)
+        # Padded rows would pool at argmax=0; harmless, sliced away below.
+        outs = []
+        for i in range(0, padded.shape[0], nb):
+            outs.append(np.asarray(self._encode_text(self.params, jnp.asarray(padded[i : i + nb]))))
+        return np.concatenate(outs, 0)[:n]
+
+
+class FakeEncoder(Encoder):
+    """Deterministic projection encoder (no weights, instant, reproducible).
+
+    Images: 8x8 mean-pooled RGB grid -> fixed seeded projection to dim.
+    Texts: hashed bag-of-words -> same projection family. Norms vary with
+    content so magnitude-sensitive metrics stay meaningful."""
+
+    def __init__(self, dim: int = 512, seed: int = 1234):
+        self.dim = dim
+        rng = np.random.default_rng(seed)
+        self._img_proj = rng.normal(size=(8 * 8 * 3, dim)).astype(np.float32) / np.sqrt(192)
+        self._txt_proj = rng.normal(size=(256, dim)).astype(np.float32) / np.sqrt(256)
+
+    def encode_pixels(self, pixels: np.ndarray) -> np.ndarray:
+        b, h, w, _ = pixels.shape
+        gh, gw = h // 8, w // 8
+        x = pixels[:, : gh * 8, : gw * 8, :]
+        x = x.reshape(b, 8, gh, 8, gw, 3).mean((2, 4)).reshape(b, -1)
+        return (x @ self._img_proj).astype(np.float32) * 4.0
+
+    def encode_images(self, paths: Sequence[str], batch_size: int = 256) -> np.ndarray:
+        pixels = preprocess_batch(list(paths))
+        return self.encode_pixels(pixels)
+
+    def encode_texts(self, texts: Sequence[str]) -> np.ndarray:
+        out = np.zeros((len(texts), 256), np.float32)
+        for i, t in enumerate(texts):
+            for w in t.lower().split():
+                h = int.from_bytes(hashlib.sha1(w.encode()).digest()[:4], "little")
+                out[i, h % 256] += 1.0
+        return (out @ self._txt_proj).astype(np.float32) * 4.0
+
+
+def get_encoder(config: Optional[Config] = None, fake: bool = False, **kw) -> Encoder:
+    if fake:
+        return FakeEncoder(dim=(config.model.embed_dim if config else 512))
+    return CLIPEncoder(config=config, **kw)

@@ -1,0 +1,98 @@
+"""Port HF "openai/clip-vit-base-patch32" PyTorch weights into the Flax CLIP.
+
+The zero-egress build environment has no HF cache, so this path activates
+only when a local checkpoint directory is supplied (Config.weights_path).
+Mapping is written against the HF CLIPModel state-dict layout
+(text_model.*/vision_model.*/visual_projection/text_projection/logit_scale).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+
+from image_retrieval_tpu.config import ModelConfig
+
+
+def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    safep = os.path.join(path, "model.safetensors")
+    binp = os.path.join(path, "pytorch_model.bin")
+    if os.path.exists(safep):
+        from safetensors.numpy import load_file
+
+        return load_file(safep)
+    if os.path.exists(binp):
+        import torch
+
+        sd = torch.load(binp, map_location="cpu", weights_only=True)
+        return {k: v.numpy() for k, v in sd.items()}
+    raise FileNotFoundError(f"no checkpoint found under {path}")
+
+
+def _dense(sd, prefix):
+    return {"kernel": sd[f"{prefix}.weight"].T, "bias": sd[f"{prefix}.bias"]}
+
+
+def _ln(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _block(sd, prefix):
+    return {
+        "ln1": _ln(sd, f"{prefix}.layer_norm1"),
+        "ln2": _ln(sd, f"{prefix}.layer_norm2"),
+        "attn": {
+            "q_proj": _dense(sd, f"{prefix}.self_attn.q_proj"),
+            "k_proj": _dense(sd, f"{prefix}.self_attn.k_proj"),
+            "v_proj": _dense(sd, f"{prefix}.self_attn.v_proj"),
+            "out_proj": _dense(sd, f"{prefix}.self_attn.out_proj"),
+        },
+        "mlp": {
+            "fc1": _dense(sd, f"{prefix}.mlp.fc1"),
+            "fc2": _dense(sd, f"{prefix}.mlp.fc2"),
+        },
+    }
+
+
+def load_hf_clip_params(path: str, cfg: ModelConfig):
+    """Return a Flax param dict for models.clip.CLIP from an HF checkpoint."""
+    sd = _load_state_dict(path)
+    sd = {k.removeprefix("clip."): v for k, v in sd.items()}
+
+    vision = {
+        # HF conv weight (out, in, kh, kw) -> flax (kh, kw, in, out)
+        "patch_embed": {
+            "kernel": np.transpose(
+                sd["vision_model.embeddings.patch_embedding.weight"], (2, 3, 1, 0)
+            )
+        },
+        "class_embedding": sd["vision_model.embeddings.class_embedding"],
+        "position_embedding": sd["vision_model.embeddings.position_embedding.weight"],
+        "pre_ln": _ln(sd, "vision_model.pre_layrnorm"),
+        "post_ln": _ln(sd, "vision_model.post_layernorm"),
+        "proj": sd["visual_projection.weight"].T,
+    }
+    for i in range(cfg.vision_layers):
+        vision[f"block_{i}"] = _block(sd, f"vision_model.encoder.layers.{i}")
+
+    text = {
+        "token_embedding": {
+            "embedding": sd["text_model.embeddings.token_embedding.weight"]
+        },
+        "position_embedding": sd["text_model.embeddings.position_embedding.weight"],
+        "final_ln": _ln(sd, "text_model.final_layer_norm"),
+        "proj": sd["text_projection.weight"].T,
+    }
+    for i in range(cfg.text_layers):
+        text[f"block_{i}"] = _block(sd, f"text_model.encoder.layers.{i}")
+
+    params = {
+        "vision": vision,
+        "text": text,
+        "logit_scale": sd["logit_scale"],
+    }
+    import jax
+
+    return {"params": jax.tree.map(lambda x: np.asarray(x, np.float32), params)}

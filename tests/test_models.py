@@ -1,0 +1,124 @@
+"""CLIP model + encoders: shapes, determinism, sharded batched encode."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from image_retrieval_tpu.config import Config, MeshConfig, ModelConfig
+from image_retrieval_tpu.models.clip import CLIP, init_params
+from image_retrieval_tpu.models.encoder import CLIPEncoder, FakeEncoder
+from image_retrieval_tpu.models.preprocess import preprocess_host, preprocess_batch
+from image_retrieval_tpu.models.tokenizer import HashTokenizer, BOS, EOS
+from image_retrieval_tpu.parallel.mesh import make_mesh
+
+
+def tiny_model_config():
+    return ModelConfig(
+        image_size=32,
+        patch_size=8,
+        vision_width=64,
+        vision_layers=2,
+        vision_heads=4,
+        text_width=32,
+        text_layers=2,
+        text_heads=2,
+        vocab_size=49408,
+        context_length=16,
+        embed_dim=24,
+        dtype="float32",
+    )
+
+
+def test_clip_forward_shapes(rng):
+    cfg = tiny_model_config()
+    model, params = init_params(cfg, seed=0)
+    pixels = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    tokens = jnp.asarray(np.array([[BOS, 5, 9, EOS] + [0] * 12] * 2, np.int32))
+    img = model.apply(params, pixels, method=CLIP.encode_image)
+    txt = model.apply(params, tokens, method=CLIP.encode_text)
+    assert img.shape == (2, 24) and txt.shape == (2, 24)
+    logits = model.apply(params, pixels, tokens)
+    assert logits.shape == (2, 2)
+
+
+def test_clip_deterministic_init():
+    cfg = tiny_model_config()
+    _, p1 = init_params(cfg, seed=0)
+    _, p2 = init_params(cfg, seed=0)
+    leaves1 = jax.tree.leaves(p1)
+    leaves2 = jax.tree.leaves(p2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_text_pooling_at_eot(rng):
+    """Pooled text features must come from the EOT (argmax id) position."""
+    cfg = tiny_model_config()
+    model, params = init_params(cfg, seed=0)
+    t1 = np.array([[BOS, 7, EOS] + [0] * 13], np.int32)
+    t2 = np.array([[BOS, 7, EOS] + [0] * 13], np.int32)
+    t2[0, 5] = 3  # padding-region change before... actually after EOT
+    e1 = model.apply(params, jnp.asarray(t1), method=CLIP.encode_text)
+    e2 = model.apply(params, jnp.asarray(t2), method=CLIP.encode_text)
+    # causal mask: token at pos 5 cannot influence pooled pos 2
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-6)
+
+
+def test_clip_encoder_batched_sharded(rng):
+    cfg = Config(model=tiny_model_config(), mesh=MeshConfig(data=8, model=1))
+    mesh = make_mesh(cfg.mesh)
+    enc = CLIPEncoder(config=cfg, mesh=mesh)
+    pixels = rng.normal(size=(13, 32, 32, 3)).astype(np.float32)  # odd batch
+    out = enc.encode_pixels(pixels)
+    assert out.shape == (13, 24)
+    # padding must not affect real rows
+    out2 = enc.encode_pixels(pixels[:5])
+    np.testing.assert_allclose(out[:5], out2, rtol=2e-4, atol=2e-4)
+    txt = enc.encode_texts(["a red dog", "blue car"])
+    assert txt.shape == (2, 24)
+    txt2 = enc.encode_texts(["a red dog"])
+    np.testing.assert_allclose(txt[0], txt2[0], rtol=2e-4, atol=2e-4)
+
+
+def test_fake_encoder_deterministic(tmp_path):
+    from PIL import Image
+
+    p = str(tmp_path / "img.png")
+    Image.fromarray(
+        (np.linspace(0, 255, 64 * 64 * 3).reshape(64, 64, 3)).astype(np.uint8)
+    ).save(p)
+    enc1 = FakeEncoder(dim=512)
+    enc2 = FakeEncoder(dim=512)
+    e1 = enc1.encode_images([p])
+    e2 = enc2.encode_images([p])
+    np.testing.assert_array_equal(e1, e2)
+    t1 = enc1.encode_texts(["red dog"])
+    t2 = enc2.encode_texts(["red dog"])
+    np.testing.assert_array_equal(t1, t2)
+    assert e1.shape == (1, 512) and t1.shape == (1, 512)
+    assert np.linalg.norm(e1) > 0
+
+
+def test_hash_tokenizer_layout():
+    tok = HashTokenizer()
+    ids = tok(["hello world"])
+    assert ids.shape == (1, 77)
+    assert ids[0, 0] == BOS
+    assert EOS in ids[0]
+    eot = int(np.argmax(ids[0]))
+    assert ids[0, eot] == EOS
+    # deterministic
+    np.testing.assert_array_equal(ids, tok(["hello world"]))
+
+
+def test_preprocess_host_shape_and_range(tmp_path):
+    from PIL import Image
+
+    p = str(tmp_path / "img.jpg")
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (300, 400, 3), np.uint8)
+    ).save(p)
+    x = preprocess_host(p)
+    assert x.shape == (224, 224, 3)
+    assert -3.0 < x.min() < x.max() < 3.0
