@@ -1,0 +1,234 @@
+"""Interactive CLI — the terminal replacement for the reference Tkinter GUI.
+
+The reference GUI (reference main.py:25-768) has four tabs; each maps to a
+subcommand here, driving the same app facade:
+
+  Tab 1 Search            -> `search`       (main.py:105-321)
+  Tab 2 MI Analysis       -> `mi`           (main.py:323-384)
+  Tab 3 Geometric MI      -> `geometric`    (main.py:386-659, incl. the
+                             243-combo parameter optimization :582-639)
+  Tab 4 Metric Comparison -> `compare`      (main.py:661-768)
+
+Helpers the reference GUI calls but never defines are implemented here:
+  find_optimal_threshold (main.py:353) -> ColorMIAnalyzer.f1_optimal_threshold
+  interpret_mi_value     (main.py:370) -> interpret_mi_value()
+and the fabricated confidence interval (main.py:551-570, sigma ~ MI/sqrt(1000))
+is replaced by an honest bootstrap (mi_confidence_interval).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def interpret_mi_value(mi: float) -> str:
+    """Qualitative reading of an MI value (implements the undefined helper
+    the reference GUI calls at main.py:370)."""
+    if mi <= 0.0:
+        return "no dependence detected"
+    if mi < 0.01:
+        return "negligible dependence"
+    if mi < 0.05:
+        return "weak dependence"
+    if mi < 0.2:
+        return "moderate dependence"
+    if mi < 0.5:
+        return "strong dependence"
+    return "very strong dependence"
+
+
+def mi_confidence_interval(
+    values: np.ndarray,
+    labels: np.ndarray,
+    n_bins: int = 20,
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    seed: int = 0,
+) -> Tuple[float, float]:
+    """Bootstrap CI for binned MI — replaces the reference GUI's fabricated
+    sigma ~ MI/sqrt(1000)*0.1 (main.py:551-570)."""
+    from image_retrieval_tpu.ops.mi import mutual_info_from_labels
+
+    rng = np.random.default_rng(seed)
+    values = np.asarray(values, float)
+    labels = np.asarray(labels)
+    n = len(values)
+    stats = np.empty(n_boot)
+    for b in range(n_boot):
+        idx = rng.integers(0, n, n)
+        stats[b] = mutual_info_from_labels(values[idx], labels[idx], n_bins)
+    lo, hi = np.quantile(stats, [alpha / 2, 1 - alpha / 2])
+    return float(lo), float(hi)
+
+
+def _build_app(args):
+    from image_retrieval_tpu.app.pipeline import ImageSearchApp
+    from image_retrieval_tpu.models.encoder import get_encoder
+
+    encoder = get_encoder(fake=args.fake_encoder) if args.fake_encoder else None
+    app = ImageSearchApp(encoder=encoder)
+    paths = app.scan_folders(args.folder)
+    if not paths:
+        print(f"No images found under {args.folder}", file=sys.stderr)
+        sys.exit(1)
+    app.process_images(paths)
+    return app
+
+
+def cmd_search(args) -> int:
+    app = _build_app(args)
+    results = app.search_images(
+        args.query, top_k=args.top_k, use_optimized_similarity=args.optimized
+    )
+    for i, r in enumerate(results, 1):
+        print(f"{i:3d}. {r['score']:.4f}  {r['path']}")
+    return 0
+
+
+def cmd_mi(args) -> int:
+    app = _build_app(args)
+    analyzer, results = app.run_mi_analysis(num_pairs=args.num_pairs,
+                                            num_bins=args.num_bins)
+    if results is None:
+        return 1
+    print(f"Default MI: {results['default']:.4f} bits "
+          f"({interpret_mi_value(results['default'])})")
+    if analyzer is not None and analyzer.mi_values:
+        for metric, mi in sorted(analyzer.mi_values.items(), key=lambda x: -x[1]):
+            print(f"  {metric:16s} {mi:.4f} bits  ({interpret_mi_value(mi)})")
+    return 0
+
+
+def cmd_geometric(args) -> int:
+    app = _build_app(args)
+    analyzer, results = app.run_enhanced_mi_analysis(
+        num_pairs=args.num_pairs, num_bins=args.num_bins, keep_unnormalized=True
+    )
+    if results is None:
+        return 1
+    print("Per-metric MI (enhanced analysis):")
+    for metric, mi in sorted(results.items(), key=lambda x: -x[1]):
+        print(f"  {metric:16s} {mi:.4f} bits  ({interpret_mi_value(mi)})")
+    if args.optimize:
+        grid = np.linspace(0, 1, args.grid_size)
+        res = analyzer.find_optimal_parameters(
+            {k: grid for k in ("w_angle", "w_l1", "w_l2", "w_inf", "w_mag")}
+        )
+        print(f"Optimal parameters (MI={res['mi_value']:.4f}):")
+        for k, v in res["parameters"].items():
+            print(f"  {k} = {v:.2f}")
+        if args.apply:
+            app.searcher.set_similarity_params(res["parameters"])
+            print("Applied optimal parameters to searcher.")
+    return 0
+
+
+def cmd_compare(args) -> int:
+    app = _build_app(args)
+    results = app.search_with_multiple_metrics(args.query, top_k=args.top_k)
+    for metric in ("cosine_similarity", "l1_distance", "l2_distance"):
+        if metric in results:
+            print(f"\n== {metric} ==")
+            for i, r in enumerate(results[metric], 1):
+                print(f"{i:3d}. {r['score']:+.4f}  {r['path']}")
+    analysis = results.get("analysis", {})
+    print("\n== intersections ==")
+    for k, v in analysis.get("intersections", {}).items():
+        print(f"  {k}: {v['intersection_size']} ({v['intersection_ratio']:.0%})")
+    print("== unique contributions ==")
+    for k, v in analysis.get("unique_contributions", {}).items():
+        print(f"  {k}: {v['unique_count']} ({v['unique_ratio']:.0%})")
+    return 0
+
+
+def cmd_analyze(args) -> int:
+    """Full offline color-analysis pipeline (wraps app/workflow.py)."""
+    from image_retrieval_tpu.app.workflow import run_workflow
+
+    results = run_workflow(
+        coco_dir=args.coco_dir,
+        annotation_file=args.annotation_file,
+        output_dir=args.output_dir,
+        skip_dataset=args.skip_dataset,
+        skip_embeddings=args.skip_embeddings,
+        synthetic=args.synthetic,
+        fake_encoder=args.fake_encoder,
+        num_examples=args.num_examples,
+    )
+    if results:
+        print(json.dumps(results, indent=2))
+    return 0 if results else 1
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="image-retrieval-tpu",
+        description="TPU-native text-to-image retrieval and geometric MI analysis",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--folder", required=True, help="Image folder")
+        sp.add_argument("--fake-encoder", action="store_true",
+                        help="Deterministic encoder (no CLIP weights needed)")
+
+    sp = sub.add_parser("search", help="Text search over an image folder")
+    common(sp)
+    sp.add_argument("query")
+    sp.add_argument("--top-k", type=int, default=10)
+    sp.add_argument("--optimized", action="store_true",
+                    help="Rank with the weighted optimized similarity")
+    sp.set_defaults(fn=cmd_search)
+
+    sp = sub.add_parser("mi", help="Standard MI analysis")
+    common(sp)
+    sp.add_argument("--num-pairs", type=int, default=1000)
+    sp.add_argument("--num-bins", type=int, default=20)
+    sp.set_defaults(fn=cmd_mi)
+
+    sp = sub.add_parser("geometric", help="Geometric (multi-metric) MI analysis")
+    common(sp)
+    sp.add_argument("--num-pairs", type=int, default=1000)
+    sp.add_argument("--num-bins", type=int, default=20)
+    sp.add_argument("--optimize", action="store_true",
+                    help="Run the weight grid search")
+    sp.add_argument("--grid-size", type=int, default=3)
+    sp.add_argument("--apply", action="store_true",
+                    help="Apply optimal weights to the searcher")
+    sp.set_defaults(fn=cmd_geometric)
+
+    sp = sub.add_parser("compare", help="Multi-metric search comparison")
+    common(sp)
+    sp.add_argument("query")
+    sp.add_argument("--top-k", type=int, default=5)
+    sp.set_defaults(fn=cmd_compare)
+
+    sp = sub.add_parser("analyze", help="Full color-analysis workflow")
+    sp.add_argument("--coco_dir")
+    sp.add_argument("--annotation_file")
+    sp.add_argument("--output_dir", default="color_analysis")
+    sp.add_argument("--skip_dataset", action="store_true")
+    sp.add_argument("--skip_embeddings", action="store_true")
+    sp.add_argument("--synthetic", action="store_true")
+    sp.add_argument("--fake-encoder", dest="fake_encoder", action="store_true")
+    sp.add_argument("--num_examples", type=int, default=5)
+    sp.set_defaults(fn=cmd_analyze)
+    return p
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO)
+    args = make_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

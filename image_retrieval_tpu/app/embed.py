@@ -1,0 +1,100 @@
+"""Embedding write path: batched encode -> sharded index insert.
+
+Replaces reference ImageEmbeddingSystem.py:18-215 (per-image CLIP forward at
+batch size 1 into a Milvus collection) with device-batched encoding over the
+mesh `data` axis and a ShardedVectorIndex insert. Storage schema is the same
+(unit vector + magnitude decomposition, ImageEmbeddingSystem.py:88-94), so
+`reconstruct_original_embeddings` round-trips identically.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from image_retrieval_tpu.config import Config
+from image_retrieval_tpu.index import ShardedVectorIndex
+from image_retrieval_tpu.models.encoder import Encoder
+
+logger = logging.getLogger(__name__)
+
+
+class ImageEmbeddingSystem:
+    """Generate and store image embeddings (reference write path)."""
+
+    def __init__(
+        self,
+        encoder: Encoder,
+        index: Optional[ShardedVectorIndex] = None,
+        config: Optional[Config] = None,
+    ):
+        self.encoder = encoder
+        self.config = config or Config()
+        self.index = index if index is not None else ShardedVectorIndex(
+            dim=encoder.dim, config=self.config.index
+        )
+
+    def generate_embedding(self, image_path) -> Tuple[np.ndarray, float]:
+        """(unit_embedding, magnitude) for one image
+        (reference ImageEmbeddingSystem.py:68-98)."""
+        emb = self.encoder.encode_images([str(image_path)])[0]
+        magnitude = float(np.linalg.norm(emb))
+        return emb / magnitude, magnitude
+
+    def process_and_store_images(
+        self, image_paths: Sequence, batch_size: Optional[int] = None
+    ) -> Tuple[int, int]:
+        """Batched encode + bulk insert; per-image failures are skipped
+        (reference ImageEmbeddingSystem.py:100-145 semantics, batched).
+
+        Returns (successful_count, failed_count)."""
+        if not image_paths:
+            logger.warning("No image paths provided for processing.")
+            return 0, 0
+        bs = batch_size or self.config.batch_size
+        ok_paths: List[str] = []
+        ok_embs: List[np.ndarray] = []
+        failed = 0
+        paths = [str(p) for p in image_paths]
+        for i in range(0, len(paths), bs):
+            chunk = paths[i : i + bs]
+            # decode failures are per-image; encode the decodable subset
+            good, pixels = [], []
+            from image_retrieval_tpu.models.preprocess import preprocess_host
+
+            for p in chunk:
+                try:
+                    pixels.append(preprocess_host(p))
+                    good.append(p)
+                except Exception as e:
+                    logger.warning(f"Skipping {p} due to error: {e}")
+                    failed += 1
+            if not good:
+                continue
+            embs = self.encoder.encode_pixels(np.stack(pixels))
+            ok_paths.extend(good)
+            ok_embs.extend(embs)
+        if ok_paths:
+            self.index.insert(ok_paths, np.stack(ok_embs))
+            self.index.flush()
+            logger.info(f"Inserted batch of {len(ok_paths)} images into index.")
+        return len(ok_paths), failed
+
+    def get_embeddings(self, limit: int = 1000):
+        """[(path, unit_embedding)] (reference ImageEmbeddingSystem.py:147-171)."""
+        return self.index.query(limit)
+
+    def get_embeddings_with_magnitude(self, limit: int = 1000):
+        """[(path, unit_embedding, magnitude)]
+        (reference ImageEmbeddingSystem.py:173-202)."""
+        return self.index.query(limit, with_magnitude=True)
+
+    def reconstruct_original_embeddings(self, embeddings=None, limit: int = 1000):
+        """[(path, unnormalized_embedding)]
+        (reference ImageEmbeddingSystem.py:204-215)."""
+        if embeddings is not None:
+            return [(p, e * m) for p, e, m in embeddings]
+        return self.index.reconstruct_original_embeddings(limit)

@@ -1,0 +1,348 @@
+"""Application facade (reference EnhancedImageSearchApp).
+
+Mirrors the public surface of reference app_pipeline.py:14-427 — embedding
+cache discovery, folder processing, text search, MI analyses — on top of the
+unified sharded index instead of the in-memory dict + O(N) Python loop
+(app_pipeline.py:17,155-172). Differences by design:
+
+  * the encoder is constructed once and reused — the reference reloads the
+    full CLIP checkpoint on every query (app_pipeline.py:181-183)
+  * scan_folders takes a directory argument instead of opening a Tkinter
+    dialog (app_pipeline.py:21-27); the CLI (app/cli.py) is the interactive
+    surface
+  * abs-score ranking (app_pipeline.py:167) is preserved behind
+    SearchConfig.rank_by_abs (default True for parity)
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from image_retrieval_tpu.config import Config
+from image_retrieval_tpu.index import ShardedVectorIndex
+from image_retrieval_tpu.models.encoder import Encoder, FakeEncoder
+from image_retrieval_tpu.ops import metrics as M
+
+logger = logging.getLogger(__name__)
+
+# Reference embedding-cache discovery list (app_pipeline.py:34-42).
+EMBEDDING_CACHE_PATHS = [
+    "color_embeddings.npz",
+    "color_analysis/color_embeddings.npz",
+    "../color_embeddings.npz",
+    "embeddings.npz",
+    "color_dataset/embeddings.npz",
+    "~/Desktop/color_embeddings.npz",
+    "~/Desktop/color_analysis/color_embeddings.npz",
+]
+
+
+class SimpleSearcher:
+    """Similarity-params holder (reference app_pipeline.py:375-390)."""
+
+    def __init__(self):
+        self.similarity_params = {
+            "w_angle": 1.0, "w_l1": 0.0, "w_l2": 0.0, "w_inf": 0.0, "w_mag": 0.0,
+        }
+
+    def set_similarity_params(self, params):
+        self.similarity_params.update(params)
+        logger.info(f"Updated similarity parameters: {self.similarity_params}")
+
+
+class ImageSearchApp:
+    """Self-contained search application over local image folders."""
+
+    def __init__(
+        self,
+        encoder: Optional[Encoder] = None,
+        config: Optional[Config] = None,
+    ):
+        self.config = config or Config()
+        self.encoder = encoder  # lazy: only constructed when needed
+        self.embeddings: Dict[str, np.ndarray] = {}
+        self.searcher = SimpleSearcher()
+        self._index: Optional[ShardedVectorIndex] = None
+        self._index_dirty = True
+
+    # -- encoder management (no per-query reloads) ---------------------------
+
+    def _get_encoder(self) -> Encoder:
+        if self.encoder is None:
+            try:
+                from image_retrieval_tpu.models.encoder import CLIPEncoder
+
+                self.encoder = CLIPEncoder(config=self.config)
+            except Exception as e:
+                logger.warning(f"CLIP encoder unavailable ({e}); using FakeEncoder")
+                self.encoder = FakeEncoder(dim=self.config.model.embed_dim)
+        return self.encoder
+
+    # -- ingestion -----------------------------------------------------------
+
+    def scan_folders(self, folder: str) -> List[Path]:
+        """*.jpg + *.png glob (reference app_pipeline.py:21-27, sans Tkinter)."""
+        p = Path(folder)
+        return sorted(p.glob("*.jpg")) + sorted(p.glob("*.png"))
+
+    def process_images(self, image_paths: Sequence) -> None:
+        """Load cached embeddings when available, else encode
+        (reference app_pipeline.py:29-90: exact-path then filename match)."""
+        logger.info(f"Processing {len(image_paths)} images...")
+        embeddings_file = None
+        for cand in EMBEDDING_CACHE_PATHS:
+            cand = os.path.expanduser(cand)
+            if os.path.exists(cand):
+                embeddings_file = cand
+                logger.info(f"Found embeddings file: {cand}")
+                break
+        if embeddings_file:
+            try:
+                data = np.load(embeddings_file, allow_pickle=True)
+                if isinstance(data, np.lib.npyio.NpzFile) and "embeddings" in data:
+                    stored = data["embeddings"].item()
+                    by_name = {Path(k).name: v for k, v in stored.items()}
+                    matched = 0
+                    for image_path in image_paths:
+                        s = str(image_path)
+                        if s in stored:
+                            self.embeddings[s] = stored[s]
+                            matched += 1
+                        elif Path(s).name in by_name:
+                            self.embeddings[s] = by_name[Path(s).name]
+                            matched += 1
+                    if matched > 0:
+                        logger.info(f"Matched {matched}/{len(image_paths)} images")
+                        self._index_dirty = True
+                        return
+                    logger.warning("No matching embeddings found for selected images")
+            except Exception as e:
+                logger.warning(f"Failed to load pre-computed embeddings: {e}")
+        logger.info("Generating new embeddings...")
+        self._generate_embeddings(image_paths)
+
+    def _generate_embeddings(self, image_paths: Sequence) -> None:
+        """Batched encode + npz cache save (reference app_pipeline.py:92-134)."""
+        enc = self._get_encoder()
+        paths = [str(p) for p in image_paths]
+        ok_paths, pixels = [], []
+        from image_retrieval_tpu.models.preprocess import preprocess_host
+
+        for p in paths:
+            try:
+                pixels.append(preprocess_host(p))
+                ok_paths.append(p)
+            except Exception as e:
+                logger.warning(f"Error processing {p}: {e}")
+        if ok_paths:
+            embs = enc.encode_pixels(np.stack(pixels))
+            for p, e in zip(ok_paths, embs):
+                self.embeddings[p] = e
+            self._index_dirty = True
+            try:
+                np.savez("new_embeddings.npz",
+                         embeddings=np.array(self.embeddings, dtype=object))
+                logger.info("Saved new embeddings to new_embeddings.npz")
+            except Exception as e:
+                logger.warning(f"Failed to save embeddings: {e}")
+        logger.info(f"Generated {len(self.embeddings)} embeddings")
+
+    def _ensure_index(self) -> Optional[ShardedVectorIndex]:
+        if not self.embeddings:
+            return None
+        if self._index is None or self._index_dirty:
+            dim = next(iter(self.embeddings.values())).shape[0]
+            self._index = ShardedVectorIndex(dim=dim, config=self.config.index)
+            paths = list(self.embeddings.keys())
+            self._index.insert(paths, np.stack([self.embeddings[p] for p in paths]))
+            self._index_dirty = False
+        return self._index
+
+    # -- search --------------------------------------------------------------
+
+    def _get_query_embedding(self, query: str) -> np.ndarray:
+        """Cached-encoder text embedding (vs per-query reload,
+        reference app_pipeline.py:174-191)."""
+        return self._get_encoder().encode_texts([query])[0]
+
+    def search_images(
+        self, query: str, top_k: int = 10, use_optimized_similarity: bool = False
+    ) -> List[dict]:
+        """Exact search over all processed images, ranked by abs(score)
+        (reference app_pipeline.py:143-172)."""
+        logger.info(f"Searching for: '{query}' (optimized: {use_optimized_similarity})")
+        index = self._ensure_index()
+        if index is None:
+            logger.warning("No embeddings available for search")
+            return []
+        q = self._get_query_embedding(query)
+        metric = "optimized_similarity" if use_optimized_similarity else "cosine_similarity"
+        scores = index.scores(
+            q, metric=metric,
+            params=self.searcher.similarity_params if use_optimized_similarity else None,
+        )
+        if self.config.search.rank_by_abs:
+            rank_scores = np.abs(scores)
+        else:
+            rank_scores = scores
+        order = np.argsort(-rank_scores, kind="stable")[:top_k]
+        return [
+            {"path": index.paths[int(i)], "score": float(rank_scores[i])}
+            for i in order
+        ]
+
+    def _calculate_optimized_similarity(self, query_emb, image_emb) -> float:
+        p = self.searcher.similarity_params
+        m = M.pair_metrics(
+            np.asarray(query_emb)[None], np.asarray(image_emb)[None],
+            metrics=("cosine_similarity", "l1_distance", "l2_distance",
+                     "linf_distance", "magnitude_difference"),
+        )
+        return float(M.optimized_similarity_from_metrics(
+            {k: np.asarray(v)[0] for k, v in m.items()}, p
+        ))
+
+    # -- MI analyses (reference app_pipeline.py:200-240) ----------------------
+
+    def run_mi_analysis(self, num_pairs: int = 1000, num_bins: int = 20):
+        if not self.embeddings:
+            logger.warning("No embeddings available for MI analysis")
+            return None, None
+        from image_retrieval_tpu.analysis.pair_mi import EnhancedPairMIAnalysis
+
+        embeddings_list = list(self.embeddings.items())
+        analyzer = EnhancedPairMIAnalysis(embeddings_list, num_pairs, num_bins)
+        analyzer.generate_pairs()
+        mi_results = analyzer.compute_mi_for_all_metrics()
+        default_mi = max(mi_results.values()) if mi_results else 0.0
+        return analyzer, {"default": default_mi}
+
+    def run_enhanced_mi_analysis(
+        self, num_pairs: int = 1000, num_bins: int = 20, keep_unnormalized: bool = True
+    ):
+        if not self.embeddings:
+            logger.warning("No embeddings available for enhanced MI analysis")
+            return None, None
+        from image_retrieval_tpu.analysis.pair_mi import EnhancedPairMIAnalysis
+
+        embeddings_list = list(self.embeddings.items())
+        max_pairs = min(num_pairs, 1000)  # reference cap (app_pipeline.py:230)
+        analyzer = EnhancedPairMIAnalysis(
+            embeddings_list, max_pairs, num_bins, keep_unnormalized
+        )
+        analyzer.generate_pairs()
+        mi_results = analyzer.compute_mi_for_all_metrics()
+        logger.info(f"MI analysis complete. Results: {mi_results}")
+        return analyzer, mi_results
+
+    def run_enhanced_mi_analysis_coco(
+        self, num_pairs: int = 1000, num_bins: int = 20, keep_unnormalized: bool = True
+    ):
+        """COCO-pair variant (the orphaned module-level function in the
+        reference, app_pipeline.py:403-427, attached properly here)."""
+        if not self.embeddings:
+            return None, None
+        from image_retrieval_tpu.analysis.pair_mi import EnhancedPairMIAnalysis
+
+        embeddings_list = list(self.embeddings.items())
+        n = len(embeddings_list)
+        max_pairs = min(num_pairs, n * (n - 1) // 2)
+        analyzer = EnhancedPairMIAnalysis(
+            embeddings_list, max_pairs, num_bins, keep_unnormalized
+        )
+        analyzer.generate_coco_pairs()
+        return analyzer, analyzer.compute_mi_for_all_metrics()
+
+    # -- visual placeholders (reference app_pipeline.py:242-276) --------------
+
+    def create_mi_visualization(self, filename: str) -> str:
+        return self._placeholder_plot(filename, "Standard MI Analysis")
+
+    def create_enhanced_mi_visualization(self, filename: str) -> str:
+        return self._placeholder_plot(filename, "Enhanced MI Analysis")
+
+    def _placeholder_plot(self, filename: str, title: str) -> str:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.figure(figsize=(8, 6))
+        if self.embeddings:
+            plt.text(0.5, 0.5,
+                     f"{title}\nEmbeddings loaded: {len(self.embeddings)}\n"
+                     "Run analysis to see results",
+                     ha="center", va="center", fontsize=12)
+        else:
+            plt.text(0.5, 0.5, f"{title}\nNo embeddings loaded",
+                     ha="center", va="center", fontsize=14)
+        plt.title(title)
+        plt.axis("off")
+        plt.savefig(filename, dpi=150, bbox_inches="tight")
+        plt.close()
+        return filename
+
+    # -- multi-metric search (reference app_pipeline.py:278-372) ---------------
+
+    def search_with_multiple_metrics(self, query: str, top_k: int = 5) -> dict:
+        if not self.embeddings:
+            return {"analysis": {"intersections": {}, "unique_contributions": {}}}
+        index = self._ensure_index()
+        q = self._get_query_embedding(query)
+        paths = index.paths
+        cos = index.scores(q, metric="cosine_similarity")
+        l1 = index.scores(q, metric="l1_distance")
+        l2 = index.scores(q, metric="l2_distance")
+
+        def top_entries(scores, key, negate):
+            order = np.argsort(-(-scores if negate else scores), kind="stable")[:top_k]
+            return [
+                {"path": paths[int(i)], key: float(scores[i]),
+                 "score": float(-scores[i] if negate else scores[i])}
+                for i in order
+            ]
+
+        results = {
+            "cosine_similarity": top_entries(cos, "cosine_similarity", negate=False),
+            "l1_distance": top_entries(l1, "l1_distance", negate=True),
+            "l2_distance": top_entries(l2, "l2_distance", negate=True),
+        }
+        cp = set(r["path"] for r in results["cosine_similarity"])
+        p1 = set(r["path"] for r in results["l1_distance"])
+        p2 = set(r["path"] for r in results["l2_distance"])
+        denom = top_k if top_k > 0 else 1
+        intersections = {
+            "cosine_vs_l1": {"intersection_size": len(cp & p1),
+                             "intersection_ratio": len(cp & p1) / denom},
+            "cosine_vs_l2": {"intersection_size": len(cp & p2),
+                             "intersection_ratio": len(cp & p2) / denom},
+            "l1_vs_l2": {"intersection_size": len(p1 & p2),
+                         "intersection_ratio": len(p1 & p2) / denom},
+        }
+        allp = cp | p1 | p2
+        na = len(allp) if allp else 1
+        unique_contributions = {
+            "cosine_similarity": {"unique_count": len(cp - p1 - p2),
+                                  "unique_ratio": len(cp - p1 - p2) / na},
+            "l1_distance": {"unique_count": len(p1 - cp - p2),
+                            "unique_ratio": len(p1 - cp - p2) / na},
+            "l2_distance": {"unique_count": len(p2 - cp - p1),
+                            "unique_ratio": len(p2 - cp - p1) / na},
+        }
+        results["analysis"] = {
+            "intersections": intersections,
+            "unique_contributions": unique_contributions,
+        }
+        return results
+
+
+def run_color_analysis(embeddings_file: str, dataset_dir: str, results_dir: str):
+    """Compatibility entry (reference app_pipeline.py:393-400)."""
+    from image_retrieval_tpu.analysis.color_mi import analyze_color_embeddings
+
+    return analyze_color_embeddings(embeddings_file, dataset_dir, results_dir)

@@ -1,0 +1,174 @@
+"""Headless end-to-end color-analysis workflow.
+
+Mirrors reference color_analysis_workflow.py:35-195 (same stages, same flag
+names, same artifact layout under --output_dir):
+
+  Step 1  dataset        -> <out>/color_dataset/{metadata.csv,pairs.json,...}
+  Step 2  embeddings     -> <out>/color_embeddings.npz    (batched, sharded)
+  Step 3  analysis       -> <out>/analysis_results/{results.json, *.png}
+  report  sorted color MI, non-zero optimal weights, % improvement
+
+Extensions: --synthetic builds the dataset without COCO (the reference
+crashes in that case), and --fake_encoder runs the pipeline without CLIP
+weights (deterministic, for CI and zero-egress environments).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def run_workflow(
+    coco_dir: Optional[str] = None,
+    annotation_file: Optional[str] = None,
+    output_dir: str = "color_analysis",
+    skip_dataset: bool = False,
+    skip_embeddings: bool = False,
+    synthetic: bool = False,
+    fake_encoder: bool = False,
+    num_examples: int = 5,
+    batch_size: int = 100,
+) -> Optional[dict]:
+    from image_retrieval_tpu.data.dataset import prepare_color_dataset
+    from image_retrieval_tpu.models.encoder import get_encoder
+
+    os.makedirs(output_dir, exist_ok=True)
+    dataset_dir = os.path.join(output_dir, "color_dataset")
+
+    # Step 1: dataset
+    if skip_dataset and os.path.exists(dataset_dir):
+        logger.info(f"Using existing dataset at {dataset_dir}")
+        import pandas as pd
+
+        metadata_path = os.path.join(dataset_dir, "metadata.csv")
+        if not os.path.exists(metadata_path):
+            logger.warning("Metadata file not found. Cannot proceed.")
+            return None
+        metadata = pd.read_csv(metadata_path).to_dict("records")
+    else:
+        logger.info("=== Step 1: Preparing Color Dataset ===")
+        pairs, metadata = prepare_color_dataset(
+            coco_dir=None if synthetic else coco_dir,
+            annotation_file=None if synthetic else annotation_file,
+            base_dir=dataset_dir,
+            num_examples=num_examples,
+        )
+        if not metadata:
+            logger.error("Failed to create dataset.")
+            return None
+        logger.info(f"Created color dataset with {len(metadata)} images")
+
+    # Step 2: embeddings (batched — replaces the reference's per-image loop,
+    # color_analysis_workflow.py:127-142)
+    embeddings_file = os.path.join(output_dir, "color_embeddings.npz")
+    if skip_embeddings and os.path.exists(embeddings_file):
+        logger.info(f"Using existing embeddings at {embeddings_file}")
+    else:
+        logger.info("=== Step 2: Generating Embeddings ===")
+        encoder = get_encoder(fake=fake_encoder)
+        all_paths = []
+        for item in metadata:
+            path = item["path"]
+            if not os.path.isabs(path) and not path.startswith(dataset_dir):
+                path = os.path.join(dataset_dir, path)
+            all_paths.append(path)
+        ok_paths, pixels = [], []
+        from image_retrieval_tpu.models.preprocess import preprocess_host
+
+        for p in all_paths:
+            try:
+                pixels.append(preprocess_host(p))
+                ok_paths.append(p)
+            except Exception as e:
+                logger.warning(f"Error processing image {p}: {e}")
+        embeddings = {}
+        for i in range(0, len(ok_paths), batch_size):
+            chunk_px = np.stack(pixels[i : i + batch_size])
+            embs = encoder.encode_pixels(chunk_px)
+            for p, e in zip(ok_paths[i : i + batch_size], embs):
+                embeddings[p] = e
+        np.savez(embeddings_file, embeddings=np.array(embeddings, dtype=object))
+        logger.info(f"Saved embeddings for {len(embeddings)} images to {embeddings_file}")
+
+    # Step 3: analysis
+    logger.info("=== Step 3: Running Geometric Information Theory Analysis ===")
+    results_dir = os.path.join(output_dir, "analysis_results")
+    from image_retrieval_tpu.app.pipeline import run_color_analysis
+
+    run_color_analysis(
+        embeddings_file=embeddings_file,
+        dataset_dir=dataset_dir,
+        results_dir=results_dir,
+    )
+
+    # Report (reference color_analysis_workflow.py:165-191)
+    results_json = os.path.join(results_dir, "results.json")
+    results = None
+    if os.path.exists(results_json):
+        with open(results_json) as f:
+            results = json.load(f)
+        color_mi = results.get("color_mi", {})
+        logger.info("\nColor-specific Mutual Information:")
+        for metric, mi in sorted(color_mi.items(), key=lambda x: x[1], reverse=True):
+            logger.info(f"  {metric}: {mi:.4f} bits")
+        logger.info("\nOptimal weights for similarity function:")
+        for param, weight in results.get("optimal_weights", {}).items():
+            if weight > 0.01:
+                logger.info(f"  {param}: {weight:.2f}")
+        if "cosine_distance" in color_mi:
+            cosine_mi = color_mi["cosine_distance"]
+            best_metric, best_mi = max(color_mi.items(), key=lambda x: x[1])
+            improvement = (
+                (best_mi - cosine_mi) / cosine_mi * 100 if cosine_mi > 0 else float("inf")
+            )
+            logger.info(f"\nBest metric: {best_metric} with {best_mi:.4f} bits")
+            logger.info(f"Improvement over cosine similarity: {improvement:.1f}%")
+    logger.info("=== Analysis Complete! ===")
+    return results
+
+
+def main(argv=None):
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+    )
+    parser = argparse.ArgumentParser(
+        description="Color-based analysis of CLIP embeddings (TPU-native)"
+    )
+    parser.add_argument("--coco_dir", help="Path to COCO dataset images")
+    parser.add_argument("--annotation_file", help="Path to COCO annotations")
+    parser.add_argument("--output_dir", default="color_analysis")
+    parser.add_argument("--skip_dataset", action="store_true")
+    parser.add_argument("--skip_embeddings", action="store_true")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="Build the dataset synthetically (no COCO needed)")
+    parser.add_argument("--fake_encoder", action="store_true",
+                        help="Use the deterministic fake encoder (no weights)")
+    parser.add_argument("--num_examples", type=int, default=5)
+    parser.add_argument("--batch_size", type=int, default=100)
+    args = parser.parse_args(argv)
+    if not args.synthetic and not (args.coco_dir and args.annotation_file):
+        parser.error("provide --coco_dir and --annotation_file, or --synthetic")
+    run_workflow(
+        coco_dir=args.coco_dir,
+        annotation_file=args.annotation_file,
+        output_dir=args.output_dir,
+        skip_dataset=args.skip_dataset,
+        skip_embeddings=args.skip_embeddings,
+        synthetic=args.synthetic,
+        fake_encoder=args.fake_encoder,
+        num_examples=args.num_examples,
+        batch_size=args.batch_size,
+    )
+
+
+if __name__ == "__main__":
+    main()

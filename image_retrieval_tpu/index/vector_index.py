@@ -215,6 +215,15 @@ class ShardedVectorIndex:
         )[:, : self.count]
         return s[0] if single else s
 
+    def get_vectors(self, indices: Sequence[int]) -> np.ndarray:
+        """Stored unit vectors for global indices (candidate fetch for
+        overfetch->rerank parity with reference image_search.py:94-101)."""
+        g = np.asarray(self._gallery)
+        return g[np.asarray(indices, int)]
+
+    def get_magnitudes(self, indices: Sequence[int]) -> np.ndarray:
+        return np.array([self._mags_host[int(i)] for i in indices], np.float32)
+
     # -- Milvus-style retrieval of stored data ------------------------------
 
     def query(self, limit: int = 1000, with_magnitude: bool = False):

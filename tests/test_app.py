@@ -1,0 +1,231 @@
+"""App layer: embed system, searcher, facade, CLI, end-to-end workflow."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from image_retrieval_tpu.app.embed import ImageEmbeddingSystem
+from image_retrieval_tpu.app.search import TextImageSearcher
+from image_retrieval_tpu.app.pipeline import ImageSearchApp, SimpleSearcher
+from image_retrieval_tpu.app.cli import interpret_mi_value, main as cli_main
+from image_retrieval_tpu.config import Config, IndexConfig
+from image_retrieval_tpu.index import ShardedVectorIndex
+from image_retrieval_tpu.models.encoder import FakeEncoder
+
+
+@pytest.fixture(scope="module")
+def image_folder(tmp_path_factory):
+    from image_retrieval_tpu.data.synthetic import synth_image
+
+    folder = tmp_path_factory.mktemp("images")
+    for ci in range(4):
+        for v, color in enumerate(("brown", "white", "black")):
+            synth_image(ci, color, v).save(folder / f"img_{ci}_{color}.jpg")
+    return str(folder)
+
+
+@pytest.fixture(scope="module")
+def loaded_system(image_folder):
+    enc = FakeEncoder(dim=512)
+    idx = ShardedVectorIndex(dim=512, config=IndexConfig(capacity_step=64))
+    sys_ = ImageEmbeddingSystem(enc, idx)
+    paths = sorted(
+        os.path.join(image_folder, f) for f in os.listdir(image_folder)
+    )
+    ok, failed = sys_.process_and_store_images(paths)
+    assert ok == 12 and failed == 0
+    return sys_, paths
+
+
+def test_embed_roundtrip(loaded_system):
+    sys_, paths = loaded_system
+    stored = sys_.get_embeddings_with_magnitude(limit=100)
+    assert len(stored) == 12
+    p, e, m = stored[0]
+    assert abs(np.linalg.norm(e) - 1.0) < 1e-5  # unit vectors stored
+    rec = sys_.reconstruct_original_embeddings(limit=100)
+    enc_direct = sys_.encoder.encode_images([p])[0]
+    np.testing.assert_allclose(rec[0][1], enc_direct, rtol=1e-4, atol=1e-4)
+
+
+def test_embed_skips_bad_files(tmp_path, loaded_system):
+    enc = FakeEncoder(dim=512)
+    sys_ = ImageEmbeddingSystem(enc, ShardedVectorIndex(dim=512, config=IndexConfig(capacity_step=64)))
+    bad = tmp_path / "not_an_image.jpg"
+    bad.write_text("junk")
+    from image_retrieval_tpu.data.synthetic import synth_image
+
+    good = tmp_path / "good.jpg"
+    synth_image(0, "brown", 0).save(good)
+    ok, failed = sys_.process_and_store_images([str(bad), str(good)])
+    assert ok == 1 and failed == 1
+
+
+def test_searcher_standard_and_optimized(loaded_system):
+    sys_, paths = loaded_system
+    searcher = TextImageSearcher(sys_.encoder, sys_.index)
+    res = searcher.search("brown dog", top_k=5, score_threshold=-10.0)
+    assert len(res) == 5
+    assert all(set(r.keys()) == {"path", "score"} for r in res)
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+    searcher.set_similarity_params(
+        {"w_angle": 1.0, "w_l1": 0.5, "w_l2": 0.5, "w_inf": 0.0, "w_mag": 0.1}
+    )
+    res_opt = searcher.search("brown dog", top_k=5, score_threshold=0.0,
+                              use_optimized_similarity=True)
+    assert len(res_opt) >= 1
+
+
+def test_searcher_threshold_filtering(loaded_system):
+    sys_, _ = loaded_system
+    searcher = TextImageSearcher(sys_.encoder, sys_.index)
+    res = searcher.search("query", top_k=12, score_threshold=1e9)
+    assert res == []  # nothing passes an absurd threshold
+
+
+def test_searcher_multi_metric_structure(loaded_system):
+    sys_, _ = loaded_system
+    searcher = TextImageSearcher(sys_.encoder, sys_.index)
+    out = searcher.search_with_multiple_metrics("white cat", top_k=3)
+    for key in ("cosine_similarity", "l1_distance", "l2_distance", "linf_distance",
+                "magnitude_difference", "optimized_similarity", "analysis"):
+        assert key in out
+    # distances ascend, similarities descend
+    l2 = [r["l2_distance"] for r in out["l2_distance"]]
+    assert l2 == sorted(l2)
+    cos = [r["cosine_similarity"] for r in out["cosine_similarity"]]
+    assert cos == sorted(cos, reverse=True)
+    ana = out["analysis"]
+    assert "intersections" in ana and "unique_contributions" in ana
+    some_key = next(iter(ana["intersections"]))
+    assert set(ana["intersections"][some_key].keys()) == {
+        "intersection_size", "intersection_ratio", "common_items"
+    }
+
+
+def test_compare_search_methods(loaded_system):
+    sys_, _ = loaded_system
+    searcher = TextImageSearcher(sys_.encoder, sys_.index)
+    cmp = searcher.compare_search_methods("black bird", top_k=3)
+    assert set(cmp.keys()) == {"standard_results", "optimized_results", "metrics"}
+    assert set(cmp["metrics"].keys()) == {
+        "intersection_size", "intersection_ratio",
+        "unique_to_standard", "unique_to_optimized",
+    }
+
+
+def test_app_facade_search(image_folder):
+    app = ImageSearchApp(encoder=FakeEncoder(dim=512))
+    paths = app.scan_folders(image_folder)
+    assert len(paths) == 12
+    app.process_images(paths)
+    assert len(app.embeddings) == 12
+    res = app.search_images("brown dog", top_k=5)
+    assert len(res) == 5
+    assert all(r["score"] >= 0 for r in res)  # abs ranking (reference parity)
+    # deterministic across repeated searches (no model reload jitter)
+    res2 = app.search_images("brown dog", top_k=5)
+    assert [r["path"] for r in res] == [r["path"] for r in res2]
+
+
+def test_app_abs_ranking_parity(image_folder):
+    """abs(score) ranking flips strong negatives above weak positives
+    (reference app_pipeline.py:167)."""
+    app = ImageSearchApp(encoder=FakeEncoder(dim=512))
+    app.embeddings = {
+        "neg.jpg": -np.ones(8, np.float32),
+        "weak.jpg": np.ones(8, np.float32) * 0.1 + np.arange(8, dtype=np.float32) * 0.01,
+    }
+    app._index_dirty = True
+    app._get_query_embedding = lambda q: np.ones(8, np.float32)
+    res = app.search_images("anything", top_k=2)
+    assert res[0]["path"] == "neg.jpg"  # |-1| > cos(weak)
+
+
+def test_app_mi_analyses(image_folder):
+    app = ImageSearchApp(encoder=FakeEncoder(dim=512))
+    app.process_images(app.scan_folders(image_folder))
+    analyzer, std = app.run_mi_analysis(num_pairs=40, num_bins=10)
+    assert std is not None and "default" in std
+    analyzer2, enhanced = app.run_enhanced_mi_analysis(num_pairs=40, num_bins=10)
+    assert set(enhanced.keys()) == {"angular", "l1", "l2", "linf", "magnitude_diff"}
+    analyzer3, coco = app.run_enhanced_mi_analysis_coco(num_pairs=42, num_bins=10)
+    assert set(coco.keys()) == {"angular", "l1", "l2", "linf", "magnitude_diff"}
+
+
+def test_app_multi_metric_search(image_folder):
+    app = ImageSearchApp(encoder=FakeEncoder(dim=512))
+    app.process_images(app.scan_folders(image_folder))
+    out = app.search_with_multiple_metrics("white horse", top_k=3)
+    assert set(out["analysis"]["intersections"].keys()) == {
+        "cosine_vs_l1", "cosine_vs_l2", "l1_vs_l2"
+    }
+
+
+def test_embedding_cache_discovery(tmp_path, image_folder, monkeypatch):
+    """npz cache with filename-based matching (reference app_pipeline.py:60-83)."""
+    monkeypatch.chdir(tmp_path)
+    enc = FakeEncoder(dim=512)
+    paths = sorted(
+        os.path.join(image_folder, f) for f in os.listdir(image_folder)
+    )
+    embs = {f"/other/prefix/{os.path.basename(p)}": enc.encode_images([p])[0] for p in paths}
+    np.savez("color_embeddings.npz", embeddings=np.array(embs, dtype=object))
+    app = ImageSearchApp(encoder=None)  # encoder must NOT be needed
+    app.process_images(paths)
+    assert len(app.embeddings) == 12
+    assert app.encoder is None  # loaded from cache without constructing encoder
+
+
+def test_cli_search_and_compare(image_folder, capsys):
+    rc = cli_main(["search", "--folder", image_folder, "--fake-encoder",
+                   "brown dog", "--top-k", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert len(out.strip().splitlines()) == 3
+    rc = cli_main(["compare", "--folder", image_folder, "--fake-encoder",
+                   "white cat", "--top-k", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "intersections" in out
+
+
+def test_cli_geometric_optimize(image_folder, capsys):
+    rc = cli_main(["geometric", "--folder", image_folder, "--fake-encoder",
+                   "--num-pairs", "30", "--num-bins", "10",
+                   "--optimize", "--grid-size", "2", "--apply"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Optimal parameters" in out
+
+
+def test_interpret_mi_value():
+    assert interpret_mi_value(0.0) == "no dependence detected"
+    assert "weak" in interpret_mi_value(0.03)
+    assert "strong" in interpret_mi_value(0.3)
+
+
+def test_workflow_end_to_end(tmp_path):
+    """The full reproducible pipeline: synthetic dataset -> embeddings ->
+    analysis -> results.json (reference config #2)."""
+    from image_retrieval_tpu.app.workflow import run_workflow
+
+    out_dir = str(tmp_path / "color_analysis")
+    results = run_workflow(
+        output_dir=out_dir, synthetic=True, fake_encoder=True, num_examples=2
+    )
+    assert results is not None
+    assert set(results.keys()) == {"general_mi", "color_mi", "optimal_weights"}
+    assert os.path.exists(os.path.join(out_dir, "color_dataset", "metadata.csv"))
+    assert os.path.exists(os.path.join(out_dir, "color_embeddings.npz"))
+    assert os.path.exists(os.path.join(out_dir, "analysis_results", "results.json"))
+    assert os.path.exists(os.path.join(out_dir, "analysis_results", "summary.png"))
+    # resumability: skip flags reuse artifacts
+    results2 = run_workflow(
+        output_dir=out_dir, synthetic=True, fake_encoder=True,
+        skip_dataset=True, skip_embeddings=True,
+    )
+    assert results2["general_mi"] == results["general_mi"]
