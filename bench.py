@@ -1,0 +1,144 @@
+"""Benchmark: exact top-10 retrieval over a 1M x 512 gallery + embed throughput.
+
+Headline metric (BASELINE.md): p50 exact top-10 cosine query latency over
+1M x 512-d vectors on one chip, target < 5 ms. The reference has no published
+perf numbers (its search path is an O(N) Python loop, app_pipeline.py:155-172,
+or a Milvus server round-trip); vs_baseline is target_ms / measured_ms, so
+values > 1.0 beat the 5 ms target.
+
+Methodology: each measurement runs a lax.scan over NQ distinct queries inside
+ONE dispatch and divides wall time by NQ — per-dispatch RPC overhead of the
+dev-environment TPU tunnel would otherwise swamp sub-ms kernels (and fully
+async dispatch under-reports). The gallery is always a jit *argument* so the
+2 GB buffer never becomes a compile-time constant.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "extra": {...}}
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    n = 1_000_000 if on_tpu else 65_536
+    d = 512
+    k = 10
+    nq = 64 if on_tpu else 8
+    extra = {"backend": backend, "gallery_n": n, "dim": d, "queries_per_scan": nq}
+
+    @jax.jit
+    def make_gallery(key):
+        g = jax.random.normal(key, (n, d), jnp.float32)
+        return g / jnp.linalg.norm(g, axis=1, keepdims=True)
+
+    gallery = make_gallery(jax.random.PRNGKey(0))
+    mags = jax.jit(
+        lambda key: jax.random.uniform(key, (n,), jnp.float32, 5.0, 15.0)
+    )(jax.random.PRNGKey(1))
+    queries = jnp.asarray(
+        np.random.default_rng(0).normal(size=(nq, 1, d)).astype(np.float32)
+    )
+    jax.block_until_ready((gallery, mags, queries))
+
+    def timed_scan(fn, args, repeats=5):
+        """fn scans over queries in one dispatch; returns per-query seconds."""
+        jax.block_until_ready(fn(*args))  # compile + warm
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            times.append((time.perf_counter() - t0) / nq)
+        return np.array(times)
+
+    # --- headline: exact cosine top-10, single query -------------------------
+    @jax.jit
+    def cosine_scan(g, qs):
+        def step(_, q):
+            qn = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+            scores = jnp.dot(qn, g.T, preferred_element_type=jnp.float32)
+            return None, jax.lax.top_k(scores, k)
+        _, out = jax.lax.scan(step, None, qs)
+        return out
+
+    t = timed_scan(cosine_scan, (gallery, queries))
+    p50_ms = float(np.percentile(t, 50) * 1e3)
+    extra["cosine_p50_ms"] = round(p50_ms, 4)
+    extra["cosine_best_ms"] = round(float(t.min() * 1e3), 4)
+    extra["hbm_gbps_at_p50"] = round(n * d * 4 / (p50_ms / 1e3) / 1e9, 1)
+
+    # --- fused multi-metric (optimized similarity) search --------------------
+    try:
+        from image_retrieval_tpu.ops.pallas_kernels import fused_optimized_scores
+
+        w = jnp.asarray(np.array([1.0, 1.0, 1.0, 0.0, 0.5], np.float32))
+
+        @jax.jit
+        def fused_scan(g, m, qs):
+            def step(_, q):
+                scores = fused_optimized_scores(q, g, m, w, block_n=1024)
+                return None, jax.lax.top_k(scores, k)
+            _, out = jax.lax.scan(step, None, qs)
+            return out
+
+        t2 = timed_scan(fused_scan, (gallery, mags, queries), repeats=3)
+        extra["fused_multimetric_p50_ms"] = round(float(np.percentile(t2, 50) * 1e3), 4)
+    except Exception as e:  # pragma: no cover
+        extra["fused_multimetric_error"] = str(e)[:200]
+
+    # --- embed throughput: CLIP ViT-B/32 image encode ------------------------
+    try:
+        from image_retrieval_tpu.config import ModelConfig
+        from image_retrieval_tpu.models.clip import CLIP, init_params
+
+        cfg = ModelConfig()
+        model, params = init_params(cfg, seed=0, dtype=jnp.bfloat16)
+        bs = 256 if on_tpu else 8
+        n_batches = 8 if on_tpu else 2
+
+        @jax.jit
+        def encode_scan(p, keys):
+            def step(_, key):
+                x = jax.random.normal(key, (bs, 224, 224, 3), jnp.bfloat16)
+                emb = model.apply(p, x, method=CLIP.encode_image)
+                return None, emb[:, 0]
+            _, out = jax.lax.scan(step, None, keys)
+            return out
+
+        keys = jax.random.split(jax.random.PRNGKey(7), n_batches)
+        jax.block_until_ready(encode_scan(params, keys))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(encode_scan(params, keys))
+            times.append((time.perf_counter() - t0) / n_batches)
+        img_per_s = bs / float(np.median(times))
+        extra["embed_img_per_s_per_chip"] = round(img_per_s, 1)
+        extra["embed_batch_size"] = bs
+    except Exception as e:  # pragma: no cover
+        extra["embed_error"] = str(e)[:200]
+
+    target_ms = 5.0
+    print(
+        json.dumps(
+            {
+                "metric": "p50_exact_top10_query_latency_1M" if on_tpu
+                else "p50_exact_top10_query_latency_65k_cpu",
+                "value": round(p50_ms, 4),
+                "unit": "ms",
+                "vs_baseline": round(target_ms / p50_ms, 3) if p50_ms > 0 else None,
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

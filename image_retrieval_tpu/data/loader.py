@@ -1,0 +1,137 @@
+"""Prefetching host->device ingest pipeline.
+
+The reference embeds images one at a time with a synchronous
+decode->forward per image (reference ImageEmbeddingSystem.py:120-129,
+color_analysis_workflow.py:127-142). At TPU throughput the bottleneck moves
+to host decode, so ingest is a pipeline:
+
+    decode workers (native C++ thread pool or PIL threads)
+        -> bounded batch queue (backpressure)
+        -> device transfer + encode (caller)
+
+Double buffering comes from the queue: while the TPU encodes batch i, the
+workers decode batch i+1.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _decode_chunk_native(paths: List[str], size: int, threads: int):
+    from image_retrieval_tpu.utils import native
+
+    batch, ok = native.decode_preprocess_batch(paths, size=size, threads=threads)
+    return batch, ok
+
+
+def _decode_chunk_pil(paths: List[str], size: int):
+    from image_retrieval_tpu.models.preprocess import preprocess_host
+
+    out = np.zeros((len(paths), size, size, 3), np.float32)
+    ok = np.zeros((len(paths),), bool)
+    for i, p in enumerate(paths):
+        try:
+            out[i] = preprocess_host(p, size)
+            ok[i] = True
+        except Exception as e:
+            logger.warning(f"decode failed for {p}: {e}")
+    return out, ok
+
+
+class ImageBatchLoader:
+    """Iterate (paths, pixels, ok_mask) batches with background decoding.
+
+    Args:
+        paths: image files to decode.
+        batch_size: images per emitted batch.
+        size: output H=W.
+        prefetch: max decoded batches buffered ahead (backpressure bound).
+        use_native: prefer the C++ decoder (falls back to PIL when absent).
+        threads: decode threads for the native path.
+    """
+
+    def __init__(
+        self,
+        paths: Sequence[str],
+        batch_size: int = 256,
+        size: int = 224,
+        prefetch: int = 2,
+        use_native: bool = True,
+        threads: int = 0,
+    ):
+        self.paths = [str(p) for p in paths]
+        self.batch_size = batch_size
+        self.size = size
+        self.prefetch = prefetch
+        self.threads = threads
+        if use_native:
+            try:
+                from image_retrieval_tpu.utils import native
+
+                use_native = native.available()
+            except Exception:
+                use_native = False
+        self.use_native = use_native
+
+    def __len__(self) -> int:
+        return -(-len(self.paths) // self.batch_size)
+
+    def __iter__(self) -> Iterator[Tuple[List[str], np.ndarray, np.ndarray]]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for i in range(0, len(self.paths), self.batch_size):
+                    if stop.is_set():
+                        return
+                    chunk = self.paths[i : i + self.batch_size]
+                    if self.use_native:
+                        batch, ok = _decode_chunk_native(chunk, self.size, self.threads)
+                    else:
+                        batch, ok = _decode_chunk_pil(chunk, self.size)
+                    q.put((chunk, batch, ok))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+
+
+def encode_folder(
+    encoder,
+    paths: Sequence[str],
+    batch_size: int = 256,
+    size: int = 224,
+    **loader_kw,
+) -> Tuple[List[str], np.ndarray]:
+    """High-throughput variant of ImageEmbeddingSystem ingest: overlapping
+    host decode with device encode. Returns (ok_paths, embeddings)."""
+    ok_paths: List[str] = []
+    embs: List[np.ndarray] = []
+    for chunk, batch, ok in ImageBatchLoader(paths, batch_size, size, **loader_kw):
+        if not ok.any():
+            continue
+        good = np.flatnonzero(ok)
+        out = encoder.encode_pixels(batch[good])
+        embs.append(out)
+        ok_paths.extend(chunk[int(i)] for i in good)
+    if embs:
+        return ok_paths, np.concatenate(embs, 0)
+    return ok_paths, np.zeros((0, encoder.dim), np.float32)

@@ -92,13 +92,17 @@ def fused_all_metrics(
     g = gallery_unit.astype(jnp.float32)
     n, d = g.shape
     nq = q.shape[0]
-    assert n % block_n == 0, (n, block_n)
+    pad = (-n) % block_n
+    if pad:
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+        magnitudes = jnp.pad(magnitudes, (0, pad))
+    npad = n + pad
     qn = jnp.linalg.norm(q, axis=1, keepdims=True)
-    mag2d = magnitudes.astype(jnp.float32).reshape(n, 1)
-    grid = (n // block_n,)
-    return pl.pallas_call(
+    mag2d = magnitudes.astype(jnp.float32).reshape(npad, 1)
+    grid = (npad // block_n,)
+    out = pl.pallas_call(
         _fused_kernel,
-        out_shape=jax.ShapeDtypeStruct((5, nq, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((5, nq, npad), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -111,6 +115,7 @@ def fused_all_metrics(
         ),
         interpret=_interpret(),
     )(q, qn, g, mag2d)
+    return out[:, :, :n]
 
 
 def _combo_kernel(q_ref, qn_ref, w_ref, g_ref, mag_ref, out_ref):
@@ -161,14 +166,18 @@ def fused_optimized_scores(
     g = gallery_unit.astype(jnp.float32)
     n, d = g.shape
     nq = q.shape[0]
-    assert n % block_n == 0, (n, block_n)
+    pad = (-n) % block_n
+    if pad:
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+        magnitudes = jnp.pad(magnitudes, (0, pad))
+    npad = n + pad
     qn = jnp.linalg.norm(q, axis=1, keepdims=True)
-    mag2d = magnitudes.astype(jnp.float32).reshape(n, 1)
+    mag2d = magnitudes.astype(jnp.float32).reshape(npad, 1)
     w = weights.astype(jnp.float32).reshape(1, 5)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _combo_kernel,
-        out_shape=jax.ShapeDtypeStruct((nq, n), jnp.float32),
-        grid=(n // block_n,),
+        out_shape=jax.ShapeDtypeStruct((nq, npad), jnp.float32),
+        grid=(npad // block_n,),
         in_specs=[
             pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nq, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -179,3 +188,4 @@ def fused_optimized_scores(
         out_specs=pl.BlockSpec((nq, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=_interpret(),
     )(q, qn, w, g, mag2d)
+    return out[:, :n]

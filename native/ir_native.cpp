@@ -1,0 +1,270 @@
+// ir_native — host-side native runtime for the TPU image-retrieval framework.
+//
+// The reference delegates all native work to third-party engines (PyTorch,
+// Milvus, OpenCV; SURVEY §2) and decodes/preprocesses one image at a time in
+// Python (reference ImageEmbeddingSystem.py:82-83, app_pipeline.py:111-112).
+// This library is the first-party native ingest path feeding the TPU encoder:
+//
+//   * JPEG decode via libjpeg (+ PNG via libpng), C++ thread pool
+//   * fused shortest-side resize -> center crop -> CLIP mean/std normalize
+//     producing NHWC float32 ready for the device transfer
+//   * a brute-force exact top-k (used as a host-side oracle / CPU fallback
+//     for the on-device index)
+//
+// C ABI only — bound from Python with ctypes (no pybind11 in this image).
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <functional>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
+#include <csetjmp>
+
+namespace {
+
+constexpr float kClipMean[3] = {0.48145466f, 0.4578275f, 0.40821073f};
+constexpr float kClipStd[3] = {0.26862954f, 0.26130258f, 0.27577711f};
+
+struct ImageU8 {
+  std::vector<uint8_t> data;  // HWC, RGB
+  int w = 0, h = 0;
+  bool ok = false;
+};
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+ImageU8 decode_jpeg(FILE* f) {
+  ImageU8 img;
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return img;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  img.w = cinfo.output_width;
+  img.h = cinfo.output_height;
+  img.data.resize(size_t(img.w) * img.h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = img.data.data() + size_t(cinfo.output_scanline) * img.w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  img.ok = true;
+  return img;
+}
+
+ImageU8 decode_png(FILE* f) {
+  ImageU8 img;
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return img;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return img;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return img;
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+  png_set_expand(png);           // palette/gray->rgb, bit depth expand
+  png_set_strip_16(png);
+  png_set_strip_alpha(png);
+  png_set_gray_to_rgb(png);
+  png_read_update_info(png, info);
+  img.w = png_get_image_width(png, info);
+  img.h = png_get_image_height(png, info);
+  img.data.resize(size_t(img.w) * img.h * 3);
+  std::vector<png_bytep> rows(img.h);
+  for (int y = 0; y < img.h; ++y)
+    rows[y] = img.data.data() + size_t(y) * img.w * 3;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  img.ok = true;
+  return img;
+}
+
+ImageU8 decode_file(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return {};
+  uint8_t magic[8] = {0};
+  size_t got = fread(magic, 1, 8, f);
+  rewind(f);
+  ImageU8 img;
+  if (got >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
+    img = decode_jpeg(f);
+  } else if (got >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
+    img = decode_png(f);
+  }
+  fclose(f);
+  return img;
+}
+
+// Shortest-side resize to `size` + center crop + normalize. Bilinear with
+// half-pixel centers (matches jax.image.resize / PIL bilinear closely; the
+// exact-bicubic parity path stays in Python).
+void resize_crop_normalize(const ImageU8& img, int size, float* out) {
+  const int w = img.w, h = img.h;
+  const float scale = float(std::min(w, h)) / size;
+  const int nw = int(std::lround(w / scale));
+  const int nh = int(std::lround(h / scale));
+  const int left = (nw - size) / 2;
+  const int top = (nh - size) / 2;
+  for (int oy = 0; oy < size; ++oy) {
+    const float sy = (oy + top + 0.5f) * h / nh - 0.5f;
+    const int y0 = std::clamp(int(std::floor(sy)), 0, h - 1);
+    const int y1 = std::min(y0 + 1, h - 1);
+    const float fy = std::clamp(sy - y0, 0.0f, 1.0f);
+    for (int ox = 0; ox < size; ++ox) {
+      const float sx = (ox + left + 0.5f) * w / nw - 0.5f;
+      const int x0 = std::clamp(int(std::floor(sx)), 0, w - 1);
+      const int x1 = std::min(x0 + 1, w - 1);
+      const float fx = std::clamp(sx - x0, 0.0f, 1.0f);
+      for (int c = 0; c < 3; ++c) {
+        const float v00 = img.data[(size_t(y0) * w + x0) * 3 + c];
+        const float v01 = img.data[(size_t(y0) * w + x1) * 3 + c];
+        const float v10 = img.data[(size_t(y1) * w + x0) * 3 + c];
+        const float v11 = img.data[(size_t(y1) * w + x1) * 3 + c];
+        const float v = v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx +
+                        v10 * fy * (1 - fx) + v11 * fy * fx;
+        out[(size_t(oy) * size + ox) * 3 + c] =
+            (v / 255.0f - kClipMean[c]) / kClipStd[c];
+      }
+    }
+  }
+}
+
+void run_pool(int n_items, int threads, const std::function<void(int)>& work) {
+  if (threads <= 1) {
+    for (int i = 0; i < n_items; ++i) work(i);
+    return;
+  }
+  std::atomic<int> next{0};
+  std::vector<std::thread> pool;
+  const int nt = std::min(threads, n_items);
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) {
+    pool.emplace_back([&]() {
+      for (int i = next.fetch_add(1); i < n_items; i = next.fetch_add(1)) work(i);
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode + preprocess a batch of images.
+//   paths:   n C strings
+//   size:    output H=W (e.g. 224)
+//   out:     n * size * size * 3 float32 (NHWC, CLIP-normalized)
+//   status:  n int32 (1 = ok, 0 = failed; failed slots are zero-filled)
+//   threads: worker threads (<=1 means inline)
+void ir_decode_preprocess_batch(const char** paths, int n, int size, float* out,
+                                int32_t* status, int threads) {
+  const size_t stride = size_t(size) * size * 3;
+  run_pool(n, threads, [&](int i) {
+    ImageU8 img = decode_file(paths[i]);
+    if (!img.ok || img.w <= 0 || img.h <= 0) {
+      std::memset(out + i * stride, 0, stride * sizeof(float));
+      status[i] = 0;
+      return;
+    }
+    resize_crop_normalize(img, size, out + i * stride);
+    status[i] = 1;
+  });
+}
+
+// Decode only (RGB uint8 at original size is impractical for batches of
+// mixed sizes; this emits a fixed-size bilinear thumbnail for the
+// dominant-color stage).
+void ir_decode_thumbnail_batch(const char** paths, int n, int size, uint8_t* out,
+                               int32_t* status, int threads) {
+  const size_t stride = size_t(size) * size * 3;
+  run_pool(n, threads, [&](int i) {
+    ImageU8 img = decode_file(paths[i]);
+    if (!img.ok) {
+      std::memset(out + i * stride, 0, stride);
+      status[i] = 0;
+      return;
+    }
+    // plain bilinear to size x size (no crop: color statistics want the
+    // whole frame, reference imageProcessing.py:85-99 uses all pixels)
+    for (int oy = 0; oy < size; ++oy) {
+      const float sy = (oy + 0.5f) * img.h / size - 0.5f;
+      const int y0 = std::clamp(int(std::floor(sy)), 0, img.h - 1);
+      const int y1 = std::min(y0 + 1, img.h - 1);
+      const float fy = std::clamp(sy - y0, 0.0f, 1.0f);
+      for (int ox = 0; ox < size; ++ox) {
+        const float sx = (ox + 0.5f) * img.w / size - 0.5f;
+        const int x0 = std::clamp(int(std::floor(sx)), 0, img.w - 1);
+        const int x1 = std::min(x0 + 1, img.w - 1);
+        const float fx = std::clamp(sx - x0, 0.0f, 1.0f);
+        for (int c = 0; c < 3; ++c) {
+          const float v00 = img.data[(size_t(y0) * img.w + x0) * 3 + c];
+          const float v01 = img.data[(size_t(y0) * img.w + x1) * 3 + c];
+          const float v10 = img.data[(size_t(y1) * img.w + x0) * 3 + c];
+          const float v11 = img.data[(size_t(y1) * img.w + x1) * 3 + c];
+          out[i * stride + (size_t(oy) * size + ox) * 3 + c] = uint8_t(
+              v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx +
+              v10 * fy * (1 - fx) + v11 * fy * fx + 0.5f);
+        }
+      }
+    }
+    status[i] = 1;
+  });
+}
+
+// Exact brute-force cosine top-k (host oracle / CPU fallback for the
+// on-device index). gallery is row-major (n, d) unit vectors.
+void ir_cosine_topk(const float* query, const float* gallery, int n, int d,
+                    int k, float* out_scores, int32_t* out_idx, int threads) {
+  float qn = 0.f;
+  for (int j = 0; j < d; ++j) qn += query[j] * query[j];
+  qn = std::sqrt(qn);
+  std::vector<float> scores(n);
+  run_pool(n, threads, [&](int i) {
+    const float* row = gallery + size_t(i) * d;
+    float dot = 0.f;
+    for (int j = 0; j < d; ++j) dot += row[j] * query[j];
+    scores[i] = qn > 0 ? dot / qn : 0.f;
+  });
+  std::vector<int> idx(n);
+  for (int i = 0; i < n; ++i) idx[i] = i;
+  const int kk = std::min(k, n);
+  std::partial_sort(idx.begin(), idx.begin() + kk, idx.end(), [&](int a, int b) {
+    if (scores[a] != scores[b]) return scores[a] > scores[b];
+    return a < b;  // stable lowest-index tie-break, matching the device index
+  });
+  for (int i = 0; i < kk; ++i) {
+    out_scores[i] = scores[idx[i]];
+    out_idx[i] = idx[i];
+  }
+}
+
+}  // extern "C"
