@@ -262,6 +262,35 @@ def create_summary_visualization(analyzer, output_path: Optional[str] = None):
     return fig
 
 
+def mi_bar_chart(
+    mi_values: Dict[str, float],
+    output_path: Optional[str] = None,
+    ci: Optional[Dict[str, tuple]] = None,
+    title: str = "Mutual Information by Metric",
+):
+    """MI bar chart with optional (honest, bootstrap) confidence intervals —
+    the reference GUI's create_mi_bar_chart (main.py:483-549) whose error
+    bars were fabricated (main.py:551-570)."""
+    fig = plt.figure(figsize=(10, 6))
+    metrics = sorted(mi_values, key=mi_values.get, reverse=True)
+    vals = [mi_values[m] for m in metrics]
+    yerr = None
+    if ci:
+        lows = [max(mi_values[m] - ci[m][0], 0) if m in ci else 0 for m in metrics]
+        highs = [max(ci[m][1] - mi_values[m], 0) if m in ci else 0 for m in metrics]
+        yerr = np.array([lows, highs])
+    plt.bar(range(len(metrics)), vals, yerr=yerr, capsize=4,
+            color=plt.cm.viridis(np.linspace(0, 1, len(metrics))))
+    plt.xticks(range(len(metrics)), [_title(m) for m in metrics], rotation=30)
+    plt.ylabel("Mutual Information (bits)")
+    plt.title(title)
+    plt.tight_layout()
+    if output_path:
+        plt.savefig(output_path, dpi=150)
+    plt.close(fig)
+    return fig
+
+
 def make_all(analyzer, output_dir: str) -> Dict[str, object]:
     """All run_full_analysis artifacts (reference mi_analysis.py:1207-1237)."""
     os.makedirs(output_dir, exist_ok=True)

@@ -117,6 +117,24 @@ def cmd_geometric(args) -> int:
     print("Per-metric MI (enhanced analysis):")
     for metric, mi in sorted(results.items(), key=lambda x: -x[1]):
         print(f"  {metric:16s} {mi:.4f} bits  ({interpret_mi_value(mi)})")
+    if args.plot:
+        from image_retrieval_tpu.analysis.plots import mi_bar_chart
+
+        ci = None
+        if args.ci:
+            numeric = np.array(
+                [analyzer.label_map.get(l, -1) for l in analyzer.labels]
+            )
+            ci = {}
+            for metric, vals in analyzer.distance_measures.items():
+                v = np.array(vals)
+                ci[metric] = mi_confidence_interval(
+                    v, numeric[: len(v)], n_bins=args.num_bins
+                )
+        mi_bar_chart(results, args.plot, ci=ci,
+                     title="Geometric MI Analysis (bootstrap 95% CI)" if ci
+                     else "Geometric MI Analysis")
+        print(f"Saved bar chart to {args.plot}")
     if args.optimize:
         grid = np.linspace(0, 1, args.grid_size)
         res = analyzer.find_optimal_parameters(
@@ -203,6 +221,9 @@ def make_parser() -> argparse.ArgumentParser:
     sp.add_argument("--grid-size", type=int, default=3)
     sp.add_argument("--apply", action="store_true",
                     help="Apply optimal weights to the searcher")
+    sp.add_argument("--plot", help="Write an MI bar chart PNG here")
+    sp.add_argument("--ci", action="store_true",
+                    help="Add bootstrap confidence intervals to the chart")
     sp.set_defaults(fn=cmd_geometric)
 
     sp = sub.add_parser("compare", help="Multi-metric search comparison")

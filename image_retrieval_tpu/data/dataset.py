@@ -274,6 +274,49 @@ class ColorDatasetManager:
         return pairs
 
 
+def visualize_dataset_examples(base_dir: str, output_path: Optional[str] = None):
+    """4x4 grid of example pairs per relationship type
+    (reference imageProcessing.py:442-505)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    pairs_path = Path(base_dir) / "pairs.json"
+    if not pairs_path.exists():
+        logger.error("Pairs file not found. Run create_dataset first.")
+        return None
+    with open(pairs_path) as f:
+        pairs = json.load(f)
+    fig, axes = plt.subplots(4, 4, figsize=(12, 12))
+    row_titles = [
+        "Same Object, Same Color",
+        "Same Object, Different Color",
+        "Different Object, Same Color",
+        "Different Object, Different Color",
+    ]
+    for i, rel_type in enumerate(list(pairs.keys())[:4]):
+        for j, (rel1, rel2) in enumerate(pairs[rel_type][:2]):
+            p1 = os.path.join(base_dir, rel1)
+            p2 = os.path.join(base_dir, rel2)
+            try:
+                img1 = Image.open(p1).convert("RGB")
+                img2 = Image.open(p2).convert("RGB")
+                axes[i, j * 2].imshow(img1)
+                axes[i, j * 2 + 1].imshow(img2)
+            except Exception as e:
+                logger.warning(f"could not load pair images: {e}")
+        for ax in axes[i]:
+            ax.axis("off")
+        axes[i, 0].set_title(row_titles[i], fontsize=10, loc="left")
+    plt.tight_layout()
+    if output_path:
+        plt.savefig(output_path, dpi=120)
+        logger.info(f"Dataset visualization saved to {output_path}")
+    plt.close(fig)
+    return fig
+
+
 def prepare_color_dataset(
     coco_dir: Optional[str] = None,
     annotation_file: Optional[str] = None,
@@ -295,5 +338,12 @@ def prepare_color_dataset(
     pairs = manager.generate_relationship_pairs()
     if pairs:
         manager.save_pairs(pairs)
+    if manager.metadata:
+        try:
+            visualize_dataset_examples(
+                base_dir, os.path.join(base_dir, "dataset_examples.png")
+            )
+        except Exception as e:
+            logger.warning(f"dataset visualization failed: {e}")
     logger.info(f"Dataset creation complete. Found {len(manager.metadata)} images.")
     return pairs, manager.metadata

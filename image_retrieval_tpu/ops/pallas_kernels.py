@@ -138,13 +138,16 @@ def _combo_kernel(q_ref, qn_ref, w_ref, g_ref, mag_ref, out_ref):
     safe_qn = jnp.where(qn > 0, qn, 1.0)
     cos = jnp.where(qn.T > 0, dots / safe_qn.T, 0.0)
     gu = g * mags
+    m1 = mags[:, 0]
     for i in range(nq):
-        diff = gu - q[i, :][None, :]
-        ad = jnp.abs(diff)
+        ad = jnp.abs(gu - q[i, :][None, :])
         l1 = jnp.sum(ad, axis=1) * inv_d
-        l2 = jnp.sqrt(jnp.sum(diff * diff, axis=1)) * inv_sqrt_d
         linf = jnp.max(ad, axis=1)
-        dmag = jnp.abs(mags[:, 0] - qn[i, 0])
+        # Gram-form L2: ||m*g - q||^2 = m^2 - 2m<g,q> + ||q||^2 (g is unit),
+        # reusing the MXU dots — saves a full elementwise reduction pass.
+        sq = jnp.maximum(m1 * m1 - 2.0 * m1 * dots[:, i] + qn[i, 0] * qn[i, 0], 0.0)
+        l2 = jnp.sqrt(sq) * inv_sqrt_d
+        dmag = jnp.abs(m1 - qn[i, 0])
         out_ref[i, :] = (
             w_angle * cos[:, i] - w_l1 * l1 - w_l2 * l2 - w_inf * linf - w_mag * dmag
         )

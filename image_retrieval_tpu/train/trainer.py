@@ -138,3 +138,25 @@ class CLIPTrainer:
                 break
             losses.append(self.train_step(pixels, tokens))
         return losses
+
+    # -- checkpoint / resume (orbax) ------------------------------------------
+    # The reference's only "checkpointing" is npz artifact caching
+    # (SURVEY §5); training state gets real checkpoints.
+
+    def save_checkpoint(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            path, {"params": self.params, "opt_state": self.opt_state}, force=True
+        )
+        ckptr.wait_until_finished()
+
+    def restore_checkpoint(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        target = {"params": self.params, "opt_state": self.opt_state}
+        restored = ckptr.restore(path, target)
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]

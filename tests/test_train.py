@@ -60,3 +60,23 @@ def test_dp_tp_losses_agree(rng):
         tr = CLIPTrainer(cfg=cfg, mesh=mesh, seed=0)
         losses[shape] = [tr.train_step(pixels, tokens) for _ in range(2)]
     np.testing.assert_allclose(losses[(8, 1)], losses[(2, 4)], rtol=1e-4, atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    import jax
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    cfg = tiny_model_config()
+    tr = CLIPTrainer(cfg=cfg, mesh=mesh, seed=0)
+    pixels = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    tokens = rng.integers(1, 100, size=(8, 16)).astype(np.int32)
+    tr.train_step(pixels, tokens)
+    ckpt = str(tmp_path / "ckpt")
+    tr.save_checkpoint(ckpt)
+    loss_before = tr.train_step(pixels, tokens)
+
+    tr2 = CLIPTrainer(cfg=cfg, mesh=mesh, seed=1)  # different init
+    tr2.restore_checkpoint(ckpt)
+    for a, b in zip(jax.tree.leaves(tr.params), jax.tree.leaves(tr2.params)):
+        pass  # params advanced one step past ckpt; compare via loss instead
+    loss_restored = tr2.train_step(pixels, tokens)
+    assert loss_restored == pytest.approx(loss_before, abs=1e-5)
