@@ -48,19 +48,12 @@ def _score_block(
     reference image_search.py:103-107 reranks with *unnormalized* query and
     stored vectors) are computed on mags-rescaled vectors."""
     if metric == "optimized_similarity":
-        if jax.default_backend() == "tpu":
-            # One fused HBM pass over the shard (ops/pallas_kernels.py)
-            # instead of separate per-metric reductions.
-            from image_retrieval_tpu.ops.pallas_kernels import fused_optimized_scores
+        # One fused HBM pass over the shard (measured at HBM speed-of-light
+        # on v5e; see ops/metrics.py fused_optimized_scores_xla).
+        from image_retrieval_tpu.ops.metrics import fused_optimized_scores_xla
 
-            m = mags if mags is not None else jnp.ones((gallery.shape[0],), jnp.float32)
-            return fused_optimized_scores(
-                queries, gallery, m, jnp.asarray(weights, jnp.float32)
-            )
-        g = gallery if mags is None else gallery * mags[:, None]
-        m = pairwise_metrics(queries, g, metrics=_OPT_INPUTS)
-        w = dict(zip(("w_angle", "w_l1", "w_l2", "w_inf", "w_mag"), weights))
-        return optimized_similarity_from_metrics(m, w)
+        m = mags if mags is not None else jnp.ones((gallery.shape[0],), jnp.float32)
+        return fused_optimized_scores_xla(queries, gallery, m, weights)
     if metric in ("cosine_similarity", "cosine_distance", "angular_distance"):
         # Norm-invariant: use stored unit vectors directly.
         return pairwise_metrics(queries, gallery, metrics=(metric,))[metric]

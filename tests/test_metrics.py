@@ -93,3 +93,16 @@ def test_exact_l2_close_to_gram_l2(rng):
     np.testing.assert_allclose(
         np.asarray(a["l2_distance"]), np.asarray(b["l2_distance"]), rtol=2e-3, atol=1e-4
     )
+
+
+def test_fused_xla_scorer_matches_reference(embeddings_512):
+    """fused_optimized_scores_xla vs the unfused optimized_similarity."""
+    q = embeddings_512[:3]
+    g = embeddings_512[3:35]
+    mags = np.linalg.norm(g, axis=1)
+    unit = g / mags[:, None]
+    weights = (1.0, 1.0, 1.0, 0.25, 0.5)
+    got = np.asarray(M.fused_optimized_scores_xla(q, unit, mags, weights))
+    params = dict(zip(("w_angle", "w_l1", "w_l2", "w_inf", "w_mag"), weights))
+    want = np.asarray(M.optimized_similarity(q, g, params))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
