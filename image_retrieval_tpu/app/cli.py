@@ -83,6 +83,39 @@ def _build_app(args):
     return app
 
 
+def save_results_grid(results, output_path: str, thumb: int = 180) -> str:
+    """Contact sheet of search hits — the terminal replacement for the GUI's
+    thumbnail panel (reference main.py:274-321)."""
+    from PIL import Image, ImageDraw
+
+    n = max(len(results), 1)
+    cols = min(5, n)
+    rows = -(-n // cols)
+    pad, caption = 8, 18
+    sheet = Image.new(
+        "RGB",
+        (cols * (thumb + pad) + pad, rows * (thumb + caption + pad) + pad),
+        (245, 245, 245),
+    )
+    draw = ImageDraw.Draw(sheet)
+    for i, r in enumerate(results):
+        x = pad + (i % cols) * (thumb + pad)
+        y = pad + (i // cols) * (thumb + caption + pad)
+        try:
+            im = Image.open(r["path"]).convert("RGB")
+            im.thumbnail((thumb, thumb))
+            sheet.paste(im, (x + (thumb - im.width) // 2, y + (thumb - im.height) // 2))
+        except Exception:
+            draw.rectangle([x, y, x + thumb, y + thumb], outline=(200, 60, 60))
+        import os as _os
+
+        draw.text((x, y + thumb + 2),
+                  f"{r['score']:.3f} {_os.path.basename(r['path'])[:24]}",
+                  fill=(30, 30, 30))
+    sheet.save(output_path)
+    return output_path
+
+
 def cmd_search(args) -> int:
     app = _build_app(args)
     results = app.search_images(
@@ -90,6 +123,9 @@ def cmd_search(args) -> int:
     )
     for i, r in enumerate(results, 1):
         print(f"{i:3d}. {r['score']:.4f}  {r['path']}")
+    if args.save_grid and results:
+        save_results_grid(results, args.save_grid)
+        print(f"Saved results grid to {args.save_grid}")
     return 0
 
 
@@ -204,6 +240,7 @@ def make_parser() -> argparse.ArgumentParser:
     sp.add_argument("--top-k", type=int, default=10)
     sp.add_argument("--optimized", action="store_true",
                     help="Rank with the weighted optimized similarity")
+    sp.add_argument("--save-grid", help="Write a thumbnail contact sheet PNG")
     sp.set_defaults(fn=cmd_search)
 
     sp = sub.add_parser("mi", help="Standard MI analysis")

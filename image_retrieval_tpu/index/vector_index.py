@@ -179,6 +179,26 @@ class ShardedVectorIndex:
             return vals[0], idx[0]
         return vals, idx
 
+    def multi_metric_topk(
+        self, queries: np.ndarray, top_k: int = 5
+    ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+        """Exact per-metric top-k for all five metrics in one gallery pass
+        (parallel/collectives.py sharded_multimetric_topk)."""
+        if self.count == 0:
+            raise ValueError("index is empty")
+        from image_retrieval_tpu.parallel.collectives import sharded_multimetric_topk
+
+        qdev, single = self._prep_queries(queries)
+        out = sharded_multimetric_topk(
+            qdev, self._gallery, self._valid, self._mags,
+            min(top_k, self.count), mesh=self.mesh, axis=self.axis,
+        )
+        result = {}
+        for name, (vals, idx) in out.items():
+            vals, idx = np.asarray(vals), np.asarray(idx)
+            result[name] = (vals[0], idx[0]) if single else (vals, idx)
+        return result
+
     def search_paths(
         self,
         queries: np.ndarray,

@@ -138,6 +138,85 @@ def sharded_search_topk(
     return fn(queries, gallery, valid, dummy)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "mesh", "axis"))
+def sharded_multimetric_topk(
+    queries: jnp.ndarray,
+    gallery: jnp.ndarray,
+    valid: jnp.ndarray,
+    mags: jnp.ndarray,
+    k: int,
+    *,
+    mesh: Mesh,
+    axis: str = "data",
+):
+    """Per-metric exact top-k for all five metrics in ONE gallery pass.
+
+    Returns {metric: (values (Q,k), indices (Q,k))} for cosine_similarity
+    (descending) and l1/l2/linf/magnitude distances (ascending) — the
+    single-sweep replacement for the reference's overfetch-then-sort-5-ways
+    (image_search.py:163-220), exact instead of candidate-limited."""
+    nshards = mesh.shape[axis]
+    nlocal = gallery.shape[0] // nshards
+    kk = min(k, nlocal)
+    metric_dirs = (
+        ("cosine_similarity", True),
+        ("l1_distance", False),
+        ("l2_distance", False),
+        ("linf_distance", False),
+        ("magnitude_difference", False),
+    )
+
+    def local(q, g, v, m):
+        shard_id = jax.lax.axis_index(axis)
+        d = g.shape[-1]
+        qn = jnp.linalg.norm(q, axis=-1, keepdims=True)
+        dots = jnp.dot(q, g.T, preferred_element_type=jnp.float32)
+        cos = jnp.where(qn > 0, dots / jnp.where(qn > 0, qn, 1.0), 0.0)
+        diff = g[None] * m[None, :, None] - q[:, None, :]
+        ad = jnp.abs(diff)
+        planes = {
+            "cosine_similarity": cos,
+            "l1_distance": jnp.sum(ad, axis=-1) / d,
+            "l2_distance": jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+            / jnp.sqrt(jnp.float32(d)),
+            "linf_distance": jnp.max(ad, axis=-1),
+            "magnitude_difference": jnp.abs(m[None, :] - qn),
+        }
+        outs = []
+        for name, descending in metric_dirs:
+            s = planes[name]
+            bad = jnp.float32(-jnp.inf if descending else jnp.inf)
+            s = jnp.where(v[None, :], s, bad)
+            vals, idx = exact_topk(s, kk, descending=descending)
+            gidx = idx + shard_id * nlocal
+            all_vals = jax.lax.all_gather(vals, axis, axis=-1, tiled=True)
+            all_idx = jax.lax.all_gather(gidx, axis, axis=-1, tiled=True)
+            ss = all_vals if descending else -all_vals
+            order_idx = jnp.argsort(all_idx, axis=-1, stable=True)
+            s2 = jnp.take_along_axis(ss, order_idx, axis=-1)
+            order = jnp.take_along_axis(
+                order_idx, jnp.argsort(-s2, axis=-1, stable=True), axis=-1
+            )
+            top = order[..., : min(k, nshards * kk)]
+            outs.append(
+                (
+                    jnp.take_along_axis(all_vals, top, axis=-1),
+                    jnp.take_along_axis(all_idx, top, axis=-1),
+                )
+            )
+        return tuple(outs)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis), P(axis)),
+        out_specs=tuple((P(), P()) for _ in metric_dirs),
+        check_vma=False,
+    )
+    outs = fn(queries, gallery, valid, mags)
+    return {name: out for (name, _), out in zip(metric_dirs, outs)}
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "weights", "mesh", "axis"))
 def sharded_scores(
     queries: jnp.ndarray,

@@ -229,3 +229,19 @@ def test_workflow_end_to_end(tmp_path):
         skip_dataset=True, skip_embeddings=True,
     )
     assert results2["general_mi"] == results["general_mi"]
+
+
+def test_cli_search_save_grid(image_folder, tmp_path, capsys):
+    grid = str(tmp_path / "grid.png")
+    rc = cli_main(["search", "--folder", image_folder, "--fake-encoder",
+                   "brown dog", "--top-k", "4", "--save-grid", grid])
+    assert rc == 0
+    assert os.path.exists(grid)
+
+
+def test_cli_geometric_plot(image_folder, tmp_path):
+    plot = str(tmp_path / "mi.png")
+    rc = cli_main(["geometric", "--folder", image_folder, "--fake-encoder",
+                   "--num-pairs", "30", "--num-bins", "10", "--plot", plot])
+    assert rc == 0
+    assert os.path.exists(plot)

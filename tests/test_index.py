@@ -122,3 +122,29 @@ def test_scores_full_matrix(mesh, rng):
     s = idx.scores(q)
     ref = np_cosine(q.astype(np.float64), emb.astype(np.float64))
     np.testing.assert_allclose(s, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_multi_metric_topk_one_pass(mesh, rng):
+    idx, emb, paths = make_index(mesh, rng, n=300)
+    q = rng.normal(size=(64,)).astype(np.float32)
+    out = idx.multi_metric_topk(q, top_k=7)
+    assert set(out.keys()) == {
+        "cosine_similarity", "l1_distance", "l2_distance",
+        "linf_distance", "magnitude_difference",
+    }
+    e = emb.astype(np.float64)
+    qq = q.astype(np.float64)
+    refs = {
+        "cosine_similarity": (np_cosine(qq[None], e)[0], True),
+        "l1_distance": (np.abs(e - qq).sum(-1) / 64, False),
+        "l2_distance": (np.sqrt(((e - qq) ** 2).sum(-1)) / np.sqrt(64), False),
+        "linf_distance": (np.abs(e - qq).max(-1), False),
+        "magnitude_difference": (
+            np.abs(np.linalg.norm(e, axis=-1) - np.linalg.norm(qq)), False),
+    }
+    for name, (ref, descending) in refs.items():
+        vals, ids = out[name]
+        order = np.argsort(-ref if descending else ref, kind="stable")[:7]
+        np.testing.assert_array_equal(ids, order, err_msg=name)
+        np.testing.assert_allclose(vals, ref[order], rtol=1e-3, atol=1e-4,
+                                   err_msg=name)
