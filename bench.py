@@ -109,14 +109,14 @@ def main():
 
     # --- fused multi-metric (optimized similarity) search --------------------
     try:
-        from image_retrieval_tpu.ops.pallas_kernels import fused_optimized_scores
+        from image_retrieval_tpu.ops.metrics import fused_optimized_scores_xla
 
-        w = jnp.asarray(np.array([1.0, 1.0, 1.0, 0.0, 0.5], np.float32))
+        weights = (1.0, 1.0, 1.0, 0.0, 0.5)
 
         @jax.jit
         def fused_scan(g, m, qs):
             def step(_, q):
-                scores = fused_optimized_scores(q, g, m, w, block_n=1024)
+                scores = fused_optimized_scores_xla(q, g, m, weights)
                 return None, jax.lax.top_k(scores, k)
             _, out = jax.lax.scan(step, None, qs)
             return out

@@ -78,8 +78,11 @@ class ImageEmbeddingSystem:
             ok_paths.extend(good)
             ok_embs.extend(embs)
         if ok_paths:
-            self.index.insert(ok_paths, np.stack(ok_embs))
-            self.index.flush()
+            from image_retrieval_tpu.utils.profiling import trace
+
+            with trace("embed/index_insert"):
+                self.index.insert(ok_paths, np.stack(ok_embs))
+                self.index.flush()
             logger.info(f"Inserted batch of {len(ok_paths)} images into index.")
         return len(ok_paths), failed
 

@@ -93,7 +93,10 @@ class TextImageSearcher:
         """Candidate overfetch -> optional optimized rerank -> threshold ->
         dedup -> top_k (reference image_search.py:66-142)."""
         logger.info(f"Searching for: {text_query} (optimized: {use_optimized_similarity})")
-        text_embedding = self.generate_text_embedding(text_query)
+        from image_retrieval_tpu.utils.profiling import trace
+
+        with trace("search/encode_text"):
+            text_embedding = self.generate_text_embedding(text_query)
         self.index.load()
         try:
             cos_scores, idx = self._candidates(text_embedding, top_k * 3)
