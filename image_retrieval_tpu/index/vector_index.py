@@ -62,6 +62,12 @@ class ShardedVectorIndex:
 
     # -- storage ------------------------------------------------------------
 
+    @property
+    def _np_dtype(self):
+        import ml_dtypes
+
+        return ml_dtypes.bfloat16 if self.config.dtype == "bfloat16" else np.float32
+
     def _grow_to(self, n: int) -> None:
         step = max(self.config.capacity_step, self._nshards)
         cap = -(-n // step) * step
@@ -69,7 +75,10 @@ class ShardedVectorIndex:
         cap = -(-cap // self._nshards) * self._nshards
         if cap <= self.capacity:
             return
-        g = np.zeros((cap, self.dim), np.float32)
+        # Gallery storage dtype is configurable: bfloat16 halves HBM traffic
+        # on the bandwidth-bound search sweep (~2x faster) at ~0.4% relative
+        # score error; float32 (default) preserves oracle ranking parity.
+        g = np.zeros((cap, self.dim), self._np_dtype)
         m = np.zeros((cap,), np.float32)
         v = np.zeros((cap,), bool)
         if self.count:
@@ -107,7 +116,7 @@ class ShardedVectorIndex:
         g = np.array(self._gallery)
         m = np.array(self._mags)
         v = np.array(self._valid)
-        g[start : start + n_new] = unit
+        g[start : start + n_new] = unit.astype(self._np_dtype)
         m[start : start + n_new] = mags
         v[start : start + n_new] = True
         self._gallery = shard_rows(g, self.mesh, self.axis)
@@ -239,7 +248,7 @@ class ShardedVectorIndex:
         """Stored unit vectors for global indices (candidate fetch for
         overfetch->rerank parity with reference image_search.py:94-101)."""
         g = np.asarray(self._gallery)
-        return g[np.asarray(indices, int)]
+        return g[np.asarray(indices, int)].astype(np.float32)
 
     def get_magnitudes(self, indices: Sequence[int]) -> np.ndarray:
         return np.array([self._mags_host[int(i)] for i in indices], np.float32)
@@ -250,7 +259,7 @@ class ShardedVectorIndex:
         """Return stored (path, unit_embedding[, magnitude]) tuples
         (reference ImageEmbeddingSystem.py:147-202)."""
         n = min(limit, self.count)
-        g = np.asarray(self._gallery)[:n]
+        g = np.asarray(self._gallery)[:n].astype(np.float32)
         if with_magnitude:
             return [
                 (self.paths[i], g[i], self._mags_host[i]) for i in range(n)
@@ -269,7 +278,8 @@ class ShardedVectorIndex:
         """Persist as npz + json sidecar (replaces Milvus server-side
         persistence, docker-compose.yml:11-12)."""
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        g = np.asarray(self._gallery)[: self.count] if self.count else np.zeros((0, self.dim), np.float32)
+        g = (np.asarray(self._gallery)[: self.count].astype(np.float32)
+             if self.count else np.zeros((0, self.dim), np.float32))
         m = np.array(self._mags_host, np.float32)
         np.savez(path, embeddings=g, magnitudes=m)
         with open(path + ".paths.json", "w") as f:

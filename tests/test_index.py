@@ -148,3 +148,22 @@ def test_multi_metric_topk_one_pass(mesh, rng):
         np.testing.assert_array_equal(ids, order, err_msg=name)
         np.testing.assert_allclose(vals, ref[order], rtol=1e-3, atol=1e-4,
                                    err_msg=name)
+
+
+def test_bf16_gallery_mode(mesh, rng):
+    """bfloat16 storage: half the HBM traffic, near-identical rankings."""
+    emb = rng.normal(size=(200, 64)).astype(np.float32)
+    paths = [f"i{i}" for i in range(200)]
+    f32 = ShardedVectorIndex(dim=64, mesh=mesh, config=IndexConfig(capacity_step=64))
+    bf16 = ShardedVectorIndex(
+        dim=64, mesh=mesh, config=IndexConfig(capacity_step=64, dtype="bfloat16")
+    )
+    f32.insert(paths, emb)
+    bf16.insert(paths, emb)
+    q = rng.normal(size=(64,)).astype(np.float32)
+    v32, i32 = f32.search(q, top_k=5)
+    v16, i16 = bf16.search(q, top_k=5)
+    # top-1 agrees on well-separated random data; scores within bf16 epsilon
+    assert i16[0] == i32[0]
+    np.testing.assert_allclose(v16, v32, rtol=2e-2, atol=2e-2)
+    assert set(i16.tolist()) & set(i32.tolist())  # heavy overlap expected
