@@ -245,3 +245,12 @@ def test_cli_geometric_plot(image_folder, tmp_path):
                    "--num-pairs", "30", "--num-bins", "10", "--plot", plot])
     assert rc == 0
     assert os.path.exists(plot)
+
+
+def test_search_batch(loaded_system):
+    sys_, _ = loaded_system
+    searcher = TextImageSearcher(sys_.encoder, sys_.index)
+    out = searcher.search_batch(["brown dog", "white cat", "black boat"], top_k=4)
+    assert len(out) == 3 and all(len(r) == 4 for r in out)
+    single = searcher.search("brown dog", top_k=4, score_threshold=-1e9)
+    assert [r["path"] for r in out[0]] == [r["path"] for r in single]
