@@ -79,9 +79,9 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x)
         x = x + Attention(self.width, self.heads, self.dtype, name="attn")(h, mask)
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x)
         return x + MLP(self.width, self.dtype, name="mlp")(h)
 
 
@@ -113,10 +113,10 @@ class CLIPVisionTower(nn.Module):
             "position_embedding", nn.initializers.normal(0.02), (n + 1, c.vision_width)
         )
         x = x + pos.astype(self.dtype)[None]
-        x = nn.LayerNorm(dtype=jnp.float32, name="pre_ln")(x).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="pre_ln")(x).astype(self.dtype)
         for i in range(c.vision_layers):
             x = Block(c.vision_width, c.vision_heads, self.dtype, name=f"block_{i}")(x)
-        pooled = nn.LayerNorm(dtype=jnp.float32, name="post_ln")(x[:, 0])
+        pooled = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="post_ln")(x[:, 0])
         proj = self.param(
             "proj", nn.initializers.normal(0.02), (c.vision_width, c.embed_dim)
         )
@@ -148,7 +148,7 @@ class CLIPTextTower(nn.Module):
         mask = jnp.triu(jnp.full((t, t), -jnp.inf, jnp.float32), k=1)[None, None]
         for i in range(c.text_layers):
             x = Block(c.text_width, c.text_heads, self.dtype, name=f"block_{i}")(x, mask)
-        x = nn.LayerNorm(dtype=jnp.float32, name="final_ln")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_ln")(x)
         eot = jnp.argmax(token_ids, axis=-1)
         pooled = x[jnp.arange(b), eot]
         proj = self.param(

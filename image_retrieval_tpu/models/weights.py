@@ -58,7 +58,15 @@ def _block(sd, prefix):
 
 def load_hf_clip_params(path: str, cfg: ModelConfig):
     """Return a Flax param dict for models.clip.CLIP from an HF checkpoint."""
-    sd = _load_state_dict(path)
+    return params_from_state_dict(_load_state_dict(path), cfg)
+
+
+def params_from_state_dict(sd: Dict[str, "np.ndarray"], cfg: ModelConfig):
+    """Map an HF CLIPModel state dict (already as numpy) to Flax params.
+
+    Tested against a randomly-initialized transformers CLIPModel by forward
+    parity (tests/test_weights_port.py) — the zero-egress environment has no
+    pretrained checkpoint, but the mapping is checkpoint-independent."""
     sd = {k.removeprefix("clip."): v for k, v in sd.items()}
 
     vision = {
