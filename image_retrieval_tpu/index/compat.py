@@ -1,0 +1,148 @@
+"""pymilvus-style compatibility layer over ShardedVectorIndex.
+
+Lets code written against the reference's Milvus usage
+(reference ImageEmbeddingSystem.py:35-66,136-137,158-171 and
+image_search.py:85-95) run unchanged against the on-device index:
+
+    collection = Collection("image_embeddings")
+    collection.insert([paths, embeddings, magnitudes])
+    collection.flush(); collection.load()
+    results = collection.search(data=[q], anns_field="embedding",
+                                param={"metric_type": "COSINE", ...},
+                                limit=k, output_fields=["image_path", "embedding"])
+    for hits in results:
+        for hit in hits:
+            hit.score, hit.entity.get("image_path"), hit.entity.get("embedding")
+    collection.query(expr="id >= 0", output_fields=[...], limit=n)
+    collection.release()
+
+Supported metric_type values: COSINE (descending, default), L2 (ascending,
+over magnitude-reconstructed vectors). `nprobe` is accepted and ignored —
+search is exact, recall is 1.0 by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from image_retrieval_tpu.index.vector_index import ShardedVectorIndex
+
+_REGISTRY: Dict[str, "Collection"] = {}
+
+
+class _Entity:
+    def __init__(self, fields: dict):
+        self._fields = fields
+
+    def get(self, name: str):
+        return self._fields.get(name)
+
+
+class _Hit:
+    def __init__(self, score: float, entity: dict, pk: int):
+        self.score = score
+        self.distance = score
+        self.id = pk
+        self.entity = _Entity(entity)
+
+
+class Collection:
+    """Named collection facade (process-local registry mirrors Milvus's
+    server-side collection namespace)."""
+
+    def __init__(self, name: str, dim: int = 512, index: Optional[ShardedVectorIndex] = None):
+        self.name = name
+        if name in _REGISTRY and index is None:
+            self._impl = _REGISTRY[name]._impl
+        else:
+            self._impl = index if index is not None else ShardedVectorIndex(dim=dim)
+        _REGISTRY[name] = self
+
+    # -- schema/lifecycle no-ops kept for API parity -------------------------
+
+    def create_index(self, field_name: str = "embedding", index_params: Optional[dict] = None):
+        return None  # exact search needs no ANN index build
+
+    def load(self):
+        self._impl.load()
+
+    def release(self):
+        self._impl.release()
+
+    def flush(self):
+        self._impl.flush()
+
+    @property
+    def num_entities(self) -> int:
+        return len(self._impl)
+
+    # -- data ----------------------------------------------------------------
+
+    def insert(self, data: Sequence):
+        """[paths, embeddings, magnitudes] column layout
+        (reference ImageEmbeddingSystem.py:136)."""
+        paths, embeddings = data[0], np.asarray(data[1], np.float32)
+        magnitudes = data[2] if len(data) > 2 else None
+        return self._impl.insert(paths, embeddings, magnitudes)
+
+    def search(
+        self,
+        data: Sequence[np.ndarray],
+        anns_field: str = "embedding",
+        param: Optional[dict] = None,
+        limit: int = 10,
+        output_fields: Optional[List[str]] = None,
+        **_,
+    ) -> List[List[_Hit]]:
+        param = param or {}
+        metric_type = (param.get("metric_type") or "COSINE").upper()
+        metric = "cosine_similarity" if metric_type == "COSINE" else "l2_distance"
+        output_fields = output_fields or ["image_path"]
+        results = []
+        for q in data:
+            vals, idx = self._impl.search(np.asarray(q, np.float32), top_k=limit,
+                                          metric=metric)
+            hits = []
+            for v, i in zip(np.atleast_1d(vals), np.atleast_1d(idx)):
+                entity = {}
+                if "image_path" in output_fields:
+                    entity["image_path"] = self._impl.paths[int(i)]
+                if "embedding" in output_fields:
+                    entity["embedding"] = self._impl.get_vectors([int(i)])[0]
+                if "magnitude" in output_fields:
+                    entity["magnitude"] = float(self._impl.get_magnitudes([int(i)])[0])
+                hits.append(_Hit(float(v), entity, int(i)))
+            results.append(hits)
+        return results
+
+    def query(
+        self,
+        expr: str = "id >= 0",
+        output_fields: Optional[List[str]] = None,
+        limit: int = 1000,
+        **_,
+    ) -> List[dict]:
+        output_fields = output_fields or ["image_path", "embedding"]
+        rows = self._impl.query(limit, with_magnitude=True)
+        out = []
+        for i, (path, emb, mag) in enumerate(rows):
+            row = {"id": i}
+            if "image_path" in output_fields:
+                row["image_path"] = path
+            if "embedding" in output_fields:
+                row["embedding"] = emb
+            if "magnitude" in output_fields:
+                row["magnitude"] = mag
+            out.append(row)
+        return out
+
+
+def has_collection(name: str) -> bool:
+    """utility.has_collection equivalent."""
+    return name in _REGISTRY
+
+
+def drop_collection(name: str) -> None:
+    _REGISTRY.pop(name, None)
