@@ -56,9 +56,16 @@ class ShardedVectorIndex:
         self._mags_host: List[float] = []
         self.count = 0
         self.capacity = 0
-        self._gallery = None  # (capacity, D) sharded
-        self._mags = None  # (capacity,) sharded
-        self._valid = None  # (capacity,) bool sharded
+        # Host staging buffers are the source of truth; device copies are
+        # materialized lazily on first search after a mutation, so N inserts
+        # cost one device_put instead of N round-trips.
+        self._host_gallery = None  # (capacity, D) numpy
+        self._host_mags = None  # (capacity,) numpy
+        self._host_valid = None  # (capacity,) numpy bool
+        self._gallery = None  # (capacity, D) sharded jax
+        self._mags = None  # (capacity,) sharded jax
+        self._valid = None  # (capacity,) bool sharded jax
+        self._device_dirty = True
 
     # -- storage ------------------------------------------------------------
 
@@ -82,13 +89,12 @@ class ShardedVectorIndex:
         m = np.zeros((cap,), np.float32)
         v = np.zeros((cap,), bool)
         if self.count:
-            g[: self.count] = np.asarray(self._gallery)[: self.count]
-            m[: self.count] = np.asarray(self._mags)[: self.count]
+            g[: self.count] = self._host_gallery[: self.count]
+            m[: self.count] = self._host_mags[: self.count]
             v[: self.count] = True
         self.capacity = cap
-        self._gallery = shard_rows(g, self.mesh, self.axis)
-        self._mags = shard_rows(m, self.mesh, self.axis)
-        self._valid = shard_rows(v, self.mesh, self.axis)
+        self._host_gallery, self._host_mags, self._host_valid = g, m, v
+        self._device_dirty = True
 
     def insert(
         self,
@@ -113,23 +119,26 @@ class ShardedVectorIndex:
         n_new = emb.shape[0]
         start = self.count
         self._grow_to(start + n_new)
-        g = np.array(self._gallery)
-        m = np.array(self._mags)
-        v = np.array(self._valid)
-        g[start : start + n_new] = unit.astype(self._np_dtype)
-        m[start : start + n_new] = mags
-        v[start : start + n_new] = True
-        self._gallery = shard_rows(g, self.mesh, self.axis)
-        self._mags = shard_rows(m, self.mesh, self.axis)
-        self._valid = shard_rows(v, self.mesh, self.axis)
+        self._host_gallery[start : start + n_new] = unit.astype(self._np_dtype)
+        self._host_mags[start : start + n_new] = mags
+        self._host_valid[start : start + n_new] = True
+        self._device_dirty = True
         self.paths.extend(str(p) for p in paths)
         self._mags_host.extend(float(x) for x in mags)
         self.count += n_new
         return n_new
 
-    # Milvus lifecycle no-ops kept for API parity (image_search.py:85,141).
+    def _sync_device(self) -> None:
+        if self._device_dirty and self._host_gallery is not None:
+            self._gallery = shard_rows(self._host_gallery, self.mesh, self.axis)
+            self._mags = shard_rows(self._host_mags, self.mesh, self.axis)
+            self._valid = shard_rows(self._host_valid, self.mesh, self.axis)
+            self._device_dirty = False
+
+    # Milvus load() now has real work: it stages the gallery onto the mesh
+    # (the reference's collection.load() pulls segments into Milvus memory).
     def load(self) -> None:
-        pass
+        self._sync_device()
 
     def release(self) -> None:
         pass
@@ -170,6 +179,7 @@ class ShardedVectorIndex:
         """
         if self.count == 0:
             raise ValueError("index is empty")
+        self._sync_device()
         qdev, single = self._prep_queries(queries)
         weights = self._weights_tuple(params) if metric == "optimized_similarity" else None
         vals, idx = sharded_search_topk(
@@ -195,6 +205,7 @@ class ShardedVectorIndex:
         (parallel/collectives.py sharded_multimetric_topk)."""
         if self.count == 0:
             raise ValueError("index is empty")
+        self._sync_device()
         from image_retrieval_tpu.parallel.collectives import sharded_multimetric_topk
 
         qdev, single = self._prep_queries(queries)
@@ -234,6 +245,7 @@ class ShardedVectorIndex:
         """Full (Q, count) score matrix (for analysis-scale galleries)."""
         if self.count == 0:
             raise ValueError("index is empty")
+        self._sync_device()
         qdev, single = self._prep_queries(queries)
         weights = self._weights_tuple(params) if metric == "optimized_similarity" else None
         s = np.asarray(
@@ -247,8 +259,7 @@ class ShardedVectorIndex:
     def get_vectors(self, indices: Sequence[int]) -> np.ndarray:
         """Stored unit vectors for global indices (candidate fetch for
         overfetch->rerank parity with reference image_search.py:94-101)."""
-        g = np.asarray(self._gallery)
-        return g[np.asarray(indices, int)].astype(np.float32)
+        return self._host_gallery[np.asarray(indices, int)].astype(np.float32)
 
     def get_magnitudes(self, indices: Sequence[int]) -> np.ndarray:
         return np.array([self._mags_host[int(i)] for i in indices], np.float32)
@@ -259,7 +270,7 @@ class ShardedVectorIndex:
         """Return stored (path, unit_embedding[, magnitude]) tuples
         (reference ImageEmbeddingSystem.py:147-202)."""
         n = min(limit, self.count)
-        g = np.asarray(self._gallery)[:n].astype(np.float32)
+        g = self._host_gallery[:n].astype(np.float32)
         if with_magnitude:
             return [
                 (self.paths[i], g[i], self._mags_host[i]) for i in range(n)
@@ -278,7 +289,7 @@ class ShardedVectorIndex:
         """Persist as npz + json sidecar (replaces Milvus server-side
         persistence, docker-compose.yml:11-12)."""
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        g = (np.asarray(self._gallery)[: self.count].astype(np.float32)
+        g = (self._host_gallery[: self.count].astype(np.float32)
              if self.count else np.zeros((0, self.dim), np.float32))
         m = np.array(self._mags_host, np.float32)
         np.savez(path, embeddings=g, magnitudes=m)
