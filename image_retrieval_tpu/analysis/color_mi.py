@@ -55,6 +55,15 @@ METRIC_NAMES = [
 _WEIGHT_KEYS = ("w_angle", "w_l1", "w_l2", "w_inf", "w_mag")
 
 
+def _pair_metric_table_device(a: np.ndarray, b: np.ndarray) -> Dict[str, np.ndarray]:
+    """Device (f32, jitted, batched) variant of _pair_metric_table — used by
+    precision="device" for very large pair sets."""
+    from image_retrieval_tpu.ops.metrics import pair_metrics
+
+    out = pair_metrics(np.asarray(a, np.float32), np.asarray(b, np.float32))
+    return {k: np.asarray(v, np.float64) for k, v in out.items()}
+
+
 def _pair_metric_table(a: np.ndarray, b: np.ndarray) -> Dict[str, np.ndarray]:
     """All 6 per-pair quantities in float64: row-aligned a[i] vs b[i].
 
@@ -167,10 +176,17 @@ class ColorMIAnalyzer:
                                           list(METRIC_NAMES) + ["cosine_similarity", "angular_distance"]}
                 self._tables[rel_type]["_keep"] = keep
             else:
-                t = _pair_metric_table(a, b)
+                t = self._metric_table(a, b)
                 t["_keep"] = keep
                 self._tables[rel_type] = t
         return self._tables[rel_type]
+
+    def _metric_table(self, a: np.ndarray, b: np.ndarray) -> Dict[str, np.ndarray]:
+        """precision="strict": host float64 (digit parity);
+        precision="device": batched f32 on the accelerator (large pair sets)."""
+        if self.precision == "device":
+            return _pair_metric_table_device(a, b)
+        return _pair_metric_table(a, b)
 
     def calculate_distances(self) -> None:
         """Populate self.distances[metric][rel_type] lists
@@ -230,7 +246,7 @@ class ColorMIAnalyzer:
                 color_mi[m] = 0.0
             self.mi_results["color_specific"] = color_mi
             return color_mi
-        table = _pair_metric_table(a, b)
+        table = self._metric_table(a, b)
         labels = np.array(all_labels)[keep]
         for m in self.metric_names:
             color_mi[m] = mutual_info_from_labels(
@@ -259,7 +275,7 @@ class ColorMIAnalyzer:
         if a.shape[0] == 0:
             logger.warning("No valid pairs found for parameter optimization")
             return dict(zip(_WEIGHT_KEYS, (1.0, 0.0, 0.0, 0.0, 0.0)))
-        table = _pair_metric_table(a, b)
+        table = self._metric_table(a, b)
         labels = np.array(all_labels)[keep]
         # optimized_distance = -(w_a*cos - w_l1*l1 - w_l2*l2 - w_inf*linf - w_mag*dmag)
         basis = np.stack(

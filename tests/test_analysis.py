@@ -244,3 +244,15 @@ def test_enhanced_coco_pairs_and_optimize(rng):
     # direct evaluation of the winner reproduces its MI
     mi = an.compute_mi_for_optimized_similarity(res["parameters"])
     assert mi == pytest.approx(res["mi_value"], abs=1e-12)
+
+
+def test_device_precision_close_to_strict(color_dataset):
+    base, emb_file, _ = color_dataset
+    strict = ColorMIAnalyzer(base_dir=base, precision="strict")
+    strict.load_dataset(emb_file)
+    dev = ColorMIAnalyzer(base_dir=base, precision="device")
+    dev.load_dataset(emb_file)
+    mi_s = strict.calculate_mutual_information()
+    mi_d = dev.calculate_mutual_information()
+    for m in strict.metric_names:
+        assert mi_d[m] == pytest.approx(mi_s[m], abs=5e-3), m
