@@ -56,6 +56,11 @@ class IndexConfig:
     embedding_dim: int = EMBEDDING_DIM
     shard_axis: str = "data"  # mesh axis the gallery rows are sharded over
     capacity_step: int = 65536  # gallery grows in device-friendly chunks
+    # Gallery storage dtype — the search sweep is HBM-bandwidth bound, so
+    # this is the latency lever:
+    #   float32  : oracle ranking parity (default)
+    #   bfloat16 : 2x less traffic, ~0.4% relative score error
+    #   int8     : 4x less traffic (symmetric per-row scales), ~0.5% error
     dtype: str = "float32"
 
 

@@ -62,18 +62,28 @@ class ShardedVectorIndex:
         self._host_gallery = None  # (capacity, D) numpy
         self._host_mags = None  # (capacity,) numpy
         self._host_valid = None  # (capacity,) numpy bool
+        self._host_scales = None  # (capacity,) numpy, int8 mode only
         self._gallery = None  # (capacity, D) sharded jax
         self._mags = None  # (capacity,) sharded jax
         self._valid = None  # (capacity,) bool sharded jax
+        self._scales = None  # (capacity,) sharded jax, int8 mode only
         self._device_dirty = True
 
     # -- storage ------------------------------------------------------------
 
     @property
     def _np_dtype(self):
-        import ml_dtypes
+        if self.config.dtype == "bfloat16":
+            import ml_dtypes
 
-        return ml_dtypes.bfloat16 if self.config.dtype == "bfloat16" else np.float32
+            return ml_dtypes.bfloat16
+        if self.config.dtype == "int8":
+            return np.int8
+        return np.float32
+
+    @property
+    def _quantized(self) -> bool:
+        return self.config.dtype == "int8"
 
     def _grow_to(self, n: int) -> None:
         step = max(self.config.capacity_step, self._nshards)
@@ -88,12 +98,16 @@ class ShardedVectorIndex:
         g = np.zeros((cap, self.dim), self._np_dtype)
         m = np.zeros((cap,), np.float32)
         v = np.zeros((cap,), bool)
+        sc = np.ones((cap,), np.float32) if self._quantized else None
         if self.count:
             g[: self.count] = self._host_gallery[: self.count]
             m[: self.count] = self._host_mags[: self.count]
             v[: self.count] = True
+            if self._quantized:
+                sc[: self.count] = self._host_scales[: self.count]
         self.capacity = cap
         self._host_gallery, self._host_mags, self._host_valid = g, m, v
+        self._host_scales = sc
         self._device_dirty = True
 
     def insert(
@@ -119,7 +133,15 @@ class ShardedVectorIndex:
         n_new = emb.shape[0]
         start = self.count
         self._grow_to(start + n_new)
-        self._host_gallery[start : start + n_new] = unit.astype(self._np_dtype)
+        if self._quantized:
+            # symmetric per-row int8: scale = absmax/127; HBM reads drop 4x
+            absmax = np.maximum(np.abs(unit).max(axis=1), 1e-12)
+            qscale = (absmax / 127.0).astype(np.float32)
+            qrows = np.clip(np.rint(unit / qscale[:, None]), -127, 127).astype(np.int8)
+            self._host_gallery[start : start + n_new] = qrows
+            self._host_scales[start : start + n_new] = qscale
+        else:
+            self._host_gallery[start : start + n_new] = unit.astype(self._np_dtype)
         self._host_mags[start : start + n_new] = mags
         self._host_valid[start : start + n_new] = True
         self._device_dirty = True
@@ -133,6 +155,8 @@ class ShardedVectorIndex:
             self._gallery = shard_rows(self._host_gallery, self.mesh, self.axis)
             self._mags = shard_rows(self._host_mags, self.mesh, self.axis)
             self._valid = shard_rows(self._host_valid, self.mesh, self.axis)
+            if self._quantized:
+                self._scales = shard_rows(self._host_scales, self.mesh, self.axis)
             self._device_dirty = False
 
     # Milvus load() now has real work: it stages the gallery onto the mesh
@@ -190,6 +214,7 @@ class ShardedVectorIndex:
             min(top_k, self.count),
             metric,
             weights,
+            self._scales,
             mesh=self.mesh,
             axis=self.axis,
         )
@@ -211,7 +236,7 @@ class ShardedVectorIndex:
         qdev, single = self._prep_queries(queries)
         out = sharded_multimetric_topk(
             qdev, self._gallery, self._valid, self._mags,
-            min(top_k, self.count), mesh=self.mesh, axis=self.axis,
+            min(top_k, self.count), self._scales, mesh=self.mesh, axis=self.axis,
         )
         result = {}
         for name, (vals, idx) in out.items():
@@ -250,7 +275,7 @@ class ShardedVectorIndex:
         weights = self._weights_tuple(params) if metric == "optimized_similarity" else None
         s = np.asarray(
             sharded_scores(
-                qdev, self._gallery, self._mags, metric, weights,
+                qdev, self._gallery, self._mags, metric, weights, self._scales,
                 mesh=self.mesh, axis=self.axis,
             )
         )[:, : self.count]
@@ -259,7 +284,10 @@ class ShardedVectorIndex:
     def get_vectors(self, indices: Sequence[int]) -> np.ndarray:
         """Stored unit vectors for global indices (candidate fetch for
         overfetch->rerank parity with reference image_search.py:94-101)."""
-        return self._host_gallery[np.asarray(indices, int)].astype(np.float32)
+        rows = self._host_gallery[np.asarray(indices, int)].astype(np.float32)
+        if self._quantized:
+            rows *= self._host_scales[np.asarray(indices, int)][:, None]
+        return rows
 
     def get_magnitudes(self, indices: Sequence[int]) -> np.ndarray:
         return np.array([self._mags_host[int(i)] for i in indices], np.float32)
@@ -271,6 +299,8 @@ class ShardedVectorIndex:
         (reference ImageEmbeddingSystem.py:147-202)."""
         n = min(limit, self.count)
         g = self._host_gallery[:n].astype(np.float32)
+        if self._quantized:
+            g = g * self._host_scales[:n, None]
         if with_magnitude:
             return [
                 (self.paths[i], g[i], self._mags_host[i]) for i in range(n)
@@ -291,6 +321,8 @@ class ShardedVectorIndex:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         g = (self._host_gallery[: self.count].astype(np.float32)
              if self.count else np.zeros((0, self.dim), np.float32))
+        if self._quantized and self.count:
+            g = g * self._host_scales[: self.count, None]
         m = np.array(self._mags_host, np.float32)
         np.savez(path, embeddings=g, magnitudes=m)
         with open(path + ".paths.json", "w") as f:

@@ -167,3 +167,33 @@ def test_bf16_gallery_mode(mesh, rng):
     assert i16[0] == i32[0]
     np.testing.assert_allclose(v16, v32, rtol=2e-2, atol=2e-2)
     assert set(i16.tolist()) & set(i32.tolist())  # heavy overlap expected
+
+
+def test_int8_gallery_mode(mesh, rng):
+    """int8 quantized storage: 4x less HBM traffic, near-identical rankings."""
+    emb = rng.normal(size=(160, 64)).astype(np.float32) * rng.uniform(
+        0.5, 2.0, (160, 1)
+    ).astype(np.float32)
+    paths = [f"i{i}" for i in range(160)]
+    f32 = ShardedVectorIndex(dim=64, mesh=mesh, config=IndexConfig(capacity_step=64))
+    q8 = ShardedVectorIndex(
+        dim=64, mesh=mesh, config=IndexConfig(capacity_step=64, dtype="int8")
+    )
+    f32.insert(paths, emb)
+    q8.insert(paths, emb)
+    q = rng.normal(size=(64,)).astype(np.float32)
+    v32, i32 = f32.search(q, top_k=5)
+    v8, i8 = q8.search(q, top_k=5)
+    assert i8[0] == i32[0]
+    np.testing.assert_allclose(v8, v32, rtol=2e-2, atol=2e-2)
+    # optimized metric works through dequantization too
+    params = {"w_angle": 1.0, "w_l1": 1.0, "w_l2": 0.5, "w_inf": 0.0, "w_mag": 0.2}
+    vo32, io32 = f32.search(q, top_k=3, metric="optimized_similarity", params=params)
+    vo8, io8 = q8.search(q, top_k=3, metric="optimized_similarity", params=params)
+    assert io8[0] == io32[0]
+    np.testing.assert_allclose(vo8, vo32, rtol=5e-2, atol=5e-2)
+    # host round-trips dequantize (unit vectors within quantization error)
+    rec = q8.query(limit=3)
+    np.testing.assert_allclose(
+        np.linalg.norm(rec[0][1]), 1.0, atol=2e-2
+    )
