@@ -1,0 +1,147 @@
+"""Micro-batching query server — production serving over the sharded index.
+
+One gallery sweep serves an entire query batch at nearly the cost of one
+query (bandwidth-bound), so throughput serving is a batching problem: this
+engine collects concurrent requests into micro-batches (up to `max_batch` or
+`max_wait_ms`, whichever first) and dispatches one batched encode + one
+batched exact search per tick. The reference has no serving story (its GUI
+ran one blocking search per click, reloading CLIP each time,
+app_pipeline.py:174-191).
+
+Usage:
+    server = SearchServer(encoder, index)
+    server.start()
+    results = server.search("a brown dog", top_k=10)   # thread-safe
+    ...
+    server.stop()
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from image_retrieval_tpu.index import ShardedVectorIndex
+from image_retrieval_tpu.models.encoder import Encoder
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class _Request:
+    query: str
+    top_k: int
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[List[dict]] = None
+    error: Optional[Exception] = None
+
+
+class SearchServer:
+    """Thread-safe text-search server with request micro-batching."""
+
+    def __init__(
+        self,
+        encoder: Encoder,
+        index: ShardedVectorIndex,
+        max_batch: int = 64,
+        max_wait_ms: float = 2.0,
+    ):
+        self.encoder = encoder
+        self.index = index
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self.stats: Dict[str, float] = {
+            "requests": 0, "batches": 0, "max_observed_batch": 0,
+        }
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        self.index.load()  # stage gallery onto the mesh before serving
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # -- client API ----------------------------------------------------------
+
+    def search(self, query: str, top_k: int = 10, timeout: float = 30.0) -> List[dict]:
+        """Blocking search; safe to call from many threads concurrently."""
+        req = _Request(query=query, top_k=top_k)
+        self._queue.put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError(f"search timed out after {timeout}s")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    # -- batching loop ---------------------------------------------------------
+
+    def _collect(self) -> List[_Request]:
+        try:
+            first = self._queue.get(timeout=0.05)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                queries = [r.query for r in batch]
+                embs = self.encoder.encode_texts(queries)
+                norms = np.linalg.norm(embs, axis=1, keepdims=True)
+                qn = embs / np.where(norms > 0, norms, 1.0)
+                k = max(r.top_k for r in batch)
+                vals, idx = self.index.search(qn, top_k=min(k, len(self.index)))
+                for row, r in enumerate(batch):
+                    r.result = [
+                        {"path": self.index.paths[int(i)], "score": float(v)}
+                        for v, i in zip(vals[row][: r.top_k], idx[row][: r.top_k])
+                    ]
+                    r.done.set()
+                self.stats["requests"] += len(batch)
+                self.stats["batches"] += 1
+                self.stats["max_observed_batch"] = max(
+                    self.stats["max_observed_batch"], len(batch)
+                )
+            except Exception as e:  # pragma: no cover - surfaced to callers
+                logger.exception("batch failed")
+                for r in batch:
+                    r.error = e
+                    r.done.set()

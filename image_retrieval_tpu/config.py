@@ -36,6 +36,9 @@ class ModelConfig:
     context_length: int = 77
     embed_dim: int = EMBEDDING_DIM
     dtype: str = "bfloat16"  # compute dtype; params + accum stay f32
+    remat: bool = False  # rematerialize transformer blocks in the backward
+    #                      pass (jax.checkpoint) — trades FLOPs for memory at
+    #                      large train batch sizes
 
 
 @dataclasses.dataclass

@@ -114,8 +114,9 @@ class CLIPVisionTower(nn.Module):
         )
         x = x + pos.astype(self.dtype)[None]
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="pre_ln")(x).astype(self.dtype)
+        block_cls = nn.remat(Block) if c.remat else Block
         for i in range(c.vision_layers):
-            x = Block(c.vision_width, c.vision_heads, self.dtype, name=f"block_{i}")(x)
+            x = block_cls(c.vision_width, c.vision_heads, self.dtype, name=f"block_{i}")(x)
         pooled = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="post_ln")(x[:, 0])
         proj = self.param(
             "proj", nn.initializers.normal(0.02), (c.vision_width, c.embed_dim)
@@ -146,8 +147,9 @@ class CLIPTextTower(nn.Module):
         )
         x = tok + pos.astype(self.dtype)[None, :t]
         mask = jnp.triu(jnp.full((t, t), -jnp.inf, jnp.float32), k=1)[None, None]
+        block_cls = nn.remat(Block) if c.remat else Block
         for i in range(c.text_layers):
-            x = Block(c.text_width, c.text_heads, self.dtype, name=f"block_{i}")(x, mask)
+            x = block_cls(c.text_width, c.text_heads, self.dtype, name=f"block_{i}")(x, mask)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_ln")(x)
         eot = jnp.argmax(token_ids, axis=-1)
         pooled = x[jnp.arange(b), eot]

@@ -80,3 +80,16 @@ def test_checkpoint_roundtrip(tmp_path, rng):
         pass  # params advanced one step past ckpt; compare via loss instead
     loss_restored = tr2.train_step(pixels, tokens)
     assert loss_restored == pytest.approx(loss_before, abs=1e-5)
+
+
+def test_remat_training_matches_no_remat(rng):
+    import dataclasses
+
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    cfg = tiny_model_config()
+    cfg_remat = dataclasses.replace(cfg, remat=True)
+    pixels = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    tokens = rng.integers(1, 100, size=(8, 16)).astype(np.int32)
+    l_plain = CLIPTrainer(cfg=cfg, mesh=mesh, seed=0).train_step(pixels, tokens)
+    l_remat = CLIPTrainer(cfg=cfg_remat, mesh=mesh, seed=0).train_step(pixels, tokens)
+    assert l_remat == pytest.approx(l_plain, rel=1e-5)
