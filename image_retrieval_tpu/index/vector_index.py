@@ -150,6 +150,26 @@ class ShardedVectorIndex:
         self.count += n_new
         return n_new
 
+    def delete(self, paths: Sequence[str]) -> int:
+        """Tombstone rows by path (Milvus delete-by-expr analog). Removed
+        rows never appear in search results; storage is reclaimed on the
+        next save/load cycle. Returns number deleted."""
+        targets = set(str(p) for p in paths)
+        deleted = 0
+        for i, p in enumerate(self.paths[: self.count]):
+            if p in targets and self._host_valid[i]:
+                self._host_valid[i] = False
+                deleted += 1
+        if deleted:
+            self._device_dirty = True
+        return deleted
+
+    @property
+    def live_count(self) -> int:
+        if self._host_valid is None:
+            return 0
+        return int(self._host_valid[: self.count].sum())
+
     def _sync_device(self) -> None:
         if self._device_dirty and self._host_gallery is not None:
             self._gallery = shard_rows(self._host_gallery, self.mesh, self.axis)
@@ -211,7 +231,7 @@ class ShardedVectorIndex:
             self._gallery,
             self._valid,
             self._mags,
-            min(top_k, self.count),
+            min(top_k, self.live_count),
             metric,
             weights,
             self._scales,
@@ -236,7 +256,7 @@ class ShardedVectorIndex:
         qdev, single = self._prep_queries(queries)
         out = sharded_multimetric_topk(
             qdev, self._gallery, self._valid, self._mags,
-            min(top_k, self.count), self._scales, mesh=self.mesh, axis=self.axis,
+            min(top_k, self.live_count), self._scales, mesh=self.mesh, axis=self.axis,
         )
         result = {}
         for name, (vals, idx) in out.items():

@@ -197,3 +197,17 @@ def test_int8_gallery_mode(mesh, rng):
     np.testing.assert_allclose(
         np.linalg.norm(rec[0][1]), 1.0, atol=2e-2
     )
+
+
+def test_delete_tombstones(mesh, rng):
+    idx, emb, paths = make_index(mesh, rng, n=50)
+    q = emb[7].astype(np.float32)
+    vals, ids = idx.search(q, top_k=1)
+    assert idx.paths[int(ids[0])] == "img_7.jpg"
+    assert idx.delete(["img_7.jpg", "img_8.jpg", "nonexistent"]) == 2
+    assert idx.live_count == 48
+    vals2, ids2 = idx.search(q, top_k=50)
+    assert len(ids2) == 48  # k clamps to live rows
+    returned = {idx.paths[int(i)] for i in ids2}
+    assert "img_7.jpg" not in returned and "img_8.jpg" not in returned
+    assert np.isfinite(vals2).all()
