@@ -36,6 +36,7 @@ def run_workflow(
     fake_encoder: bool = False,
     num_examples: int = 5,
     batch_size: int = 100,
+    native_decode: bool = False,
 ) -> Optional[dict]:
     from image_retrieval_tpu.data.dataset import prepare_color_dataset
     from image_retrieval_tpu.models.encoder import get_encoder
@@ -80,21 +81,15 @@ def run_workflow(
             if not os.path.isabs(path) and not path.startswith(dataset_dir):
                 path = os.path.join(dataset_dir, path)
             all_paths.append(path)
-        ok_paths, pixels = [], []
-        from image_retrieval_tpu.models.preprocess import preprocess_host
+        # streaming decode->encode pipeline (bounded memory, overlapped)
+        from image_retrieval_tpu.data.loader import encode_folder
 
-        for p in all_paths:
-            try:
-                pixels.append(preprocess_host(p))
-                ok_paths.append(p)
-            except Exception as e:
-                logger.warning(f"Error processing image {p}: {e}")
-        embeddings = {}
-        for i in range(0, len(ok_paths), batch_size):
-            chunk_px = np.stack(pixels[i : i + batch_size])
-            embs = encoder.encode_pixels(chunk_px)
-            for p, e in zip(ok_paths[i : i + batch_size], embs):
-                embeddings[p] = e
+        # native_decode=False keeps PIL bicubic preprocessing (CLIPProcessor
+        # parity); the C++ decoder uses bilinear and is for throughput ingest.
+        ok_paths, embs = encode_folder(
+            encoder, all_paths, batch_size=batch_size, use_native=native_decode
+        )
+        embeddings = {p: e for p, e in zip(ok_paths, embs)}
         np.savez(embeddings_file, embeddings=np.array(embeddings, dtype=object))
         logger.info(f"Saved embeddings for {len(embeddings)} images to {embeddings_file}")
 
@@ -154,6 +149,8 @@ def main(argv=None):
                         help="Use the deterministic fake encoder (no weights)")
     parser.add_argument("--num_examples", type=int, default=5)
     parser.add_argument("--batch_size", type=int, default=100)
+    parser.add_argument("--native_decode", action="store_true",
+                        help="Use the C++ decoder (bilinear) instead of PIL bicubic")
     args = parser.parse_args(argv)
     if not args.synthetic and not (args.coco_dir and args.annotation_file):
         parser.error("provide --coco_dir and --annotation_file, or --synthetic")
@@ -167,6 +164,7 @@ def main(argv=None):
         fake_encoder=args.fake_encoder,
         num_examples=args.num_examples,
         batch_size=args.batch_size,
+        native_decode=args.native_decode,
     )
 
 
