@@ -93,20 +93,35 @@ class CLIPEncoder(Encoder):
         )
         self._rep = rep
 
+    # Each distinct batch shape costs a jit compile (minutes through the
+    # remote TPU compiler), so batches snap to a small bucket ladder.
+    _BUCKETS = (8, 32, 128, 256)
+
     def _batch_sizes(self, requested: int) -> int:
-        # batch must divide evenly over the data axis
+        # batch must divide evenly over the data axis; snap up to a bucket
         nd = self.mesh.shape["data"]
-        return max(nd, (requested // nd) * nd)
+        for b in self._BUCKETS:
+            if requested <= b and b % nd == 0:
+                return b
+        return max(nd, -(-requested // nd) * nd)
 
     def encode_pixels(self, pixels: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) normalized f32 -> (B, dim) f32 unnormalized."""
         n = pixels.shape[0]
-        nb = self._batch_sizes(max(n, 1))
-        padded = _pad_to(pixels.astype(np.float32), -(-n // nb) * nb)
+        if n == 0:
+            return np.zeros((0, self.dim), np.float32)
+        step = self._batch_sizes(min(n, self._BUCKETS[-1]))
         outs = []
-        for i in range(0, padded.shape[0], nb):
-            outs.append(np.asarray(self._encode_image(self.params, jnp.asarray(padded[i : i + nb]))))
-        return np.concatenate(outs, 0)[:n]
+        for i in range(0, n, step):
+            chunk = pixels[i : i + step].astype(np.float32)
+            nb = self._batch_sizes(chunk.shape[0])
+            padded = _pad_to(chunk, nb)
+            outs.append(
+                np.asarray(self._encode_image(self.params, jnp.asarray(padded)))[
+                    : chunk.shape[0]
+                ]
+            )
+        return np.concatenate(outs, 0)
 
     def encode_images(self, paths: Sequence[str], batch_size: int = 256) -> np.ndarray:
         """Host-parallel decode -> device-batched forward."""
@@ -123,13 +138,21 @@ class CLIPEncoder(Encoder):
             list(texts), context_length=self.config.model.context_length
         )
         n = tokens.shape[0]
-        nb = self._batch_sizes(max(n, 1))
-        padded = _pad_to(tokens, -(-n // nb) * nb)
+        if n == 0:
+            return np.zeros((0, self.dim), np.float32)
+        step = self._batch_sizes(min(n, self._BUCKETS[-1]))
         # Padded rows would pool at argmax=0; harmless, sliced away below.
         outs = []
-        for i in range(0, padded.shape[0], nb):
-            outs.append(np.asarray(self._encode_text(self.params, jnp.asarray(padded[i : i + nb]))))
-        return np.concatenate(outs, 0)[:n]
+        for i in range(0, n, step):
+            chunk = tokens[i : i + step]
+            nb = self._batch_sizes(chunk.shape[0])
+            padded = _pad_to(chunk, nb)
+            outs.append(
+                np.asarray(self._encode_text(self.params, jnp.asarray(padded)))[
+                    : chunk.shape[0]
+                ]
+            )
+        return np.concatenate(outs, 0)
 
 
 class FakeEncoder(Encoder):
