@@ -256,3 +256,19 @@ def test_device_precision_close_to_strict(color_dataset):
     mi_d = dev.calculate_mutual_information()
     for m in strict.metric_names:
         assert mi_d[m] == pytest.approx(mi_s[m], abs=5e-3), m
+
+
+def test_quantile_strategy_matches_oracle(color_dataset):
+    base, emb_file, embeddings = color_dataset
+    an = ColorMIAnalyzer(base_dir=base, bin_count=10, bin_strategy="quantile")
+    an.load_dataset(emb_file)
+    got = an.calculate_mutual_information()
+    for metric in ("cosine_distance", "l2_distance"):
+        all_d, all_y = [], []
+        for i, rel in enumerate(an.relationship_types):
+            for p1, p2 in an.pairs[rel]:
+                if p1 in embeddings and p2 in embeddings:
+                    all_d.append(oracle_metrics(embeddings[p1], embeddings[p2])[metric])
+                    all_y.append(i)
+        want = oracle_mi(all_d, all_y, n_bins=10, strategy="quantile")
+        assert got[metric] == pytest.approx(want, abs=1e-10), metric
