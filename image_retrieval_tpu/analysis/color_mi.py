@@ -32,7 +32,6 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 import pandas as pd
 
-from image_retrieval_tpu.ops.binning import discretize
 from image_retrieval_tpu.ops.mi import mutual_info_from_labels
 
 logger = logging.getLogger(__name__)

@@ -22,7 +22,7 @@ import argparse
 import json
 import logging
 import sys
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

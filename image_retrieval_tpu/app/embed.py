@@ -10,7 +10,6 @@ mesh `data` axis and a ShardedVectorIndex insert. Storage schema is the same
 from __future__ import annotations
 
 import logging
-from pathlib import Path
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -15,7 +15,7 @@ get_all_metrics, the documented intent (SURVEY §7).
 from __future__ import annotations
 
 import logging
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -12,7 +12,7 @@ imageProcessing.py:100-110) and the RGB classification thresholds
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Union
+from typing import List, Sequence
 
 import numpy as np
 import jax

@@ -17,16 +17,15 @@ Two implementations share one interface:
 
 from __future__ import annotations
 
-import functools
 import hashlib
-from typing import List, Optional, Sequence, Union
+from typing import Optional, Sequence
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from image_retrieval_tpu.config import Config, ModelConfig
+from image_retrieval_tpu.config import Config
 from image_retrieval_tpu.models.clip import CLIP, init_params
 from image_retrieval_tpu.models.preprocess import preprocess_batch
 from image_retrieval_tpu.models.tokenizer import get_tokenizer

@@ -11,7 +11,7 @@ one-image-at-a-time loop (color_analysis_workflow.py:127-142).
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Union
+from typing import Sequence, Union
 
 import numpy as np
 import jax

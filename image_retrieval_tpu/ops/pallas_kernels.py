@@ -27,7 +27,6 @@ CPU; the math path is identical).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,17 +11,14 @@ overfetch-then-rerank (image_search.py:93-107) collapses into one pass.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from image_retrieval_tpu.ops.metrics import (
-    pairwise_metrics,
-    optimized_similarity_from_metrics,
-)
+from image_retrieval_tpu.ops.metrics import pairwise_metrics
 from image_retrieval_tpu.ops.topk import exact_topk, DESCENDING_METRICS
 
 _OPT_INPUTS = (

@@ -16,8 +16,7 @@ both forward values and gradients on a virtual mesh (tests/test_pipeline.py).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Tuple
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

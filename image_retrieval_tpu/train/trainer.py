@@ -18,8 +18,7 @@ lays down the collectives over ICI.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +26,7 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from image_retrieval_tpu.config import Config, ModelConfig
+from image_retrieval_tpu.config import ModelConfig
 from image_retrieval_tpu.models.clip import CLIP, init_params
 from image_retrieval_tpu.parallel.mesh import make_mesh
 

@@ -11,7 +11,7 @@ import ctypes
 import logging
 import os
 import subprocess
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
