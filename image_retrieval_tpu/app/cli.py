@@ -203,6 +203,27 @@ def cmd_compare(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Interactive serving loop over the micro-batching SearchServer."""
+    from image_retrieval_tpu.app.server import SearchServer
+
+    app = _build_app(args)
+    index = app._ensure_index()
+    with SearchServer(app._get_encoder(), index, max_batch=args.max_batch) as server:
+        print(f"Serving {len(index)} vectors. Enter queries (blank line to exit).")
+        while True:
+            try:
+                line = input("query> ").strip()
+            except EOFError:
+                break
+            if not line:
+                break
+            for i, r in enumerate(server.search(line, top_k=args.top_k), 1):
+                print(f"{i:3d}. {r['score']:.4f}  {r['path']}")
+        print(f"stats: {server.stats}")
+    return 0
+
+
 def cmd_analyze(args) -> int:
     """Full offline color-analysis pipeline (wraps app/workflow.py)."""
     from image_retrieval_tpu.app.workflow import run_workflow
@@ -268,6 +289,12 @@ def make_parser() -> argparse.ArgumentParser:
     sp.add_argument("query")
     sp.add_argument("--top-k", type=int, default=5)
     sp.set_defaults(fn=cmd_compare)
+
+    sp = sub.add_parser("serve", help="Interactive micro-batched search server")
+    common(sp)
+    sp.add_argument("--top-k", type=int, default=10)
+    sp.add_argument("--max-batch", type=int, default=64)
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("analyze", help="Full color-analysis workflow")
     sp.add_argument("--coco_dir")
