@@ -38,6 +38,60 @@ def shard_stages(stacked, mesh: Mesh, axis: str = "pipe"):
     return jax.tree.map(put, stacked)
 
 
+def gpipe_local(
+    apply_layer: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    params_local,
+    x_all: jnp.ndarray,
+    *,
+    axis: str,
+    num_stages: int,
+) -> jnp.ndarray:
+    """The per-device GPipe schedule — call INSIDE a shard_map whose mesh has
+    a `axis` pipeline dimension.
+
+    params_local: this stage's layers, leading (L/S, ...) axes.
+    x_all: (M, mb, ...) microbatches (already local to this device).
+    Returns (M, mb, ...) outputs replicated across the `axis` stages."""
+    num_micro = x_all.shape[0]
+    stage = jax.lax.axis_index(axis)
+    is_first = stage == 0
+    is_last = stage == num_stages - 1
+    perm = [(int(s), int((s + 1) % num_stages)) for s in range(num_stages)]
+
+    def run_stage(x):
+        def body(h, layer_params):
+            return apply_layer(layer_params, h), None
+
+        h, _ = jax.lax.scan(body, x, params_local)
+        return h
+
+    zero = jnp.zeros(x_all.shape[1:], x_all.dtype)
+
+    def tick(carry, t):
+        prev_out, outputs = carry
+        # activation arriving from the previous stage (tick t-1's output)
+        recv = jax.lax.ppermute(prev_out, axis, perm)
+        feed_idx = jnp.clip(t, 0, num_micro - 1)
+        first_in = jnp.where(t < num_micro, 1.0, 0.0).astype(x_all.dtype) * x_all[feed_idx]
+        inp = jnp.where(is_first, first_in, recv)
+        out = run_stage(inp)
+        # last stage banks its result for microbatch t - (S - 1)
+        out_idx = jnp.clip(t - (num_stages - 1), 0, num_micro - 1)
+        bank = jnp.logical_and(is_last, t >= num_stages - 1)
+        outputs = jax.lax.cond(
+            bank, lambda o: o.at[out_idx].set(out), lambda o: o, outputs
+        )
+        return (out, outputs), None
+
+    init = (zero, jnp.zeros_like(x_all))
+    (_, outputs), _ = jax.lax.scan(
+        tick, init, jnp.arange(num_micro + num_stages - 1)
+    )
+    # replicate final outputs to every stage
+    mask = jnp.where(is_last, 1.0, 0.0).astype(outputs.dtype)
+    return jax.lax.psum(outputs * mask, axis)
+
+
 def gpipe_apply(
     apply_layer: Callable[[Any, jnp.ndarray], jnp.ndarray],
     stacked_params,
@@ -58,54 +112,11 @@ def gpipe_apply(
         (M, mb, ...) outputs, replicated on all stages.
     """
     num_stages = mesh.shape[axis]
-    num_micro = microbatches.shape[0]
 
     def local(params_local, x_all):
-        # params_local: tree with leading (L/S, ...) axes (this stage's layers)
-        stage = jax.lax.axis_index(axis)
-        is_first = stage == 0
-        is_last = stage == num_stages - 1
-        fwd = jnp.roll(jnp.arange(num_stages), 1)  # recv from stage-1
-        perm = [(int(s), int((s + 1) % num_stages)) for s in range(num_stages)]
-
-        def run_stage(x):
-            def body(h, layer_params):
-                return apply_layer(layer_params, h), None
-
-            h, _ = jax.lax.scan(body, x, params_local)
-            return h
-
-        mb_shape = microbatches.shape[1:]
-        zero = jnp.zeros(mb_shape, microbatches.dtype)
-
-        def tick(carry, t):
-            prev_out, outputs = carry
-            # activation arriving from the previous stage (tick t-1's output)
-            recv = jax.lax.ppermute(prev_out, axis, perm)
-            feed_idx = jnp.clip(t, 0, num_micro - 1)
-            first_in = jnp.where(t < num_micro, 1.0, 0.0).astype(
-                microbatches.dtype
-            ) * x_all[feed_idx]
-            inp = jnp.where(is_first, first_in, recv)
-            out = run_stage(inp)
-            # last stage banks its result for microbatch t - (S - 1)
-            out_idx = jnp.clip(t - (num_stages - 1), 0, num_micro - 1)
-            bank = jnp.logical_and(is_last, t >= num_stages - 1)
-            outputs = jax.lax.cond(
-                bank,
-                lambda o: o.at[out_idx].set(out),
-                lambda o: o,
-                outputs,
-            )
-            return (out, outputs), None
-
-        init = (zero, jnp.zeros_like(x_all))
-        (final_out, outputs), _ = jax.lax.scan(
-            tick, init, jnp.arange(num_micro + num_stages - 1)
+        return gpipe_local(
+            apply_layer, params_local, x_all, axis=axis, num_stages=num_stages
         )
-        # replicate final outputs to every stage
-        mask = jnp.where(is_last, 1.0, 0.0).astype(outputs.dtype)
-        return jax.lax.psum(outputs * mask, axis)
 
     in_specs = (
         jax.tree.map(lambda x: P(axis, *([None] * (x.ndim - 1))), stacked_params),
