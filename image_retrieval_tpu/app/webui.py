@@ -1,0 +1,139 @@
+"""Thin web UI — browser front-end over the micro-batching search server.
+
+The reference ships a Tkinter desktop GUI (reference main.py); the modern
+equivalent of its Search tab is this zero-dependency (stdlib http.server)
+web page: a query box, thumbnail grid of results with scores, JSON API.
+
+    python -m image_retrieval_tpu.app.webui --folder ./photos --fake-encoder
+    # then open http://localhost:8008
+
+Endpoints:
+    GET /                      HTML page
+    GET /search?q=...&k=10     JSON [{path, score}]
+    GET /image?path=...        the image file (only paths in the index)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+logger = logging.getLogger(__name__)
+
+_PAGE = """<!doctype html>
+<html><head><title>image-retrieval-tpu</title><style>
+body{font-family:sans-serif;margin:2em;background:#fafafa}
+#grid{display:flex;flex-wrap:wrap;gap:12px;margin-top:1em}
+.card{background:#fff;border:1px solid #ddd;border-radius:6px;padding:6px;width:190px}
+.card img{width:180px;height:180px;object-fit:contain}
+.score{font-size:12px;color:#555;word-break:break-all}
+input{font-size:16px;padding:6px;width:24em}
+button{font-size:16px;padding:6px 14px}
+</style></head><body>
+<h2>image-retrieval-tpu</h2>
+<form onsubmit="go();return false">
+<input id=q placeholder="a brown dog" autofocus>
+<button>Search</button></form>
+<div id=grid></div>
+<script>
+async function go(){
+  const q=document.getElementById('q').value;
+  const r=await fetch('/search?q='+encodeURIComponent(q)+'&k=12');
+  const hits=await r.json();
+  document.getElementById('grid').innerHTML=hits.map(h=>
+    `<div class=card><img src="/image?path=${encodeURIComponent(h.path)}">`+
+    `<div class=score>${h.score.toFixed(4)}<br>${h.path.split('/').pop()}</div></div>`
+  ).join('');
+}
+</script></body></html>"""
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_ctx = None  # set by serve()
+
+    def log_message(self, fmt, *args):
+        logger.debug(fmt % args)
+
+    def _send(self, code, body, ctype="text/html"):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        ctx = self.server_ctx
+        parsed = urllib.parse.urlparse(self.path)
+        qs = urllib.parse.parse_qs(parsed.query)
+        if parsed.path == "/":
+            self._send(200, _PAGE.encode())
+        elif parsed.path == "/search":
+            query = (qs.get("q") or [""])[0]
+            k = int((qs.get("k") or ["10"])[0])
+            if not query.strip():
+                self._send(400, b"[]", "application/json")
+                return
+            results = ctx["server"].search(query, top_k=k)
+            self._send(200, json.dumps(results).encode(), "application/json")
+        elif parsed.path == "/image":
+            path = (qs.get("path") or [""])[0]
+            if path not in ctx["known_paths"]:
+                self._send(404, b"not found", "text/plain")
+                return
+            try:
+                with open(path, "rb") as f:
+                    data = f.read()
+                ctype = "image/png" if path.endswith(".png") else "image/jpeg"
+                self._send(200, data, ctype)
+            except OSError:
+                self._send(404, b"not found", "text/plain")
+        else:
+            self._send(404, b"not found", "text/plain")
+
+
+def serve(search_server, known_paths, host: str = "127.0.0.1", port: int = 8008):
+    """Start the HTTP server (blocking). Returns the server object if you
+    run it via threading for tests."""
+    handler = type("Handler", (_Handler,), {
+        "server_ctx": {"server": search_server, "known_paths": set(known_paths)}
+    })
+    httpd = ThreadingHTTPServer((host, port), handler)
+    return httpd
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--folder", required=True)
+    ap.add_argument("--fake-encoder", action="store_true")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8008)
+    args = ap.parse_args(argv)
+
+    from image_retrieval_tpu.app.pipeline import ImageSearchApp
+    from image_retrieval_tpu.app.server import SearchServer
+    from image_retrieval_tpu.models.encoder import get_encoder
+
+    encoder = get_encoder(fake=args.fake_encoder) if args.fake_encoder else None
+    app = ImageSearchApp(encoder=encoder)
+    paths = app.scan_folders(args.folder)
+    app.process_images(paths)
+    index = app._ensure_index()
+    with SearchServer(app._get_encoder(), index) as srv:
+        httpd = serve(srv, index.paths, args.host, args.port)
+        print(f"Serving {len(index)} images at http://{args.host}:{args.port}")
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            httpd.shutdown()
+
+
+if __name__ == "__main__":
+    main()

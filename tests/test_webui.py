@@ -1,0 +1,66 @@
+"""Web UI: endpoints over a live HTTP server."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from image_retrieval_tpu.app.server import SearchServer
+from image_retrieval_tpu.app.webui import serve
+from image_retrieval_tpu.config import IndexConfig
+from image_retrieval_tpu.index import ShardedVectorIndex
+from image_retrieval_tpu.models.encoder import FakeEncoder
+
+
+@pytest.fixture(scope="module")
+def web_stack(tmp_path_factory):
+    from image_retrieval_tpu.data.synthetic import synth_image
+
+    folder = tmp_path_factory.mktemp("web_imgs")
+    paths = []
+    for i in range(6):
+        p = str(folder / f"i{i}.jpg")
+        synth_image(i, "brown", 0).save(p)
+        paths.append(p)
+    enc = FakeEncoder(dim=512)
+    idx = ShardedVectorIndex(dim=512, config=IndexConfig(capacity_step=64))
+    idx.insert(paths, enc.encode_images(paths))
+    srv = SearchServer(enc, idx)
+    srv.start()
+    httpd = serve(srv, idx.paths, port=0)  # ephemeral port
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    port = httpd.server_address[1]
+    yield f"http://127.0.0.1:{port}", paths
+    httpd.shutdown()
+    srv.stop()
+
+
+def test_index_page(web_stack):
+    base, _ = web_stack
+    html = urllib.request.urlopen(base + "/").read().decode()
+    assert "image-retrieval-tpu" in html
+
+
+def test_search_endpoint(web_stack):
+    base, paths = web_stack
+    data = json.loads(
+        urllib.request.urlopen(base + "/search?q=brown%20shape&k=3").read()
+    )
+    assert len(data) == 3
+    assert set(data[0].keys()) == {"path", "score"}
+
+
+def test_image_endpoint_serves_only_indexed(web_stack):
+    base, paths = web_stack
+    import urllib.parse
+
+    ok = urllib.request.urlopen(
+        base + "/image?path=" + urllib.parse.quote(paths[0])
+    )
+    assert ok.status == 200 and ok.headers["Content-Type"] == "image/jpeg"
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(base + "/image?path=/etc/passwd")
+    assert e.value.code == 404
