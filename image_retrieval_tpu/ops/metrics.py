@@ -249,22 +249,42 @@ def fused_optimized_scores_xla(
     g = _f32(gallery_unit)
     m = _f32(magnitudes)
     d = q.shape[-1]
-    w_angle, w_l1, w_l2, w_inf, w_mag = [jnp.float32(w) for w in weights]
+
+    # Trace-time dead-term elimination: XLA cannot DCE `0.0 * reduction`
+    # (0*inf would be nan), and the Linf max-reduction alone costs ~2.5 ms
+    # per 1M x 512 sweep on v5e. Zero weights known at trace time (the
+    # common case — the reference default and its discovered optimum both
+    # have w_inf = 0) skip the metric entirely.
+    def live(w):
+        return not (isinstance(w, (int, float)) and float(w) == 0.0)
+
+    w_angle, w_l1, w_l2, w_inf, w_mag = weights
     qn = jnp.linalg.norm(q, axis=-1, keepdims=True)  # (Q, 1)
-    dots = jnp.dot(q, g.T, preferred_element_type=jnp.float32)  # (Q, N)
-    cos = jnp.where(qn > 0, dots / jnp.where(qn > 0, qn, 1.0), 0.0)
-    diff = g[None, :, :] * m[None, :, None] - q[:, None, :]  # (Q, N, D) fused
-    ad = jnp.abs(diff)
-    l1 = jnp.sum(ad, axis=-1) / d
-    linf = jnp.max(ad, axis=-1)
-    if exact_l2:
-        l2 = jnp.sqrt(jnp.sum(diff * diff, axis=-1)) / jnp.sqrt(jnp.float32(d))
-    else:
+    score = jnp.zeros((q.shape[0], g.shape[0]), jnp.float32)
+    need_dots = live(w_angle) or (live(w_l2) and not exact_l2)
+    if need_dots:
+        dots = jnp.dot(q, g.T, preferred_element_type=jnp.float32)  # (Q, N)
+    if live(w_angle):
+        cos = jnp.where(qn > 0, dots / jnp.where(qn > 0, qn, 1.0), 0.0)
+        score = score + jnp.float32(w_angle) * cos
+    if live(w_l1) or live(w_inf) or (live(w_l2) and exact_l2):
+        diff = g[None, :, :] * m[None, :, None] - q[:, None, :]  # (Q,N,D) fused
+        ad = jnp.abs(diff)
+        if live(w_l1):
+            score = score - jnp.float32(w_l1) * (jnp.sum(ad, axis=-1) / d)
+        if live(w_inf):
+            score = score - jnp.float32(w_inf) * jnp.max(ad, axis=-1)
+        if live(w_l2) and exact_l2:
+            score = score - jnp.float32(w_l2) * (
+                jnp.sqrt(jnp.sum(diff * diff, axis=-1)) / jnp.sqrt(jnp.float32(d))
+            )
+    if live(w_l2) and not exact_l2:
         # Gram form: ||m g - q||^2 = m^2 - 2 m <g,q> + ||q||^2 (g unit rows)
         sq = jnp.maximum(m[None, :] ** 2 - 2.0 * m[None, :] * dots + qn**2, 0.0)
-        l2 = jnp.sqrt(sq) / jnp.sqrt(jnp.float32(d))
-    dmag = jnp.abs(m[None, :] - qn)
-    return w_angle * cos - w_l1 * l1 - w_l2 * l2 - w_inf * linf - w_mag * dmag
+        score = score - jnp.float32(w_l2) * (jnp.sqrt(sq) / jnp.sqrt(jnp.float32(d)))
+    if live(w_mag):
+        score = score - jnp.float32(w_mag) * jnp.abs(m[None, :] - qn)
+    return score
 
 
 def optimized_similarity(
