@@ -52,7 +52,6 @@ class ShardedVectorIndex:
         self.axis = self.config.shard_axis
         self._nshards = self.mesh.shape[self.axis]
         self.paths: List[str] = []
-        self._mags_host: List[float] = []
         self.count = 0
         self.capacity = 0
         # Host staging buffers are the source of truth; device copies are
@@ -145,7 +144,6 @@ class ShardedVectorIndex:
         self._host_valid[start : start + n_new] = True
         self._device_dirty = True
         self.paths.extend(str(p) for p in paths)
-        self._mags_host.extend(float(x) for x in mags)
         self.count += n_new
         return n_new
 
@@ -309,7 +307,7 @@ class ShardedVectorIndex:
         return rows
 
     def get_magnitudes(self, indices: Sequence[int]) -> np.ndarray:
-        return np.array([self._mags_host[int(i)] for i in indices], np.float32)
+        return self._host_mags[np.asarray(indices, int)].astype(np.float32)
 
     # -- Milvus-style retrieval of stored data ------------------------------
 
@@ -322,7 +320,7 @@ class ShardedVectorIndex:
             g = g * self._host_scales[:n, None]
         if with_magnitude:
             return [
-                (self.paths[i], g[i], self._mags_host[i]) for i in range(n)
+                (self.paths[i], g[i], float(self._host_mags[i])) for i in range(n)
             ]
         return [(self.paths[i], g[i]) for i in range(n)]
 
@@ -342,7 +340,8 @@ class ShardedVectorIndex:
              if self.count else np.zeros((0, self.dim), np.float32))
         if self._quantized and self.count:
             g = g * self._host_scales[: self.count, None]
-        m = np.array(self._mags_host, np.float32)
+        m = (self._host_mags[: self.count].astype(np.float32)
+             if self.count else np.zeros((0,), np.float32))
         np.savez(path, embeddings=g, magnitudes=m)
         with open(path + ".paths.json", "w") as f:
             json.dump(self.paths, f)

@@ -211,3 +211,14 @@ def test_delete_tombstones(mesh, rng):
     returned = {idx.paths[int(i)] for i in ids2}
     assert "img_7.jpg" not in returned and "img_8.jpg" not in returned
     assert np.isfinite(vals2).all()
+
+
+def test_error_paths(mesh, rng):
+    idx = ShardedVectorIndex(dim=16, mesh=mesh, config=IndexConfig(capacity_step=8))
+    with pytest.raises(ValueError):
+        idx.search(np.zeros(16, np.float32), top_k=1)  # empty index
+    with pytest.raises(AssertionError):
+        idx.insert(["a"], rng.normal(size=(1, 8)).astype(np.float32))  # dim mismatch
+    idx.insert(["only"], rng.normal(size=(1, 16)).astype(np.float32))
+    vals, ids = idx.search(rng.normal(size=16).astype(np.float32), top_k=5)
+    assert len(ids) == 1  # k clamps to size
