@@ -92,3 +92,61 @@ def test_prepare_color_dataset_schema(tmp_path):
     assert not p1.startswith(base)  # relative
     import os
     assert os.path.exists(os.path.join(base, p1))
+
+
+def make_mini_coco(tmp_path, rng):
+    """Tiny COCO-format dataset: images + annotation JSON."""
+    import json as _json
+    from PIL import Image
+
+    img_dir = tmp_path / "coco"
+    img_dir.mkdir(exist_ok=True)
+    images, annotations = [], []
+    categories = [{"id": 1, "name": "dog"}, {"id": 2, "name": "cat"},
+                  {"id": 3, "name": "zebra"}]
+    colors = {"brown": (139, 69, 19), "white": (235, 235, 235),
+              "black": (25, 25, 25), "other": (90, 140, 220)}
+    spec = [
+        (1, "dog", "brown"), (2, "dog", "brown"), (3, "dog", "white"),
+        (4, "cat", "black"), (5, "cat", "other"), (6, "zebra", "brown"),
+    ]
+    for img_id, cat, color in spec:
+        fname = f"{img_id:012d}.jpg"
+        Image.new("RGB", (64, 64), colors[color]).save(img_dir / fname)
+        images.append({"id": img_id, "file_name": fname})
+        cat_id = {"dog": 1, "cat": 2, "zebra": 3}[cat]
+        annotations.append({"image_id": img_id, "category_id": cat_id})
+    ann_file = tmp_path / "instances.json"
+    with open(ann_file, "w") as f:
+        _json.dump({"images": images, "annotations": annotations,
+                    "categories": categories}, f)
+    return str(img_dir), str(ann_file), spec
+
+
+def test_filter_coco_images(tmp_path, rng):
+    """COCO filtering: category mapping, color classification, quota, copy,
+    metadata schema (reference imageProcessing.py:122-216)."""
+    img_dir, ann_file, spec = make_mini_coco(tmp_path, rng)
+    m = ColorDatasetManager(str(tmp_path / "out"), num_examples=2)
+    m.filter_coco_images(img_dir, ann_file)
+    got = {(r["category"], r["color"]) for r in m.metadata}
+    # dog brown x2 within quota; dog white; cat black. cat 'other' color and
+    # 'zebra' (not in the 10 categories) must be excluded.
+    assert ("dog", "brown") in got and ("dog", "white") in got
+    assert ("cat", "black") in got
+    assert not any(cat == "zebra" for cat, _ in got)
+    assert not any(color == "other" for _, color in got)
+    assert sum(1 for r in m.metadata if (r["category"], r["color"]) == ("dog", "brown")) == 2
+    import os
+    for r in m.metadata:
+        assert os.path.exists(r["path"])
+        assert set(r.keys()) == {"path", "category", "color", "original_id",
+                                 "original_path"}
+
+
+def test_filter_coco_respects_quota(tmp_path, rng):
+    img_dir, ann_file, spec = make_mini_coco(tmp_path, rng)
+    m = ColorDatasetManager(str(tmp_path / "out1"), num_examples=1)
+    m.filter_coco_images(img_dir, ann_file)
+    assert sum(1 for r in m.metadata
+               if (r["category"], r["color"]) == ("dog", "brown")) == 1
