@@ -167,6 +167,26 @@ class ShardedVectorIndex:
             return 0
         return int(self._host_valid[: self.count].sum())
 
+    def compact(self) -> int:
+        """Reclaim tombstoned rows in place: live rows slide down, paths and
+        per-row sidecars stay aligned. Returns rows reclaimed."""
+        if self._host_valid is None:
+            return 0
+        live = np.flatnonzero(self._host_valid[: self.count])
+        reclaimed = self.count - len(live)
+        if reclaimed == 0:
+            return 0
+        self._host_gallery[: len(live)] = self._host_gallery[live]
+        self._host_mags[: len(live)] = self._host_mags[live]
+        if self._quantized:
+            self._host_scales[: len(live)] = self._host_scales[live]
+        self._host_valid[:] = False
+        self._host_valid[: len(live)] = True
+        self.paths = [self.paths[int(i)] for i in live]
+        self.count = len(live)
+        self._device_dirty = True
+        return reclaimed
+
     def _sync_device(self) -> None:
         if self._device_dirty and self._host_gallery is not None:
             self._gallery = shard_rows(self._host_gallery, self.mesh, self.axis)

@@ -254,3 +254,13 @@ def test_search_batch(loaded_system):
     assert len(out) == 3 and all(len(r) == 4 for r in out)
     single = searcher.search("brown dog", top_k=4, score_threshold=-1e9)
     assert [r["path"] for r in out[0]] == [r["path"] for r in single]
+
+
+def test_cli_analyze_synthetic(tmp_path, capsys):
+    out_dir = str(tmp_path / "an")
+    rc = cli_main(["analyze", "--synthetic", "--fake-encoder",
+                   "--output_dir", out_dir, "--num_examples", "2"])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "general_mi" in captured
+    assert os.path.exists(os.path.join(out_dir, "analysis_results", "results.json"))

@@ -222,3 +222,18 @@ def test_error_paths(mesh, rng):
     idx.insert(["only"], rng.normal(size=(1, 16)).astype(np.float32))
     vals, ids = idx.search(rng.normal(size=16).astype(np.float32), top_k=5)
     assert len(ids) == 1  # k clamps to size
+
+
+def test_compact_reclaims_tombstones(mesh, rng):
+    idx, emb, paths = make_index(mesh, rng, n=40)
+    idx.delete([f"img_{i}.jpg" for i in range(0, 40, 2)])  # delete evens
+    assert idx.live_count == 20
+    q = emb[7].astype(np.float32)  # odd index survives
+    v_before, i_before = idx.search(q, top_k=5)
+    paths_before = [idx.paths[int(i)] for i in i_before]
+    assert idx.compact() == 20
+    assert idx.count == 20 and idx.live_count == 20
+    v_after, i_after = idx.search(q, top_k=5)
+    assert [idx.paths[int(i)] for i in i_after] == paths_before
+    np.testing.assert_allclose(v_after, v_before, rtol=1e-6)
+    assert idx.compact() == 0  # idempotent
