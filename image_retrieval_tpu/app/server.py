@@ -37,6 +37,8 @@ logger = logging.getLogger(__name__)
 class _Request:
     query: str
     top_k: int
+    metric: str = "cosine_similarity"
+    weights: Optional[tuple] = None  # (w_angle, w_l1, w_l2, w_inf, w_mag)
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[List[dict]] = None
     error: Optional[Exception] = None
@@ -88,9 +90,23 @@ class SearchServer:
 
     # -- client API ----------------------------------------------------------
 
-    def search(self, query: str, top_k: int = 10, timeout: float = 30.0) -> List[dict]:
-        """Blocking search; safe to call from many threads concurrently."""
-        req = _Request(query=query, top_k=top_k)
+    def search(
+        self,
+        query: str,
+        top_k: int = 10,
+        timeout: float = 30.0,
+        metric: str = "cosine_similarity",
+        weights: Optional[dict] = None,
+    ) -> List[dict]:
+        """Blocking search; safe to call from many threads concurrently.
+
+        metric: "cosine_similarity" (default) or "optimized_similarity" with
+        the 5-weight params dict (reference similarity_params)."""
+        wt = None
+        if weights is not None:
+            wt = tuple(float(weights.get(k, 1.0 if k == "w_angle" else 0.0))
+                       for k in ("w_angle", "w_l1", "w_l2", "w_inf", "w_mag"))
+        req = _Request(query=query, top_k=top_k, metric=metric, weights=wt)
         self._queue.put(req)
         if not req.done.wait(timeout):
             raise TimeoutError(f"search timed out after {timeout}s")
@@ -127,14 +143,30 @@ class SearchServer:
                 embs = self.encoder.encode_texts(queries)
                 norms = np.linalg.norm(embs, axis=1, keepdims=True)
                 qn = embs / np.where(norms > 0, norms, 1.0)
-                k = max(r.top_k for r in batch)
-                vals, idx = self.index.search(qn, top_k=min(k, len(self.index)))
-                for row, r in enumerate(batch):
-                    r.result = [
-                        {"path": self.index.paths[int(i)], "score": float(v)}
-                        for v, i in zip(vals[row][: r.top_k], idx[row][: r.top_k])
-                    ]
-                    r.done.set()
+                # one index sweep per (metric, weights) group in the batch
+                groups: Dict[tuple, List[int]] = {}
+                for i, r in enumerate(batch):
+                    groups.setdefault((r.metric, r.weights), []).append(i)
+                for (metric, weights), rows in groups.items():
+                    k = max(batch[i].top_k for i in rows)
+                    # optimized metric scores against unnormalized query
+                    q_in = embs[rows] if metric == "optimized_similarity" else qn[rows]
+                    params = (
+                        dict(zip(("w_angle", "w_l1", "w_l2", "w_inf", "w_mag"),
+                                 weights))
+                        if weights is not None else None
+                    )
+                    vals, idx = self.index.search(
+                        q_in, top_k=min(k, len(self.index)),
+                        metric=metric, params=params,
+                    )
+                    for row, i in enumerate(rows):
+                        r = batch[i]
+                        r.result = [
+                            {"path": self.index.paths[int(j)], "score": float(v)}
+                            for v, j in zip(vals[row][: r.top_k], idx[row][: r.top_k])
+                        ]
+                        r.done.set()
                 self.stats["requests"] += len(batch)
                 self.stats["batches"] += 1
                 self.stats["max_observed_batch"] = max(

@@ -8,9 +8,12 @@ web page: a query box, thumbnail grid of results with scores, JSON API.
     # then open http://localhost:8008
 
 Endpoints:
-    GET /                      HTML page
-    GET /search?q=...&k=10     JSON [{path, score}]
-    GET /image?path=...        the image file (only paths in the index)
+    GET  /                          HTML page
+    GET  /search?q=...&k=10         JSON [{path, score}]
+         &metric=optimized&w_l1=1&w_l2=1&w_inf=0&w_mag=0.5&w_angle=1
+    POST /batch_search              JSON {"queries": [...], "k": 10} ->
+                                    JSON [[{path, score}], ...]
+    GET  /image?path=...            the image file (only paths in the index)
 """
 
 from __future__ import annotations
@@ -78,7 +81,19 @@ class _Handler(BaseHTTPRequestHandler):
             if not query.strip():
                 self._send(400, b"[]", "application/json")
                 return
-            results = ctx["server"].search(query, top_k=k)
+            metric = (qs.get("metric") or ["cosine"])[0]
+            if metric.startswith("optimized"):
+                weights = {
+                    key: float((qs.get(key) or [default])[0])
+                    for key, default in (("w_angle", "1"), ("w_l1", "0"),
+                                         ("w_l2", "0"), ("w_inf", "0"),
+                                         ("w_mag", "0"))
+                }
+                results = ctx["server"].search(
+                    query, top_k=k, metric="optimized_similarity", weights=weights
+                )
+            else:
+                results = ctx["server"].search(query, top_k=k)
             self._send(200, json.dumps(results).encode(), "application/json")
         elif parsed.path == "/image":
             path = (qs.get("path") or [""])[0]
@@ -94,6 +109,22 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(404, b"not found", "text/plain")
         else:
             self._send(404, b"not found", "text/plain")
+
+    def do_POST(self):
+        ctx = self.server_ctx
+        if self.path != "/batch_search":
+            self._send(404, b"not found", "text/plain")
+            return
+        length = int(self.headers.get("Content-Length", 0))
+        try:
+            body = json.loads(self.rfile.read(length) or b"{}")
+            queries = list(body.get("queries") or [])
+            k = int(body.get("k", 10))
+        except (ValueError, TypeError):
+            self._send(400, b"bad request", "text/plain")
+            return
+        out = [ctx["server"].search(q, top_k=k) for q in queries]
+        self._send(200, json.dumps(out).encode(), "application/json")
 
 
 def serve(search_server, known_paths, host: str = "127.0.0.1", port: int = 8008):

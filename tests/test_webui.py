@@ -64,3 +64,23 @@ def test_image_endpoint_serves_only_indexed(web_stack):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(base + "/image?path=/etc/passwd")
     assert e.value.code == 404
+
+
+def test_optimized_metric_endpoint(web_stack):
+    base, _ = web_stack
+    data = json.loads(urllib.request.urlopen(
+        base + "/search?q=brown&k=3&metric=optimized&w_angle=1&w_l1=1&w_mag=0.5"
+    ).read())
+    assert len(data) == 3
+
+
+def test_batch_search_endpoint(web_stack):
+    base, _ = web_stack
+    req = urllib.request.Request(
+        base + "/batch_search",
+        data=json.dumps({"queries": ["brown", "shape"], "k": 2}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    data = json.loads(urllib.request.urlopen(req).read())
+    assert len(data) == 2 and all(len(r) == 2 for r in data)
