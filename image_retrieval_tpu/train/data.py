@@ -1,0 +1,84 @@
+"""Contrastive (image, caption) batches from a color dataset.
+
+Bridges the dataset builder (data/dataset.py metadata rows) to the trainers:
+each image gets the caption "a {color} {category}" (the dataset's own
+labels), tokenized and batched with its decoded pixels. This is the
+fine-tuning loop the reference lacks entirely — it could only consume
+frozen pretrained embeddings (SURVEY §2: inference-only).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from image_retrieval_tpu.models.preprocess import preprocess_batch
+from image_retrieval_tpu.models.tokenizer import get_tokenizer
+
+
+def caption_for(row: dict) -> str:
+    return f"a {row['color']} {row['category']}"
+
+
+def contrastive_batches(
+    metadata: Sequence[dict],
+    batch_size: int,
+    image_size: int = 224,
+    context_length: int = 77,
+    seed: int = 0,
+    epochs: Optional[int] = None,
+    base_dir: Optional[str] = None,
+    tokenizer=None,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Yield (pixels (B,S,S,3) f32, tokens (B,T) i32) batches, shuffled per
+    epoch, dropping the ragged tail (static shapes for one jit signature)."""
+    tok = tokenizer if tokenizer is not None else get_tokenizer()
+    rows = [dict(r) for r in metadata]
+    if base_dir:
+        for r in rows:
+            if not os.path.isabs(r["path"]) and not str(r["path"]).startswith(base_dir):
+                r["path"] = os.path.join(base_dir, r["path"])
+    rng = np.random.default_rng(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(len(rows))
+        for i in range(0, len(rows) - batch_size + 1, batch_size):
+            batch = [rows[int(j)] for j in order[i : i + batch_size]]
+            pixels = preprocess_batch([r["path"] for r in batch], image_size)
+            tokens = tok([caption_for(r) for r in batch],
+                         context_length=context_length)
+            yield pixels.astype(np.float32), tokens.astype(np.int32)
+        epoch += 1
+
+
+def finetune_on_color_dataset(
+    trainer,
+    base_dir: str,
+    batch_size: int = 32,
+    steps: int = 100,
+    image_size: Optional[int] = None,
+    context_length: Optional[int] = None,
+    seed: int = 0,
+) -> List[float]:
+    """Convenience loop: metadata.csv -> shuffled contrastive batches ->
+    trainer.train_step. Returns per-step losses."""
+    import pandas as pd
+
+    metadata = pd.read_csv(os.path.join(base_dir, "metadata.csv")).to_dict("records")
+    cfg = trainer.cfg
+    batches = contrastive_batches(
+        metadata,
+        batch_size,
+        image_size=image_size or cfg.image_size,
+        context_length=context_length or cfg.context_length,
+        seed=seed,
+        base_dir=base_dir,
+    )
+    losses = []
+    for i, (pixels, tokens) in enumerate(batches):
+        if i >= steps:
+            break
+        losses.append(trainer.train_step(pixels, tokens))
+    return losses
