@@ -52,3 +52,20 @@ def test_fused_zero_norm_query(rng):
     planes = np.asarray(fused_all_metrics(jnp.asarray(q0), jnp.asarray(unit),
                                           jnp.asarray(mags), block_n=64))
     assert np.all(planes[0] == 0.0)  # cosine_similarity -> 0 on zero norm
+
+
+def test_fused_kernels_pad_ragged_gallery(rng):
+    """N not divisible by block_n exercises the internal padding path."""
+    queries, unit, mags, emb = _setup(rng, n=150, d=128, q=2)
+    planes = np.asarray(fused_all_metrics(jnp.asarray(queries), jnp.asarray(unit),
+                                          jnp.asarray(mags), block_n=64))
+    assert planes.shape == (5, 2, 150)
+    ref = M.pairwise_metrics(queries, emb, metrics=PLANES, exact_l2=True)
+    for k, name in enumerate(PLANES):
+        np.testing.assert_allclose(planes[k], np.asarray(ref[name]),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+    w = np.array([0.5, 1.0, 0.2, 0.1, 0.3], np.float32)
+    got = np.asarray(fused_optimized_scores(
+        jnp.asarray(queries), jnp.asarray(unit), jnp.asarray(mags),
+        jnp.asarray(w), block_n=64))
+    assert got.shape == (2, 150)
