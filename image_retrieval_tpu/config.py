@@ -41,6 +41,23 @@ class ModelConfig:
     #                      large train batch sizes
 
 
+def vit_b32() -> "ModelConfig":
+    return ModelConfig()
+
+
+def vit_b16() -> "ModelConfig":
+    return dataclasses.replace(ModelConfig(), name="clip-vit-base-patch16",
+                               patch_size=16)
+
+
+def vit_l14() -> "ModelConfig":
+    return dataclasses.replace(
+        ModelConfig(), name="clip-vit-large-patch14", patch_size=14,
+        vision_width=1024, vision_layers=24, vision_heads=16,
+        text_width=768, text_layers=12, text_heads=12, embed_dim=768,
+    )
+
+
 @dataclasses.dataclass
 class MeshConfig:
     """Device mesh layout. `data` shards the batch / gallery rows,
