@@ -148,25 +148,34 @@ class SearchServer:
                 for i, r in enumerate(batch):
                     groups.setdefault((r.metric, r.weights), []).append(i)
                 for (metric, weights), rows in groups.items():
-                    k = max(batch[i].top_k for i in rows)
-                    # optimized metric scores against unnormalized query
-                    q_in = embs[rows] if metric == "optimized_similarity" else qn[rows]
-                    params = (
-                        dict(zip(("w_angle", "w_l1", "w_l2", "w_inf", "w_mag"),
-                                 weights))
-                        if weights is not None else None
-                    )
-                    vals, idx = self.index.search(
-                        q_in, top_k=min(k, len(self.index)),
-                        metric=metric, params=params,
-                    )
-                    for row, i in enumerate(rows):
-                        r = batch[i]
-                        r.result = [
-                            {"path": self.index.paths[int(j)], "score": float(v)}
-                            for v, j in zip(vals[row][: r.top_k], idx[row][: r.top_k])
-                        ]
-                        r.done.set()
+                    try:
+                        k = max(batch[i].top_k for i in rows)
+                        # optimized metric scores against unnormalized query
+                        q_in = (embs[rows] if metric == "optimized_similarity"
+                                else qn[rows])
+                        params = (
+                            dict(zip(("w_angle", "w_l1", "w_l2", "w_inf",
+                                      "w_mag"), weights))
+                            if weights is not None else None
+                        )
+                        vals, idx = self.index.search(
+                            q_in, top_k=min(k, len(self.index)),
+                            metric=metric, params=params,
+                        )
+                        for row, i in enumerate(rows):
+                            r = batch[i]
+                            r.result = [
+                                {"path": self.index.paths[int(j)], "score": float(v)}
+                                for v, j in zip(vals[row][: r.top_k], idx[row][: r.top_k])
+                            ]
+                            r.done.set()
+                    except Exception as e:
+                        # a bad metric/weights group fails only its own
+                        # requests, not the whole batch
+                        logger.exception("group failed")
+                        for i in rows:
+                            batch[i].error = e
+                            batch[i].done.set()
                 self.stats["requests"] += len(batch)
                 self.stats["batches"] += 1
                 self.stats["max_observed_batch"] = max(

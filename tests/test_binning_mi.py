@@ -80,3 +80,17 @@ def test_jax_mi_close_to_host(rng):
     for i in range(7):
         want = mutual_info_from_labels(vals[i], labels, 20, "uniform")
         assert got[i] == pytest.approx(want, abs=1e-4)
+
+
+@pytest.mark.parametrize("values", [
+    [0.0, 0.0, 0.0, 1e-300],                 # near-degenerate range
+    [1.0, 1.0 + 2**-23, 2.0],                # one-ulp separation
+    [-5.0, -5.0, -5.0, -5.0, 7.0],           # constant with one outlier
+    list(np.linspace(0, 1, 21)),              # values exactly on edges
+    [3.14] * 50,                              # fully constant
+])
+def test_discretize_adversarial_cases(values):
+    x = np.array(values, np.float64)
+    ours = discretize(x, 5, "uniform")
+    theirs = _sk_binned(x, 5, "uniform")
+    np.testing.assert_array_equal(ours, theirs)

@@ -73,3 +73,22 @@ def test_mixed_top_k(serving_stack):
             t.join()
     for k, res in out:
         assert len(res) == k
+
+
+def test_bad_metric_fails_only_its_request(serving_stack):
+    enc, idx = serving_stack
+    with SearchServer(enc, idx, max_wait_ms=30) as server:
+        out = {}
+        def good():
+            out["good"] = server.search("red object", top_k=2)
+        def bad():
+            try:
+                server.search("red object", top_k=2, metric="no_such_metric")
+                out["bad"] = "no error"
+            except Exception:
+                out["bad"] = "raised"
+        ts = [threading.Thread(target=good), threading.Thread(target=bad)]
+        for t in ts: t.start()
+        for t in ts: t.join()
+    assert out["bad"] == "raised"
+    assert len(out["good"]) == 2  # unaffected
