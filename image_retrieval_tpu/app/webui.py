@@ -21,10 +21,8 @@ from __future__ import annotations
 import argparse
 import json
 import logging
-import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
 
 logger = logging.getLogger(__name__)
 

@@ -31,7 +31,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from image_retrieval_tpu.config import ModelConfig
-from image_retrieval_tpu.models.clip import Block, CLIP, init_params
+from image_retrieval_tpu.models.clip import Block, init_params
 from image_retrieval_tpu.parallel.pipeline import gpipe_local, stack_layer_params
 from image_retrieval_tpu.train.trainer import clip_contrastive_loss
 
