@@ -354,7 +354,9 @@ class ShardedVectorIndex:
 
     def save(self, path: str) -> None:
         """Persist as npz + json sidecar (replaces Milvus server-side
-        persistence, docker-compose.yml:11-12)."""
+        persistence, docker-compose.yml:11-12). Tombstoned rows are
+        compacted away first so deletes survive the save/load cycle."""
+        self.compact()
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         g = (self._host_gallery[: self.count].astype(np.float32)
              if self.count else np.zeros((0, self.dim), np.float32))

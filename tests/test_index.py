@@ -237,3 +237,13 @@ def test_compact_reclaims_tombstones(mesh, rng):
     assert [idx.paths[int(i)] for i in i_after] == paths_before
     np.testing.assert_allclose(v_after, v_before, rtol=1e-6)
     assert idx.compact() == 0  # idempotent
+
+
+def test_deletes_survive_save_load(tmp_path, mesh, rng):
+    idx, emb, paths = make_index(mesh, rng, n=30)
+    idx.delete(["img_3.jpg", "img_4.jpg"])
+    f = str(tmp_path / "deleted.npz")
+    idx.save(f)
+    idx2 = ShardedVectorIndex.load_from(f, mesh=mesh)
+    assert len(idx2) == 28
+    assert "img_3.jpg" not in idx2.paths and "img_4.jpg" not in idx2.paths
