@@ -1,0 +1,160 @@
+"""On-device IVF (inverted-file) approximate index.
+
+The exact sweep is the right default up to a few million rows per chip
+(ARCHITECTURE.md: 0.9–2.8 ms at 1M). Beyond that — or under sub-millisecond
+latency budgets — IVF trades exactness for a ~nlist/nprobe reduction in HBM
+traffic, mirroring the reference's Milvus configuration semantically
+(IVF_FLAT, nlist=1024, COSINE, nprobe=10; reference
+ImageEmbeddingSystem.py:56-61, image_search.py:88).
+
+TPU-native formulation (everything static-shape, one jit per (nprobe, k)):
+  build:  device k-means over unit rows (deterministic seeded init),
+          rows re-packed CONTIGUOUSLY by cluster into a padded
+          (nlist, Lmax, D) tensor — probing a cluster is a slab read,
+          not a random gather.
+  search: query x centroids (tiny matmul) -> top-nprobe clusters ->
+          take nprobe slabs -> fused cosine + masked top-k -> original ids.
+
+Exactness note: recall is tunable via nprobe; the reference's own ANN had
+the same property. The exact index remains the default everywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("nlist", "iters"))
+def _kmeans_unit(rows: jnp.ndarray, seed: jnp.ndarray, nlist: int, iters: int = 10):
+    """Spherical k-means over unit rows -> (nlist, D) unit centroids."""
+    n, d = rows.shape
+    key = jax.random.PRNGKey(seed[0])
+    init_idx = jax.random.choice(key, n, (nlist,), replace=False)
+    centroids = rows[init_idx]
+
+    def step(c, _):
+        sims = jnp.dot(rows, c.T, preferred_element_type=jnp.float32)  # (N, C)
+        assign = jnp.argmax(sims, axis=1)
+        onehot = jax.nn.one_hot(assign, nlist, dtype=jnp.float32)  # (N, C)
+        sums = jnp.dot(onehot.T, rows, preferred_element_type=jnp.float32)
+        norms = jnp.linalg.norm(sums, axis=1, keepdims=True)
+        new = jnp.where(norms > 1e-9, sums / jnp.maximum(norms, 1e-9), c)
+        return new, None
+
+    centroids, _ = jax.lax.scan(step, centroids, None, length=iters)
+    sims = jnp.dot(rows, centroids.T, preferred_element_type=jnp.float32)
+    return centroids, jnp.argmax(sims, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "k"))
+def _ivf_search(
+    queries: jnp.ndarray,      # (Q, D)
+    centroids: jnp.ndarray,    # (C, D) unit
+    packed: jnp.ndarray,       # (C, Lmax, D) unit rows, zero-padded
+    row_ids: jnp.ndarray,      # (C, Lmax) original ids (-1 padding)
+    nprobe: int,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    q = queries.astype(jnp.float32)
+    qn = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    qu = jnp.where(qn > 0, q / jnp.where(qn > 0, qn, 1.0), 0.0)
+    csims = jnp.dot(qu, centroids.T, preferred_element_type=jnp.float32)  # (Q, C)
+    _, probe = jax.lax.top_k(csims, nprobe)  # (Q, nprobe)
+
+    def per_query(qv, clusters):
+        slab = packed[clusters]          # (nprobe, Lmax, D) contiguous reads
+        ids = row_ids[clusters].reshape(-1)  # (nprobe*Lmax,)
+        scores = jnp.einsum(
+            "pld,d->pl", slab, qv, preferred_element_type=jnp.float32
+        ).reshape(-1)
+        scores = jnp.where(ids >= 0, scores, -jnp.inf)
+        vals, local = jax.lax.top_k(scores, k)
+        return vals, ids[local]
+
+    return jax.vmap(per_query)(qu, probe)
+
+
+class IVFIndex:
+    """Approximate cosine index over unit vectors (built from raw or from a
+    ShardedVectorIndex's stored rows)."""
+
+    def __init__(self, nlist: int = 1024, nprobe: int = 10, seed: int = 0):
+        self.nlist = nlist
+        self.nprobe = nprobe
+        self.seed = seed
+        self.paths: list = []
+        self._centroids = None
+        self._packed = None
+        self._row_ids = None
+        self.count = 0
+
+    def build(self, embeddings: np.ndarray, paths: Optional[Sequence[str]] = None,
+              iters: int = 10) -> "IVFIndex":
+        emb = np.asarray(embeddings, np.float32)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        unit = emb / np.where(norms > 0, norms, 1.0)
+        n, d = unit.shape
+        nlist = min(self.nlist, n)
+        centroids, assign = _kmeans_unit(
+            jnp.asarray(unit), jnp.asarray([self.seed], jnp.uint32), nlist, iters
+        )
+        assign = np.asarray(assign)
+        counts = np.bincount(assign, minlength=nlist)
+        lmax = int(counts.max())
+        packed = np.zeros((nlist, lmax, d), np.float32)
+        row_ids = np.full((nlist, lmax), -1, np.int32)
+        cursor = np.zeros(nlist, np.int32)
+        for i, c in enumerate(assign):
+            packed[c, cursor[c]] = unit[i]
+            row_ids[c, cursor[c]] = i
+            cursor[c] += 1
+        self._centroids = jnp.asarray(np.asarray(centroids))
+        self._packed = jnp.asarray(packed)
+        self._row_ids = jnp.asarray(row_ids)
+        self.paths = list(paths) if paths is not None else [str(i) for i in range(n)]
+        self.count = n
+        self.nlist = nlist
+        return self
+
+    @classmethod
+    def from_index(cls, index, nlist: int = 1024, nprobe: int = 10, seed: int = 0):
+        """Build from a ShardedVectorIndex's stored unit rows."""
+        rows = index._host_gallery[: index.count].astype(np.float32)
+        if index._quantized:
+            rows = rows * index._host_scales[: index.count, None]
+        ivf = cls(nlist=nlist, nprobe=nprobe, seed=seed)
+        return ivf.build(rows, paths=list(index.paths))
+
+    def search(
+        self, queries: np.ndarray, top_k: int = 10, nprobe: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Approximate cosine top-k. Returns (scores, indices) like the exact
+        index; indices refer to build() order."""
+        if self.count == 0:
+            raise ValueError("index is empty")
+        q = np.asarray(queries, np.float32)
+        single = q.ndim == 1
+        if single:
+            q = q[None]
+        np_ = min(nprobe or self.nprobe, self.nlist)
+        k = min(top_k, self.count)
+        vals, ids = _ivf_search(
+            jnp.asarray(q), self._centroids, self._packed, self._row_ids, np_, k
+        )
+        vals, ids = np.asarray(vals), np.asarray(ids)
+        return (vals[0], ids[0]) if single else (vals, ids)
+
+    def recall_at(self, queries: np.ndarray, exact_ids: np.ndarray, k: int = 10,
+                  nprobe: Optional[int] = None) -> float:
+        """Mean top-k recall vs exact ids — the nprobe tuning measurement."""
+        _, got = self.search(queries, top_k=k, nprobe=nprobe)
+        hits = sum(
+            len(set(g.tolist()) & set(e.tolist())) / len(e)
+            for g, e in zip(np.atleast_2d(got), np.atleast_2d(exact_ids))
+        )
+        return hits / len(np.atleast_2d(got))

@@ -1,0 +1,65 @@
+"""IVF approximate index: recall vs the exact index, nprobe monotonicity."""
+
+import numpy as np
+import pytest
+
+from image_retrieval_tpu.config import IndexConfig
+from image_retrieval_tpu.index import ShardedVectorIndex
+from image_retrieval_tpu.index.ivf import IVFIndex
+
+
+@pytest.fixture(scope="module")
+def clustered_data():
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(32, 64)) * 3
+    rows = []
+    for i in range(4000):
+        rows.append(centers[i % 32] + rng.normal(size=64) * 0.5)
+    emb = np.stack(rows).astype(np.float32)
+    queries = (centers[:8] + rng.normal(size=(8, 64)) * 0.3).astype(np.float32)
+    return emb, queries
+
+
+def exact_topk_ids(emb, queries, k):
+    unit = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    qu = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    return np.argsort(-(qu @ unit.T), axis=1, kind="stable")[:, :k]
+
+
+def test_ivf_high_recall_on_clustered_data(clustered_data):
+    emb, queries = clustered_data
+    ivf = IVFIndex(nlist=64, nprobe=8, seed=0).build(emb)
+    exact = exact_topk_ids(emb, queries, 10)
+    recall = ivf.recall_at(queries, exact, k=10)
+    assert recall > 0.9, recall
+
+
+def test_ivf_nprobe_monotone_recall(clustered_data):
+    emb, queries = clustered_data
+    ivf = IVFIndex(nlist=64, seed=0).build(emb)
+    exact = exact_topk_ids(emb, queries, 10)
+    r_small = ivf.recall_at(queries, exact, k=10, nprobe=1)
+    r_large = ivf.recall_at(queries, exact, k=10, nprobe=64)
+    assert r_large >= r_small
+    assert r_large == pytest.approx(1.0)  # full probe == exact
+
+
+def test_ivf_from_sharded_index(clustered_data):
+    emb, queries = clustered_data
+    idx = ShardedVectorIndex(dim=64, config=IndexConfig(capacity_step=64))
+    idx.insert([f"p{i}" for i in range(len(emb))], emb)
+    ivf = IVFIndex.from_index(idx, nlist=64, nprobe=64)
+    vals, ids = ivf.search(queries[0], top_k=5)
+    v_ex, i_ex = idx.search(queries[0], top_k=5)
+    # full-probe IVF returns the exact result set
+    assert set(ids.tolist()) == set(i_ex.tolist())
+    assert ivf.paths[int(ids[0])] == idx.paths[int(i_ex[0])]
+
+
+def test_ivf_deterministic(clustered_data):
+    emb, queries = clustered_data
+    a = IVFIndex(nlist=32, seed=7).build(emb)
+    b = IVFIndex(nlist=32, seed=7).build(emb)
+    va, ia = a.search(queries, top_k=5)
+    vb, ib = b.search(queries, top_k=5)
+    np.testing.assert_array_equal(ia, ib)
