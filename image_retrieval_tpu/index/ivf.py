@@ -106,13 +106,17 @@ class IVFIndex:
         assign = np.asarray(assign)
         counts = np.bincount(assign, minlength=nlist)
         lmax = int(counts.max())
+        # vectorized packing: stable sort by cluster, slot = rank within
+        # cluster (position minus the cluster's start offset)
+        order = np.argsort(assign, kind="stable")
+        sorted_assign = assign[order]
+        starts = np.zeros(nlist, np.int64)
+        starts[1:] = np.cumsum(counts)[:-1]
+        slots = np.arange(n) - starts[sorted_assign]
         packed = np.zeros((nlist, lmax, d), np.float32)
         row_ids = np.full((nlist, lmax), -1, np.int32)
-        cursor = np.zeros(nlist, np.int32)
-        for i, c in enumerate(assign):
-            packed[c, cursor[c]] = unit[i]
-            row_ids[c, cursor[c]] = i
-            cursor[c] += 1
+        packed[sorted_assign, slots] = unit[order]
+        row_ids[sorted_assign, slots] = order.astype(np.int32)
         self._centroids = jnp.asarray(np.asarray(centroids))
         self._packed = jnp.asarray(packed)
         self._row_ids = jnp.asarray(row_ids)
