@@ -66,7 +66,8 @@ def _ivf_search(
     csims = jnp.dot(qu, centroids.T, preferred_element_type=jnp.float32)  # (Q, C)
     _, probe = jax.lax.top_k(csims, nprobe)  # (Q, nprobe)
 
-    def per_query(qv, clusters):
+    def per_query(args):
+        qv, clusters = args
         slab = packed[clusters]          # (nprobe, Lmax, D) contiguous reads
         ids = row_ids[clusters].reshape(-1)  # (nprobe*Lmax,)
         scores = jnp.einsum(
@@ -76,7 +77,10 @@ def _ivf_search(
         vals, local = jax.lax.top_k(scores, k)
         return vals, ids[local]
 
-    return jax.vmap(per_query)(qu, probe)
+    # lax.map (not vmap): one query's probed slabs live at a time, bounding
+    # the gather temp to (nprobe, Lmax, D) instead of Q x that (a 1M-row
+    # gallery with Q=32 would otherwise OOM HBM).
+    return jax.lax.map(per_query, (qu, probe))
 
 
 class IVFIndex:
