@@ -65,21 +65,31 @@ def _ivf_search(
     qu = jnp.where(qn > 0, q / jnp.where(qn > 0, qn, 1.0), 0.0)
     csims = jnp.dot(qu, centroids.T, preferred_element_type=jnp.float32)  # (Q, C)
     _, probe = jax.lax.top_k(csims, nprobe)  # (Q, nprobe)
+    nlist, lmax, d = packed.shape
+    packed_flat = packed.reshape(nlist * lmax, d)
+    ids_flat = row_ids.reshape(nlist * lmax)
 
     def per_query(args):
         qv, clusters = args
-        slab = packed[clusters]          # (nprobe, Lmax, D) contiguous reads
-        ids = row_ids[clusters].reshape(-1)  # (nprobe*Lmax,)
-        scores = jnp.einsum(
-            "pld,d->pl", slab, qv, preferred_element_type=jnp.float32
-        ).reshape(-1)
+
+        # Each probed cluster is ONE contiguous dynamic slice — XLA's batched
+        # slab gather (packed[clusters]) compiled ~100x slower on TPU.
+        def probe_one(_, c):
+            slab = jax.lax.dynamic_slice_in_dim(packed_flat, c * lmax, lmax, 0)
+            ids = jax.lax.dynamic_slice_in_dim(ids_flat, c * lmax, lmax, 0)
+            s = jnp.dot(slab, qv, preferred_element_type=jnp.float32)
+            return None, (s, ids)
+
+        _, (scores, ids) = jax.lax.scan(probe_one, None, clusters)
+        scores = scores.reshape(-1)
+        ids = ids.reshape(-1)
         scores = jnp.where(ids >= 0, scores, -jnp.inf)
         vals, local = jax.lax.top_k(scores, k)
         return vals, ids[local]
 
     # lax.map (not vmap): one query's probed slabs live at a time, bounding
-    # the gather temp to (nprobe, Lmax, D) instead of Q x that (a 1M-row
-    # gallery with Q=32 would otherwise OOM HBM).
+    # probe memory to (Lmax, D) per step (a 1M-row gallery with Q=32 vmapped
+    # would otherwise OOM HBM).
     return jax.lax.map(per_query, (qu, probe))
 
 
