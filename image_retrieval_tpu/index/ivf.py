@@ -51,12 +51,13 @@ def _kmeans_unit(rows: jnp.ndarray, seed: jnp.ndarray, nlist: int, iters: int = 
     return centroids, jnp.argmax(sims, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "k"))
+@functools.partial(jax.jit, static_argnames=("lmax", "nprobe", "k"))
 def _ivf_search(
     queries: jnp.ndarray,      # (Q, D)
     centroids: jnp.ndarray,    # (C, D) unit
-    packed: jnp.ndarray,       # (C, Lmax, D) unit rows, zero-padded
-    row_ids: jnp.ndarray,      # (C, Lmax) original ids (-1 padding)
+    packed_flat: jnp.ndarray,  # (C*Lmax, D) unit rows, cluster-contiguous
+    ids_flat: jnp.ndarray,     # (C*Lmax,) original ids (-1 padding)
+    lmax: int,
     nprobe: int,
     k: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -65,9 +66,6 @@ def _ivf_search(
     qu = jnp.where(qn > 0, q / jnp.where(qn > 0, qn, 1.0), 0.0)
     csims = jnp.dot(qu, centroids.T, preferred_element_type=jnp.float32)  # (Q, C)
     _, probe = jax.lax.top_k(csims, nprobe)  # (Q, nprobe)
-    nlist, lmax, d = packed.shape
-    packed_flat = packed.reshape(nlist * lmax, d)
-    ids_flat = row_ids.reshape(nlist * lmax)
 
     def per_query(args):
         qv, clusters = args
@@ -77,7 +75,8 @@ def _ivf_search(
         def probe_one(_, c):
             slab = jax.lax.dynamic_slice_in_dim(packed_flat, c * lmax, lmax, 0)
             ids = jax.lax.dynamic_slice_in_dim(ids_flat, c * lmax, lmax, 0)
-            s = jnp.dot(slab, qv, preferred_element_type=jnp.float32)
+            s = jnp.dot(slab.astype(jnp.float32), qv,
+                        preferred_element_type=jnp.float32)
             return None, (s, ids)
 
         _, (scores, ids) = jax.lax.scan(probe_one, None, clusters)
@@ -132,8 +131,11 @@ class IVFIndex:
         packed[sorted_assign, slots] = unit[order]
         row_ids[sorted_assign, slots] = order.astype(np.int32)
         self._centroids = jnp.asarray(np.asarray(centroids))
-        self._packed = jnp.asarray(packed)
-        self._row_ids = jnp.asarray(row_ids)
+        # canonical device layout is flat + cluster-contiguous (an in-jit
+        # reshape of a multi-GB tensor materializes a copy -> HBM OOM)
+        self._lmax = lmax
+        self._packed = jnp.asarray(packed.reshape(nlist * lmax, d))
+        self._row_ids = jnp.asarray(row_ids.reshape(nlist * lmax))
         self.paths = list(paths) if paths is not None else [str(i) for i in range(n)]
         self.count = n
         self.nlist = nlist
@@ -162,7 +164,8 @@ class IVFIndex:
         np_ = min(nprobe or self.nprobe, self.nlist)
         k = min(top_k, self.count)
         vals, ids = _ivf_search(
-            jnp.asarray(q), self._centroids, self._packed, self._row_ids, np_, k
+            jnp.asarray(q), self._centroids, self._packed, self._row_ids,
+            self._lmax, np_, k,
         )
         vals, ids = np.asarray(vals), np.asarray(ids)
         return (vals[0], ids[0]) if single else (vals, ids)
