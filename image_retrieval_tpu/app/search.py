@@ -61,11 +61,17 @@ def _optimized_rows(m: Dict[str, np.ndarray], p: Dict[str, float]) -> np.ndarray
 
 
 class TextImageSearcher:
-    """Multi-metric text->image search over the sharded index."""
+    """Multi-metric text->image search over the sharded index.
 
-    def __init__(self, encoder: Encoder, index: ShardedVectorIndex):
+    With `ann` set (an index.ivf.IVFIndex built over the same rows), candidate
+    generation runs through IVF and reranking stays exact — the literal
+    two-phase shape of the reference (Milvus ANN candidates + exact rerank,
+    image_search.py:87-112). Default is the exact index (recall 1.0)."""
+
+    def __init__(self, encoder: Encoder, index: ShardedVectorIndex, ann=None):
         self.encoder = encoder
         self.index = index
+        self.ann = ann
         self.similarity_params = dict(_DEFAULT_PARAMS)
 
     def set_similarity_params(self, params: dict) -> None:
@@ -80,6 +86,8 @@ class TextImageSearcher:
 
     def _candidates(self, text_embedding: np.ndarray, limit: int):
         qn = text_embedding / np.linalg.norm(text_embedding)
+        if self.ann is not None:
+            return self.ann.search(qn, top_k=min(limit, len(self.index)))
         vals, idx = self.index.search(qn, top_k=min(limit, len(self.index)))
         return vals, idx
 

@@ -63,3 +63,37 @@ def test_ivf_deterministic(clustered_data):
     va, ia = a.search(queries, top_k=5)
     vb, ib = b.search(queries, top_k=5)
     np.testing.assert_array_equal(ia, ib)
+
+
+def test_searcher_with_ivf_candidates(clustered_data):
+    """Two-phase IVF-candidates + exact-rerank search through the app
+    searcher (the reference's Milvus shape)."""
+    from image_retrieval_tpu.app.search import TextImageSearcher
+    from image_retrieval_tpu.models.encoder import FakeEncoder
+
+    emb, queries = clustered_data
+    # use fake-encoder text embeddings as both gallery and queries
+
+    enc = FakeEncoder(dim=64)
+
+    class _Enc(FakeEncoder):
+        def __init__(self):
+            self.dim = 64
+        def encode_texts(self, texts):
+            i = int(texts[0].split()[-1])
+            return queries[i][None].copy()
+
+    idx = ShardedVectorIndex(dim=64, config=IndexConfig(capacity_step=64))
+    idx.insert([f"p{i}" for i in range(len(emb))], emb)
+    ivf = IVFIndex.from_index(idx, nlist=64, nprobe=16)
+    exact_searcher = TextImageSearcher(_Enc(), idx)
+    ann_searcher = TextImageSearcher(_Enc(), idx, ann=ivf)
+    r_exact = exact_searcher.search("query 0", top_k=5, score_threshold=-1e9)
+    r_ann = ann_searcher.search("query 0", top_k=5, score_threshold=-1e9)
+    assert [h["path"] for h in r_ann] == [h["path"] for h in r_exact]
+    # optimized rerank also works over ANN candidates
+    ann_searcher.set_similarity_params({"w_angle": 1.0, "w_l1": 0.5, "w_l2": 0.5,
+                                        "w_inf": 0.0, "w_mag": 0.1})
+    r_opt = ann_searcher.search("query 0", top_k=5, score_threshold=0.0,
+                                use_optimized_similarity=True)
+    assert len(r_opt) >= 1
