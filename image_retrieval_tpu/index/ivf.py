@@ -92,6 +92,76 @@ def _ivf_search(
     return jax.lax.map(per_query, (qu, probe))
 
 
+def sharded_ivf_search(
+    queries: jnp.ndarray,      # (Q, D) replicated
+    centroids: jnp.ndarray,    # (C, D) replicated (tiny)
+    packed_flat: jnp.ndarray,  # (C*Lmax, D) sharded over `axis` (cluster-major)
+    ids_flat: jnp.ndarray,     # (C*Lmax,) sharded over `axis`
+    lmax: int,
+    nprobe: int,
+    k: int,
+    *,
+    mesh,
+    axis: str = "data",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-chip IVF: clusters sharded over the mesh.
+
+    Every device computes the (replicated) centroid top-nprobe, then probes
+    only the clusters IT owns (masked contiguous slices on its local shard);
+    per-device top-k results merge over ICI exactly like the exact index
+    (k-sized all_gather). Wall-clock per query is the slowest device's owned
+    probes — ~nprobe/ndev slabs with a balanced assignment."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    ndev = mesh.shape[axis]
+    nlist = centroids.shape[0]
+    clusters_per_dev = nlist // ndev
+
+    def local(q, c, pf, idf):
+        dev = jax.lax.axis_index(axis)
+        qn = jnp.linalg.norm(q, axis=-1, keepdims=True)
+        qu = jnp.where(qn > 0, q / jnp.where(qn > 0, qn, 1.0), 0.0)
+        csims = jnp.dot(qu, c.T, preferred_element_type=jnp.float32)
+        _, probe = jax.lax.top_k(csims, nprobe)  # (Q, nprobe) global ids
+
+        def per_query(args):
+            qv, clusters = args
+
+            def probe_one(_, cid):
+                local_cid = cid - dev * clusters_per_dev
+                owned = jnp.logical_and(local_cid >= 0, local_cid < clusters_per_dev)
+                safe = jnp.clip(local_cid, 0, clusters_per_dev - 1)
+                slab = jax.lax.dynamic_slice_in_dim(pf, safe * lmax, lmax, 0)
+                ids = jax.lax.dynamic_slice_in_dim(idf, safe * lmax, lmax, 0)
+                s = jnp.dot(slab.astype(jnp.float32), qv,
+                            preferred_element_type=jnp.float32)
+                s = jnp.where(jnp.logical_and(owned, ids >= 0), s, -jnp.inf)
+                return None, (s, ids)
+
+            _, (scores, ids) = jax.lax.scan(probe_one, None, clusters)
+            vals, local_top = jax.lax.top_k(scores.reshape(-1), k)
+            return vals, ids.reshape(-1)[local_top]
+
+        vals, ids = jax.lax.map(per_query, (qu, probe))  # (Q, k) per device
+        all_vals = jax.lax.all_gather(vals, axis, axis=-1, tiled=True)
+        all_ids = jax.lax.all_gather(ids, axis, axis=-1, tiled=True)
+        order = jnp.argsort(-all_vals, axis=-1, stable=True)[..., :k]
+        return (
+            jnp.take_along_axis(all_vals, order, axis=-1),
+            jnp.take_along_axis(all_ids, order, axis=-1),
+        )
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis, None), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, centroids, packed_flat, ids_flat)
+
+
 class IVFIndex:
     """Approximate cosine index over unit vectors (built from raw or from a
     ShardedVectorIndex's stored rows)."""

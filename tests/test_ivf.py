@@ -97,3 +97,28 @@ def test_searcher_with_ivf_candidates(clustered_data):
     r_opt = ann_searcher.search("query 0", top_k=5, score_threshold=0.0,
                                 use_optimized_similarity=True)
     assert len(r_opt) >= 1
+
+
+def test_sharded_ivf_matches_single_device(clustered_data):
+    """Clusters sharded over an 8-device mesh; results equal single-device."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from image_retrieval_tpu.index.ivf import sharded_ivf_search
+
+    emb, queries = clustered_data
+    ivf = IVFIndex(nlist=64, seed=0).build(emb)  # 64 clusters / 8 devices
+    single_v, single_i = ivf.search(queries, top_k=10, nprobe=16)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    pf = jax.device_put(np.asarray(ivf._packed), NamedSharding(mesh, P("data", None)))
+    idf = jax.device_put(np.asarray(ivf._row_ids), NamedSharding(mesh, P("data")))
+    qd = jax.device_put(jnp.asarray(queries), NamedSharding(mesh, P()))
+    cd = jax.device_put(ivf._centroids, NamedSharding(mesh, P()))
+    vals, ids = sharded_ivf_search(qd, cd, pf, idf, ivf._lmax, 16, 10,
+                                   mesh=mesh, axis="data")
+    # same result set per query (tie order may differ across merge paths)
+    for a, b in zip(np.asarray(ids), single_i):
+        assert set(a.tolist()) == set(b.tolist())
+    np.testing.assert_allclose(np.sort(np.asarray(vals), axis=-1),
+                               np.sort(single_v, axis=-1), rtol=1e-5)
