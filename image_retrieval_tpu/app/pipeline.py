@@ -127,20 +127,17 @@ class ImageSearchApp:
         self._generate_embeddings(image_paths)
 
     def _generate_embeddings(self, image_paths: Sequence) -> None:
-        """Batched encode + npz cache save (reference app_pipeline.py:92-134)."""
+        """Streamed decode -> batched encode + npz cache save
+        (reference app_pipeline.py:92-134, without holding every decoded
+        image in memory at once)."""
         enc = self._get_encoder()
         paths = [str(p) for p in image_paths]
-        ok_paths, pixels = [], []
-        from image_retrieval_tpu.models.preprocess import preprocess_host
+        from image_retrieval_tpu.data.loader import encode_folder
 
-        for p in paths:
-            try:
-                pixels.append(preprocess_host(p))
-                ok_paths.append(p)
-            except Exception as e:
-                logger.warning(f"Error processing {p}: {e}")
+        ok_paths, embs = encode_folder(
+            enc, paths, batch_size=self.config.batch_size, use_native=False
+        )
         if ok_paths:
-            embs = enc.encode_pixels(np.stack(pixels))
             for p, e in zip(ok_paths, embs):
                 self.embeddings[p] = e
             self._index_dirty = True
