@@ -194,8 +194,9 @@ class PipelinedCLIPTrainer:
         v_head = VisionHead(c, dtype)
         t_embed = TextEmbed(c, dtype)
         t_head = TextHead(c, dtype)
-        block_v = Block(c.vision_width, c.vision_heads, dtype)
-        block_t = Block(c.text_width, c.text_heads, dtype)
+        block_cls = nn.remat(Block) if c.remat else Block
+        block_v = block_cls(c.vision_width, c.vision_heads, dtype)
+        block_t = block_cls(c.text_width, c.text_heads, dtype)
         t_len = c.context_length
         causal = jnp.triu(jnp.full((t_len, t_len), -jnp.inf, jnp.float32), k=1)[None, None]
         M = num_micro
