@@ -122,3 +122,23 @@ def test_preprocess_host_shape_and_range(tmp_path):
     x = preprocess_host(p)
     assert x.shape == (224, 224, 3)
     assert -3.0 < x.min() < x.max() < 3.0
+
+
+def test_preprocess_device_close_to_host(tmp_path):
+    """Device-batched bilinear resize+normalize tracks the PIL path."""
+    from PIL import Image
+    import jax.numpy as jnp
+    from image_retrieval_tpu.models.preprocess import preprocess_device
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (224, 224, 3), np.uint8)  # already square/size
+    p = str(tmp_path / "sq.png")
+    Image.fromarray(img).save(p)
+    host = preprocess_host(p)
+    dev = np.asarray(preprocess_device(jnp.asarray(img[None])))[0]
+    np.testing.assert_allclose(dev, host, atol=1e-2)  # no resize needed: exact-ish
+    # resizing path produces the right shape and value range
+    small = rng.integers(0, 255, (2, 112, 112, 3), np.uint8)
+    out = np.asarray(preprocess_device(jnp.asarray(small)))
+    assert out.shape == (2, 224, 224, 3)
+    assert -3.0 < out.min() < out.max() < 3.0
