@@ -162,6 +162,44 @@ def sharded_ivf_search(
     return fn(queries, centroids, packed_flat, ids_flat)
 
 
+def _rebalance_assign(
+    unit: np.ndarray, centroids: np.ndarray, assign: np.ndarray, cap: int,
+    chunk: int = 65536,
+) -> np.ndarray:
+    """Greedy capacity-capped reassignment: rows of over-full clusters move
+    to their best centroid with free capacity, least-confident rows first.
+    Host-side, chunked (the (N, C) similarity matrix never materializes)."""
+    nlist = centroids.shape[0]
+    counts = np.bincount(assign, minlength=nlist)
+    if counts.max() <= cap:
+        return assign
+    assign = assign.copy()
+    # confidence = similarity to the assigned centroid
+    conf = np.einsum("nd,nd->n", unit, centroids[assign])
+    overflow_rows = []
+    for c in np.flatnonzero(counts > cap):
+        rows = np.flatnonzero(assign == c)
+        order = rows[np.argsort(conf[rows])]  # least confident first
+        spill = order[: counts[c] - cap]
+        overflow_rows.append(spill)
+        assign[spill] = -1
+        counts[c] = cap
+    overflow = np.concatenate(overflow_rows)
+    free = cap - counts  # per-cluster remaining capacity
+    for i in range(0, len(overflow), chunk):
+        rows = overflow[i : i + chunk]
+        sims = unit[rows] @ centroids.T  # (chunk, C)
+        order = np.argsort(-sims, axis=1)
+        for r, prefs in zip(rows, order):
+            for c in prefs:
+                if free[c] > 0:
+                    assign[r] = int(c)
+                    free[c] -= 1
+                    break
+    assert (assign >= 0).all()
+    return assign
+
+
 class IVFIndex:
     """Approximate cosine index over unit vectors (built from raw or from a
     ShardedVectorIndex's stored rows)."""
@@ -177,7 +215,11 @@ class IVFIndex:
         self.count = 0
 
     def build(self, embeddings: np.ndarray, paths: Optional[Sequence[str]] = None,
-              iters: int = 10) -> "IVFIndex":
+              iters: int = 10, balance: Optional[float] = 1.5) -> "IVFIndex":
+        """balance: cluster-size cap as a multiple of the mean (None = raw
+        k-means assignment). Capping bounds Lmax — memory is
+        nlist * Lmax * D, and every probe pays Lmax — at a small recall
+        cost for points pushed to their second-best centroid."""
         emb = np.asarray(embeddings, np.float32)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         unit = emb / np.where(norms > 0, norms, 1.0)
@@ -187,6 +229,11 @@ class IVFIndex:
             jnp.asarray(unit), jnp.asarray([self.seed], jnp.uint32), nlist, iters
         )
         assign = np.asarray(assign)
+        if balance is not None and nlist > 1:
+            assign = _rebalance_assign(
+                unit, np.asarray(centroids), assign,
+                cap=int(np.ceil(balance * n / nlist)),
+            )
         counts = np.bincount(assign, minlength=nlist)
         lmax = int(counts.max())
         # vectorized packing: stable sort by cluster, slot = rank within

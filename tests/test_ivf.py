@@ -122,3 +122,19 @@ def test_sharded_ivf_matches_single_device(clustered_data):
         assert set(a.tolist()) == set(b.tolist())
     np.testing.assert_allclose(np.sort(np.asarray(vals), axis=-1),
                                np.sort(single_v, axis=-1), rtol=1e-5)
+
+
+def test_balanced_build_bounds_lmax(clustered_data):
+    emb, queries = clustered_data
+    raw = IVFIndex(nlist=64, seed=0).build(emb, balance=None)
+    bal = IVFIndex(nlist=64, seed=0).build(emb, balance=1.2)
+    cap = int(np.ceil(1.2 * len(emb) / 64))
+    assert bal._lmax <= cap
+    assert bal._lmax <= raw._lmax
+    # recall stays high despite the cap
+    exact = exact_topk_ids(emb, queries, 10)
+    assert bal.recall_at(queries, exact, k=10, nprobe=16) > 0.85
+    # every row is still present exactly once
+    ids = np.asarray(bal._row_ids)
+    live = ids[ids >= 0]
+    assert len(live) == len(emb) and len(set(live.tolist())) == len(emb)
