@@ -55,11 +55,12 @@ def _kmeans_unit(rows: jnp.ndarray, seed: jnp.ndarray, nlist: int, iters: int = 
 def _ivf_search(
     queries: jnp.ndarray,      # (Q, D)
     centroids: jnp.ndarray,    # (C, D) unit
-    packed_flat: jnp.ndarray,  # (C*Lmax, D) unit rows, cluster-contiguous
+    packed_flat: jnp.ndarray,  # (C*Lmax, D) rows, cluster-contiguous (f32|int8)
     ids_flat: jnp.ndarray,     # (C*Lmax,) original ids (-1 padding)
     lmax: int,
     nprobe: int,
     k: int,
+    scales_flat: Optional[jnp.ndarray] = None,  # (C*Lmax,) int8 mode
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     q = queries.astype(jnp.float32)
     qn = jnp.linalg.norm(q, axis=-1, keepdims=True)
@@ -75,8 +76,14 @@ def _ivf_search(
         def probe_one(_, c):
             slab = jax.lax.dynamic_slice_in_dim(packed_flat, c * lmax, lmax, 0)
             ids = jax.lax.dynamic_slice_in_dim(ids_flat, c * lmax, lmax, 0)
-            s = jnp.dot(slab.astype(jnp.float32), qv,
-                        preferred_element_type=jnp.float32)
+            if scales_flat is not None:
+                # int8 slabs: bf16 dot, per-row scale applied to the output
+                sc = jax.lax.dynamic_slice_in_dim(scales_flat, c * lmax, lmax, 0)
+                s = jnp.dot(slab.astype(jnp.bfloat16), qv.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32) * sc
+            else:
+                s = jnp.dot(slab.astype(jnp.float32), qv,
+                            preferred_element_type=jnp.float32)
             return None, (s, ids)
 
         _, (scores, ids) = jax.lax.scan(probe_one, None, clusters)
@@ -204,14 +211,17 @@ class IVFIndex:
     """Approximate cosine index over unit vectors (built from raw or from a
     ShardedVectorIndex's stored rows)."""
 
-    def __init__(self, nlist: int = 1024, nprobe: int = 10, seed: int = 0):
+    def __init__(self, nlist: int = 1024, nprobe: int = 10, seed: int = 0,
+                 dtype: str = "float32"):
         self.nlist = nlist
         self.nprobe = nprobe
         self.seed = seed
+        self.dtype = dtype  # "float32" | "int8" (4x less probe HBM traffic)
         self.paths: list = []
         self._centroids = None
         self._packed = None
         self._row_ids = None
+        self._scales = None
         self.count = 0
 
     def build(self, embeddings: np.ndarray, paths: Optional[Sequence[str]] = None,
@@ -251,7 +261,17 @@ class IVFIndex:
         # canonical device layout is flat + cluster-contiguous (an in-jit
         # reshape of a multi-GB tensor materializes a copy -> HBM OOM)
         self._lmax = lmax
-        self._packed = jnp.asarray(packed.reshape(nlist * lmax, d))
+        flat = packed.reshape(nlist * lmax, d)
+        if self.dtype == "int8":
+            absmax = np.maximum(np.abs(flat).max(axis=1), 1e-12)
+            sc = (absmax / 127.0).astype(np.float32)
+            self._packed = jnp.asarray(
+                np.clip(np.rint(flat / sc[:, None]), -127, 127).astype(np.int8)
+            )
+            self._scales = jnp.asarray(sc)
+        else:
+            self._packed = jnp.asarray(flat)
+            self._scales = None
         self._row_ids = jnp.asarray(row_ids.reshape(nlist * lmax))
         self.paths = list(paths) if paths is not None else [str(i) for i in range(n)]
         self.count = n
@@ -282,7 +302,7 @@ class IVFIndex:
         k = min(top_k, self.count)
         vals, ids = _ivf_search(
             jnp.asarray(q), self._centroids, self._packed, self._row_ids,
-            self._lmax, np_, k,
+            self._lmax, np_, k, self._scales,
         )
         vals, ids = np.asarray(vals), np.asarray(ids)
         return (vals[0], ids[0]) if single else (vals, ids)

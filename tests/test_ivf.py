@@ -138,3 +138,14 @@ def test_balanced_build_bounds_lmax(clustered_data):
     ids = np.asarray(bal._row_ids)
     live = ids[ids >= 0]
     assert len(live) == len(emb) and len(set(live.tolist())) == len(emb)
+
+
+def test_int8_ivf_close_to_f32(clustered_data):
+    emb, queries = clustered_data
+    f32 = IVFIndex(nlist=64, seed=0).build(emb)
+    q8 = IVFIndex(nlist=64, seed=0, dtype="int8").build(emb)
+    v32, i32 = f32.search(queries, top_k=5, nprobe=16)
+    v8, i8 = q8.search(queries, top_k=5, nprobe=16)
+    # top-1 agreement and tight score agreement
+    np.testing.assert_array_equal(i8[:, 0], i32[:, 0])
+    np.testing.assert_allclose(v8, v32, rtol=3e-2, atol=3e-2)
