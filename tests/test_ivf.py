@@ -141,11 +141,19 @@ def test_balanced_build_bounds_lmax(clustered_data):
 
 
 def test_int8_ivf_close_to_f32(clustered_data):
+    """int8 slabs reorder near-ties (rows in this fixture are near
+    duplicates within a cluster), but every returned row's true score must
+    be within quantization error of the f32 winner set."""
     emb, queries = clustered_data
     f32 = IVFIndex(nlist=64, seed=0).build(emb)
     q8 = IVFIndex(nlist=64, seed=0, dtype="int8").build(emb)
     v32, i32 = f32.search(queries, top_k=5, nprobe=16)
     v8, i8 = q8.search(queries, top_k=5, nprobe=16)
-    # top-1 agreement and tight score agreement
-    np.testing.assert_array_equal(i8[:, 0], i32[:, 0])
-    np.testing.assert_allclose(v8, v32, rtol=3e-2, atol=3e-2)
+    unit = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    qu = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    for qi in range(len(queries)):
+        true8 = unit[i8[qi]] @ qu[qi]      # true scores of int8's picks
+        best = (unit[i32[qi]] @ qu[qi]).max()
+        assert np.all(true8 > best - 0.02)  # all picks are near-optimal
+        # reported int8 scores track the true scores
+        np.testing.assert_allclose(v8[qi], true8, rtol=3e-2, atol=3e-2)
