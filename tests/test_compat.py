@@ -65,3 +65,18 @@ def test_pair_sampling_matches_reference_rng(rng):
     ours, _ = an._sample_index_pairs()
     want = reference_sample_loop(25, 120)
     assert ours == want
+
+
+def test_collection_l2_metric_and_drop(rng):
+    from image_retrieval_tpu.index.compat import Collection, drop_collection, has_collection
+
+    drop_collection("tmp_l2")
+    col = Collection("tmp_l2", dim=32)
+    emb = rng.normal(size=(20, 32)).astype(np.float32)
+    col.insert([[f"x{i}" for i in range(20)], emb / np.linalg.norm(emb, axis=1, keepdims=True),
+                np.linalg.norm(emb, axis=1)][0:3])
+    res = col.search(data=[emb[5] / np.linalg.norm(emb[5])], param={"metric_type": "L2"},
+                     limit=3, output_fields=["image_path"])
+    assert res[0][0].entity.get("image_path") == "x5"  # self is nearest in L2 too
+    drop_collection("tmp_l2")
+    assert not has_collection("tmp_l2")
