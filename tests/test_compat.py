@@ -75,8 +75,9 @@ def test_collection_l2_metric_and_drop(rng):
     emb = rng.normal(size=(20, 32)).astype(np.float32)
     col.insert([[f"x{i}" for i in range(20)], emb / np.linalg.norm(emb, axis=1, keepdims=True),
                 np.linalg.norm(emb, axis=1)][0:3])
-    res = col.search(data=[emb[5] / np.linalg.norm(emb[5])], param={"metric_type": "L2"},
+    # L2 scores magnitude-reconstructed vectors, so query with the original
+    res = col.search(data=[emb[5]], param={"metric_type": "L2"},
                      limit=3, output_fields=["image_path"])
-    assert res[0][0].entity.get("image_path") == "x5"  # self is nearest in L2 too
+    assert res[0][0].entity.get("image_path") == "x5"  # exact self-match
     drop_collection("tmp_l2")
     assert not has_collection("tmp_l2")
