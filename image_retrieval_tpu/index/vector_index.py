@@ -132,10 +132,18 @@ class ShardedVectorIndex:
         start = self.count
         self._grow_to(start + n_new)
         if self._quantized:
-            # symmetric per-row int8: scale = absmax/127; HBM reads drop 4x
+            # Symmetric per-row int8 (absmax/127 grid); HBM reads drop 4x.
+            # The stored scale is norm-preserving — ||int8 row|| * scale ==
+            # ||original row|| exactly — so dequantized unit rows are exactly
+            # unit norm. That makes the int8 fused scorer's Gram-form L2
+            # (ops/metrics.py fused_optimized_scores_int8) exact and removes
+            # the quantization-grid norm error from cosine scores.
             absmax = np.maximum(np.abs(unit).max(axis=1), 1e-12)
-            qscale = (absmax / 127.0).astype(np.float32)
-            qrows = np.clip(np.rint(unit / qscale[:, None]), -127, 127).astype(np.int8)
+            grid = (absmax / 127.0).astype(np.float32)
+            qrows = np.clip(np.rint(unit / grid[:, None]), -127, 127).astype(np.int8)
+            qnorm = np.linalg.norm(qrows.astype(np.float32), axis=1)
+            unorm = np.linalg.norm(unit, axis=1)
+            qscale = (unorm / np.where(qnorm > 0, qnorm, 1.0)).astype(np.float32)
             self._host_gallery[start : start + n_new] = qrows
             self._host_scales[start : start + n_new] = qscale
         else:

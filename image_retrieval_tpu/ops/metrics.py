@@ -287,6 +287,74 @@ def fused_optimized_scores_xla(
     return score
 
 
+def fused_optimized_scores_int8(
+    queries: jnp.ndarray,
+    gallery_int8: jnp.ndarray,
+    scales: jnp.ndarray,
+    magnitudes: jnp.ndarray,
+    weights,
+) -> jnp.ndarray:
+    """Weighted optimized-similarity over an int8-quantized gallery without
+    dequantizing rows to f32.
+
+    The index stores norm-preserving per-row scales (index/vector_index.py
+    insert): ``int8_row * scale`` is exactly unit norm, so the reconstructed
+    row is ``int8_row * scale * mag`` with L2 norm exactly ``mag``. That
+    identity moves the angle AND L2 terms onto one bf16 MXU dot:
+
+        cos  = scale * <int8_row, q> / ||q||
+        L2^2 = mag^2 - 2*mag*scale*<int8_row, q> + ||q||^2   (exact Gram form)
+
+    leaving only L1/Linf (when their weights are live) as an elementwise
+    (Q, N, D) sweep, done in bf16 (int8 values and products are exactly
+    representable; reductions accumulate in f32). Semantics match
+    reference geometric_metrics.py:60-94 on the dequantized rows, up to
+    int8/bf16 rounding (~1e-3 relative — the quantization floor itself).
+    """
+    q = _f32(queries)
+    m = _f32(magnitudes)
+    sc = _f32(scales)
+    d = q.shape[-1]
+
+    def live(w):
+        return not (isinstance(w, (int, float)) and float(w) == 0.0)
+
+    w_angle, w_l1, w_l2, w_inf, w_mag = weights
+    qn = jnp.linalg.norm(q, axis=-1, keepdims=True)  # (Q, 1)
+    score = jnp.zeros((q.shape[0], gallery_int8.shape[0]), jnp.float32)
+    if live(w_angle) or live(w_l2):
+        dots = jnp.dot(
+            q.astype(jnp.bfloat16),
+            gallery_int8.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        )  # (Q, N) = <q, int8 values>
+        udots = dots * sc[None, :]  # <q, unit row>
+    if live(w_angle):
+        cos = jnp.where(qn > 0, udots / jnp.where(qn > 0, qn, 1.0), 0.0)
+        score = score + jnp.float32(w_angle) * cos
+    if live(w_l2):
+        sq = jnp.maximum(m[None, :] ** 2 - 2.0 * m[None, :] * udots + qn**2, 0.0)
+        score = score - jnp.float32(w_l2) * (jnp.sqrt(sq) / jnp.sqrt(jnp.float32(d)))
+    if live(w_l1) or live(w_inf):
+        row_scale = (sc * m).astype(jnp.bfloat16)  # (N,)
+        diff = (
+            gallery_int8.astype(jnp.bfloat16)[None, :, :] * row_scale[None, :, None]
+            - q.astype(jnp.bfloat16)[:, None, :]
+        )  # (Q, N, D) bf16, fused by XLA into the sweep
+        ad = jnp.abs(diff)
+        if live(w_l1):
+            score = score - jnp.float32(w_l1) * (
+                jnp.sum(ad, axis=-1, dtype=jnp.float32) / d
+            )
+        if live(w_inf):
+            score = score - jnp.float32(w_inf) * jnp.max(ad, axis=-1).astype(
+                jnp.float32
+            )
+    if live(w_mag):
+        score = score - jnp.float32(w_mag) * jnp.abs(m[None, :] - qn)
+    return score
+
+
 def optimized_similarity(
     queries: jnp.ndarray, gallery: jnp.ndarray, params: Dict[str, float]
 ) -> jnp.ndarray:

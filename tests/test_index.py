@@ -199,6 +199,78 @@ def test_int8_gallery_mode(mesh, rng):
     )
 
 
+def test_int8_norm_preserving_scales(mesh, rng):
+    """int8 dequantized unit rows are EXACTLY unit norm (the scale folds the
+    quantization-grid norm error back in), which the fused int8 scorer's
+    Gram-form L2 relies on."""
+    emb = rng.normal(size=(96, 64)).astype(np.float32) * rng.uniform(
+        0.5, 2.0, (96, 1)
+    ).astype(np.float32)
+    q8 = ShardedVectorIndex(
+        dim=64, mesh=mesh, config=IndexConfig(capacity_step=64, dtype="int8")
+    )
+    q8.insert([f"i{i}" for i in range(96)], emb)
+    deq = q8._host_gallery[:96].astype(np.float32) * q8._host_scales[:96, None]
+    np.testing.assert_allclose(np.linalg.norm(deq, axis=1), 1.0, rtol=1e-6)
+
+
+def test_int8_fused_optimized_scorer_vs_f64_oracle(mesh, rng):
+    """fused_optimized_scores_int8 (bf16 MXU dot + Gram L2 + bf16 L1/Linf
+    sweep) matches an f64 reference-semantics oracle computed on the SAME
+    dequantized rows — all five weights live, so every branch runs."""
+    from image_retrieval_tpu.ops.metrics import fused_optimized_scores_int8
+
+    n, d = 160, 64
+    emb = rng.normal(size=(n, d)).astype(np.float32) * rng.uniform(
+        0.5, 2.0, (n, 1)
+    ).astype(np.float32)
+    q8 = ShardedVectorIndex(
+        dim=d, mesh=mesh, config=IndexConfig(capacity_step=64, dtype="int8")
+    )
+    q8.insert([f"i{i}" for i in range(n)], emb)
+    qs = rng.normal(size=(3, d)).astype(np.float32)
+    weights = (1.0, 1.0, 1.0, 0.7, 0.5)
+
+    got = np.asarray(
+        fused_optimized_scores_int8(
+            qs,
+            q8._host_gallery[:n],
+            q8._host_scales[:n],
+            q8._host_mags[:n],
+            weights,
+        )
+    )
+
+    # f64 oracle, reference geometric_metrics.py:60-94 semantics, on the
+    # reconstructed (dequantized * magnitude) rows
+    rows = (
+        q8._host_gallery[:n].astype(np.float64)
+        * q8._host_scales[:n, None]
+        * q8._host_mags[:n, None]
+    )
+    q64 = qs.astype(np.float64)
+    qn = np.linalg.norm(q64, axis=1, keepdims=True)
+    cos = (q64 @ rows.T) / (qn * np.linalg.norm(rows, axis=1)[None, :])
+    diff = rows[None] - q64[:, None, :]
+    ad = np.abs(diff)
+    w_angle, w_l1, w_l2, w_inf, w_mag = weights
+    want = (
+        w_angle * cos
+        - w_l1 * ad.sum(-1) / d
+        - w_l2 * np.sqrt((diff**2).sum(-1)) / np.sqrt(d)
+        - w_inf * ad.max(-1)
+        - w_mag * np.abs(np.linalg.norm(rows, axis=1)[None, :] - qn)
+    )
+    # bf16 sweeps bound the error at ~1e-2 absolute on O(1) scores
+    np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
+    # rankings: top-1 identical, top-5 heavy overlap per query
+    for r in range(3):
+        oracle_top = np.argsort(-want[r], kind="stable")[:5]
+        got_top = np.argsort(-got[r], kind="stable")[:5]
+        assert got_top[0] == oracle_top[0]
+        assert len(set(got_top) & set(oracle_top)) >= 4
+
+
 def test_delete_tombstones(mesh, rng):
     idx, emb, paths = make_index(mesh, rng, n=50)
     q = emb[7].astype(np.float32)
