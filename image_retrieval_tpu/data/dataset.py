@@ -116,8 +116,12 @@ class ColorDatasetManager:
 
         for image_id, category in candidates:
             # Skip decode when the (category, every color) quota is full.
+            # (.get, not [], so probing never inserts defaultdict entries —
+            # the copy loop below iterates in first-SELECTION order, matching
+            # the reference's imageProcessing.py:193-198.)
+            cat_sel = selected.get(category, {})
             if all(
-                len(selected[category][c]) >= self.num_examples for c in self.colors
+                len(cat_sel.get(c, ())) >= self.num_examples for c in self.colors
             ):
                 continue
             img_path = os.path.join(coco_dir, id_to_file[image_id])

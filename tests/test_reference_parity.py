@@ -170,3 +170,139 @@ def test_relationship_pairs_match_reference(tmp_path):
     assert {frozenset(p) for p in our_pairs["diff_object_diff_color"]} == {
         frozenset(p) for p in ref_pairs["diff_object_diff_color"]
     }
+
+
+# -- COCO-ingestion parity (reference imageProcessing.py:122-216, :508-571) --
+
+
+_COLOR_RGB = {
+    "white": (250, 250, 250),
+    "black": (15, 15, 15),
+    "brown": (160, 60, 30),
+    "other": (40, 160, 220),
+}
+
+
+def _write_tricolor_jpeg(path, dominant, rng):
+    """32x32 JPEG: 70% of rows the dominant color, 15% each of two others.
+    Contiguous blocks + subsampling=0 keep the three pixel clusters crisp, so
+    sklearn KMeans and our JAX KMeans find the same dominant cluster."""
+    from PIL import Image
+
+    minors = [c for c in _COLOR_RGB if c != dominant][:2]
+    arr = np.zeros((32, 32, 3), np.uint8)
+    arr[:22] = _COLOR_RGB[dominant]
+    arr[22:27] = _COLOR_RGB[minors[0]]
+    arr[27:] = _COLOR_RGB[minors[1]]
+    Image.fromarray(arr).save(path, quality=100, subsampling=0)
+
+
+def _make_coco_tree(root):
+    """Synthetic COCO-format tree: images + annotation JSON, including the
+    edge cases the reference handles (multi-annotation images use the first
+    matching category; unknown categories are ignored; missing files skip)."""
+    import json as _json
+
+    img_dir = root / "val2017"
+    img_dir.mkdir()
+    rng = np.random.default_rng(7)
+    cats = ["dog", "car", "chair", "zebra"]  # zebra not in the manager's list
+    cat_ids = {c: i + 1 for i, c in enumerate(cats)}
+    images, annotations = [], []
+    img_id, ann_id = 1, 1
+
+    def add(cat_names, dominant, write_file=True):
+        nonlocal img_id, ann_id
+        fname = f"{img_id:012d}.jpg"
+        if write_file:
+            _write_tricolor_jpeg(str(img_dir / fname), dominant, rng)
+        images.append({"id": img_id, "file_name": fname})
+        for c in cat_names:
+            annotations.append(
+                {"id": ann_id, "image_id": img_id, "category_id": cat_ids[c]}
+            )
+            ann_id += 1
+        img_id += 1
+
+    for cat in ("dog", "car", "chair"):
+        for color in ("white", "black", "brown", "other"):
+            for _ in range(2):
+                add([cat], color)
+    add(["dog", "car"], "white")  # first matching category (dog) wins
+    add(["zebra"], "white")  # unknown category: never a candidate
+    add(["car"], "brown", write_file=False)  # missing file: warned + skipped
+
+    ann = {
+        "images": images,
+        "categories": [{"id": i, "name": c} for c, i in cat_ids.items()],
+        "annotations": annotations,
+    }
+    ann_path = root / "instances.json"
+    with open(ann_path, "w") as f:
+        _json.dump(ann, f)
+    return str(img_dir), str(ann_path)
+
+
+def test_coco_ingestion_matches_reference(tmp_path):
+    """Full step-1 parity: reference prepare_color_dataset vs ours on the
+    SAME synthetic COCO tree — identical selected images, metadata.csv rows,
+    and pairs.json (reference imageProcessing.py:122-216 + :508-571)."""
+    import json as _json
+
+    import pandas as pd
+
+    import imageProcessing as ref_ip  # reference import
+
+    from image_retrieval_tpu.data.dataset import prepare_color_dataset
+
+    coco_dir, ann_file = _make_coco_tree(tmp_path)
+    ref_base = str(tmp_path / "ref_out")
+    our_base = str(tmp_path / "our_out")
+
+    ref_pairs, ref_meta = ref_ip.prepare_color_dataset(coco_dir, ann_file, ref_base)
+    our_pairs, our_meta = prepare_color_dataset(coco_dir, ann_file, our_base)
+
+    def relativize(meta, base):
+        out = []
+        for m in meta:
+            m = dict(m)
+            m["path"] = os.path.relpath(m["path"], base)
+            out.append(m)
+        return out
+
+    assert relativize(our_meta, our_base) == relativize(ref_meta, ref_base)
+    # 3 cats x 3 matching colors x 2, +1 multi-annotation white dog
+    # ("other"-colored images drop; the missing file and zebra image drop)
+    assert len(our_meta) == 19
+
+    # metadata.csv: identical rows modulo the base-dir prefix
+    ref_df = pd.read_csv(os.path.join(ref_base, "metadata.csv"))
+    our_df = pd.read_csv(os.path.join(our_base, "metadata.csv"))
+    for df, base in ((ref_df, ref_base), (our_df, our_base)):
+        df["path"] = df["path"].map(lambda p: os.path.relpath(p, base))
+    pd.testing.assert_frame_equal(our_df, ref_df)
+
+    # identical copied file tree
+    def tree(base):
+        out = set()
+        for dirpath, _, files in os.walk(base):
+            for fn in files:
+                if fn.endswith(".jpg"):
+                    out.add(os.path.relpath(os.path.join(dirpath, fn), base))
+        return out
+
+    assert tree(our_base) == tree(ref_base)
+
+    # pairs.json: exact for the order-stable relations, set-equal for the one
+    # the reference enumerates in Python-set order (COMPAT.md divergence #8)
+    with open(os.path.join(ref_base, "pairs.json")) as f:
+        ref_json = _json.load(f)
+    with open(os.path.join(our_base, "pairs.json")) as f:
+        our_json = _json.load(f)
+    assert set(our_json) == set(ref_json)
+    for rel in ("same_object_same_color", "same_object_diff_color",
+                "diff_object_same_color"):
+        assert our_json[rel] == ref_json[rel], rel
+    assert {frozenset(map(tuple, p)) for p in our_json["diff_object_diff_color"]} == {
+        frozenset(map(tuple, p)) for p in ref_json["diff_object_diff_color"]
+    }
