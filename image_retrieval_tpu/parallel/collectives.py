@@ -30,6 +30,33 @@ _OPT_INPUTS = (
 )
 
 
+def _gather_merge_topk(
+    vals: jnp.ndarray,
+    gidx: jnp.ndarray,
+    axis: str,
+    k: int,
+    descending: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inside shard_map: all_gather per-shard (Q, kk) candidates over `axis`
+    and reduce to the merged top-k, replicated along that axis.
+
+    Deterministic tie-break: equal scores order by ascending global index
+    (two-key sort: index asc first, then stable score sort)."""
+    all_vals = jax.lax.all_gather(vals, axis, axis=-1, tiled=True)
+    all_idx = jax.lax.all_gather(gidx, axis, axis=-1, tiled=True)
+    s = all_vals if descending else -all_vals
+    order_idx = jnp.argsort(all_idx, axis=-1, stable=True)
+    s2 = jnp.take_along_axis(s, order_idx, axis=-1)
+    order = jnp.take_along_axis(
+        order_idx, jnp.argsort(-s2, axis=-1, stable=True), axis=-1
+    )
+    top = order[..., : min(k, all_vals.shape[-1])]
+    return (
+        jnp.take_along_axis(all_vals, top, axis=-1),
+        jnp.take_along_axis(all_idx, top, axis=-1),
+    )
+
+
 def _score_block(
     queries: jnp.ndarray,
     gallery: jnp.ndarray,
@@ -70,6 +97,40 @@ def _score_block(
     return pairwise_metrics(queries, g, metrics=(metric,))[metric]
 
 
+def _masked_shard_scores(q, g, v, m, sc, metric, weights, descending):
+    """(Q, Nl) scores for one gallery shard, tombstones masked to +/-inf.
+
+    `m`/`sc` arrive as 1-tuples (or None) — the shard_map wrappers keep the
+    signature uniform whether magnitudes/int8-scales exist."""
+    if sc is not None and metric == "optimized_similarity":
+        # int8 fast path: angle + L2 + mag terms come off one bf16 MXU dot
+        # (norm-preserving scales make the Gram-form L2 exact); only live
+        # L1/Linf terms sweep (Q, Nl, D), in bf16.
+        from image_retrieval_tpu.ops.metrics import fused_optimized_scores_int8
+
+        mm = m[0] if m is not None else jnp.ones((g.shape[0],), jnp.float32)
+        scores = fused_optimized_scores_int8(q, g, sc[0], mm, weights)
+    elif sc is not None and metric == "cosine_similarity":
+        # int8 fast path: bf16 MXU dot, per-row scale applied to the (Q, Nl)
+        # result instead of dequantizing (N, D) rows (measured 0.87 ms vs
+        # 1.08 ms per 1M x 512 query on v5e).
+        qf = q.astype(jnp.float32)
+        qn = jnp.linalg.norm(qf, axis=-1, keepdims=True)
+        qu = jnp.where(qn > 0, qf / jnp.where(qn > 0, qn, 1.0), 0.0)
+        dots = jnp.dot(
+            qu.astype(jnp.bfloat16), g.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        )
+        scores = dots * sc[0][None, :]
+    else:
+        if sc is not None:
+            # generic dequant, fused into the score sweep by XLA
+            g = g.astype(jnp.float32) * sc[0][:, None]
+        scores = _score_block(q, g, None if m is None else m[0], metric, weights)
+    bad = jnp.float32(-jnp.inf if descending else jnp.inf)
+    return jnp.where(v[0][None, :], scores, bad)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "weights", "mesh", "axis"),
@@ -108,51 +169,11 @@ def sharded_search_topk(
 
     def local(q, g, v, m, sc):
         shard_id = jax.lax.axis_index(axis)
-        # int8 gallery mode: HBM reads stay 1 byte/element.
-        if sc is not None and metric == "optimized_similarity":
-            # Fast path: angle + L2 + mag terms come off one bf16 MXU dot
-            # (norm-preserving scales make the Gram-form L2 exact); only
-            # live L1/Linf terms sweep (Q, Nl, D), in bf16.
-            from image_retrieval_tpu.ops.metrics import fused_optimized_scores_int8
-
-            mm = m[0] if m is not None else jnp.ones((g.shape[0],), jnp.float32)
-            scores = fused_optimized_scores_int8(q, g, sc[0], mm, weights)
-        elif sc is not None and metric == "cosine_similarity":
-            # Fast path: int8 rows -> bf16 MXU dot, per-row scale applied to
-            # the (Q, Nl) result instead of dequantizing (N, D) rows
-            # (measured 0.87 ms vs 1.08 ms per 1M x 512 query on v5e).
-            qf = q.astype(jnp.float32)
-            qn = jnp.linalg.norm(qf, axis=-1, keepdims=True)
-            qu = jnp.where(qn > 0, qf / jnp.where(qn > 0, qn, 1.0), 0.0)
-            dots = jnp.dot(
-                qu.astype(jnp.bfloat16), g.astype(jnp.bfloat16).T,
-                preferred_element_type=jnp.float32,
-            )
-            scores = dots * sc[0][None, :]
-        else:
-            if sc is not None:
-                # generic dequant, fused into the score sweep by XLA
-                g = g.astype(jnp.float32) * sc[0][:, None]
-            scores = _score_block(q, g, None if m is None else m[0], metric, weights)
-        bad = jnp.float32(-jnp.inf if descending else jnp.inf)
-        scores = jnp.where(v[0][None, :], scores, bad)
+        scores = _masked_shard_scores(q, g, v, m, sc, metric, weights, descending)
         vals, idx = exact_topk(scores, kk, descending=descending)
         gidx = idx + shard_id * nlocal
         # Ship only (k, k) per shard over ICI; merge replicated on all devices.
-        all_vals = jax.lax.all_gather(vals, axis, axis=-1, tiled=True)
-        all_idx = jax.lax.all_gather(gidx, axis, axis=-1, tiled=True)
-        s = all_vals if descending else -all_vals
-        # two-key sort: index asc first, then stable score desc
-        order_idx = jnp.argsort(all_idx, axis=-1, stable=True)
-        s2 = jnp.take_along_axis(s, order_idx, axis=-1)
-        order = jnp.take_along_axis(
-            order_idx, jnp.argsort(-s2, axis=-1, stable=True), axis=-1
-        )
-        top = order[..., : min(k, nshards * kk)]
-        return (
-            jnp.take_along_axis(all_vals, top, axis=-1),
-            jnp.take_along_axis(all_idx, top, axis=-1),
-        )
+        return _gather_merge_topk(vals, gidx, axis, k, descending)
 
     in_specs = (
         P(),  # queries replicated
@@ -232,21 +253,7 @@ def sharded_multimetric_topk(
             s = jnp.where(v[None, :], s, bad)
             vals, idx = exact_topk(s, kk, descending=descending)
             gidx = idx + shard_id * nlocal
-            all_vals = jax.lax.all_gather(vals, axis, axis=-1, tiled=True)
-            all_idx = jax.lax.all_gather(gidx, axis, axis=-1, tiled=True)
-            ss = all_vals if descending else -all_vals
-            order_idx = jnp.argsort(all_idx, axis=-1, stable=True)
-            s2 = jnp.take_along_axis(ss, order_idx, axis=-1)
-            order = jnp.take_along_axis(
-                order_idx, jnp.argsort(-s2, axis=-1, stable=True), axis=-1
-            )
-            top = order[..., : min(k, nshards * kk)]
-            outs.append(
-                (
-                    jnp.take_along_axis(all_vals, top, axis=-1),
-                    jnp.take_along_axis(all_idx, top, axis=-1),
-                )
-            )
+            outs.append(_gather_merge_topk(vals, gidx, axis, k, descending))
         return tuple(outs)
 
     fn = shard_map(
@@ -262,6 +269,78 @@ def sharded_multimetric_topk(
     dummy_sc = jnp.zeros((gallery.shape[0],), jnp.float32) if scales is None else scales
     outs = fn(queries, gallery, valid, mags, dummy_sc)
     return {name: out for (name, _), out in zip(metric_dirs, outs)}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "weights", "mesh", "slice_axis", "data_axis"),
+)
+def multislice_search_topk(
+    queries: jnp.ndarray,
+    gallery: jnp.ndarray,
+    valid: jnp.ndarray,
+    mags: Optional[jnp.ndarray],
+    k: int,
+    metric: str = "cosine_similarity",
+    weights: Optional[Tuple[float, ...]] = None,
+    scales: Optional[jnp.ndarray] = None,
+    *,
+    mesh: Mesh,
+    slice_axis: str = "slice",
+    data_axis: str = "data",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over a gallery row-sharded across a (slice, data) mesh
+    with a HIERARCHICAL merge: per-shard top-k -> intra-slice merge over the
+    `data` axis (ICI-speed collectives) -> cross-slice merge over the
+    `slice` axis (DCN-speed).
+
+    This is the >1-TPU-slice scale-out of sharded_search_topk (SURVEY §5:
+    "DCN if the index ever exceeds one slice"): each device ships k
+    candidates over ICI, but only k candidates per SLICE — not k per chip —
+    ever cross the slow inter-slice DCN links. Results are identical to the
+    flat single-axis merge (tested on a virtual (2, 4) mesh vs (8,)).
+
+    `gallery`/`valid`/`mags`/`scales` are sharded P((slice_axis, data_axis))
+    on their row dimension; shard linear order is slice-major, so global row
+    indices are (slice_id * n_data + data_id) * rows_per_shard + local_row.
+    """
+    descending = metric in DESCENDING_METRICS
+    n_slices = mesh.shape[slice_axis]
+    n_data = mesh.shape[data_axis]
+    nlocal = gallery.shape[0] // (n_slices * n_data)
+    kk = min(k, nlocal)
+
+    def local(q, g, v, m, sc):
+        slice_id = jax.lax.axis_index(slice_axis)
+        data_id = jax.lax.axis_index(data_axis)
+        scores = _masked_shard_scores(q, g, v, m, sc, metric, weights, descending)
+        vals, idx = exact_topk(scores, kk, descending=descending)
+        gidx = idx + (slice_id * n_data + data_id) * nlocal
+        # stage 1: merge the slice's shards over ICI
+        vals, gidx = _gather_merge_topk(vals, gidx, data_axis, k, descending)
+        # stage 2: merge k-sized per-slice results over DCN
+        return _gather_merge_topk(vals, gidx, slice_axis, k, descending)
+
+    row = P((slice_axis, data_axis))
+    fn = shard_map(
+        lambda q, g, v, m, sc: local(
+            q, g, (v,), None if mags is None else (m,),
+            None if scales is None else (sc,),
+        ),
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P((slice_axis, data_axis), None),
+            row,
+            row if mags is not None else P(),
+            row if scales is not None else P(),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    dummy = jnp.zeros((gallery.shape[0],), jnp.float32) if mags is None else mags
+    dummy_sc = jnp.zeros((gallery.shape[0],), jnp.float32) if scales is None else scales
+    return fn(queries, gallery, valid, dummy, dummy_sc)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "weights", "mesh", "axis"))
