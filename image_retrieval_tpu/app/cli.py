@@ -75,6 +75,10 @@ def _build_app(args):
 
     encoder = get_encoder(fake=args.fake_encoder) if args.fake_encoder else None
     app = ImageSearchApp(encoder=encoder)
+    if getattr(args, "ann", "exact") != "exact":
+        app.config.search.ann = args.ann
+        app.config.search.nlist = args.nlist
+        app.config.search.nprobe = args.nprobe
     paths = app.scan_folders(args.folder)
     if not paths:
         print(f"No images found under {args.folder}", file=sys.stderr)
@@ -209,7 +213,10 @@ def cmd_serve(args) -> int:
 
     app = _build_app(args)
     index = app._ensure_index()
-    with SearchServer(app._get_encoder(), index, max_batch=args.max_batch) as server:
+    ann = app._ensure_ann(index)
+    with SearchServer(
+        app._get_encoder(), index, max_batch=args.max_batch, ann=ann
+    ) as server:
         print(f"Serving {len(index)} vectors. Enter queries (blank line to exit).")
         while True:
             try:
@@ -254,6 +261,16 @@ def make_parser() -> argparse.ArgumentParser:
         sp.add_argument("--folder", required=True, help="Image folder")
         sp.add_argument("--fake-encoder", action="store_true",
                         help="Deterministic encoder (no CLIP weights needed)")
+        sp.add_argument("--ann", choices=("exact", "ivf"), default="exact",
+                        help="Candidate generation: exact sharded index "
+                             "(recall 1.0) or on-device IVF (Milvus "
+                             "IVF_FLAT analog)")
+        sp.add_argument("--nlist", type=int, default=1024,
+                        help="IVF cluster count (reference "
+                             "ImageEmbeddingSystem.py:56-61)")
+        sp.add_argument("--nprobe", type=int, default=10,
+                        help="IVF clusters probed per query (reference "
+                             "image_search.py:88)")
 
     sp = sub.add_parser("search", help="Text search over an image folder")
     common(sp)

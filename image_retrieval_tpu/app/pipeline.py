@@ -69,6 +69,7 @@ class ImageSearchApp:
         self.searcher = SimpleSearcher()
         self._index: Optional[ShardedVectorIndex] = None
         self._index_dirty = True
+        self._ann = None  # lazily built IVFIndex when config.search.ann == "ivf"
 
     # -- encoder management (no per-query reloads) ---------------------------
 
@@ -158,7 +159,22 @@ class ImageSearchApp:
             paths = list(self.embeddings.keys())
             self._index.insert(paths, np.stack([self.embeddings[p] for p in paths]))
             self._index_dirty = False
+            self._ann = None  # gallery changed; rebuild IVF lists on demand
         return self._index
+
+    def _ensure_ann(self, index: ShardedVectorIndex):
+        """IVF candidate generator when configured (config.search.ann='ivf'),
+        the Milvus IVF_FLAT analog (reference ImageEmbeddingSystem.py:56-61)."""
+        sc = self.config.search
+        if sc.ann != "ivf" or index is None or len(index) == 0:
+            return None
+        if self._ann is None or self._ann.count != index.count:
+            from image_retrieval_tpu.index.ivf import IVFIndex
+
+            self._ann = IVFIndex.from_index(
+                index, nlist=min(sc.nlist, index.count), nprobe=sc.nprobe
+            )
+        return self._ann
 
     # -- search --------------------------------------------------------------
 
@@ -179,17 +195,51 @@ class ImageSearchApp:
             return []
         q = self._get_query_embedding(query)
         metric = "optimized_similarity" if use_optimized_similarity else "cosine_similarity"
-        scores = index.scores(
-            q, metric=metric,
-            params=self.searcher.similarity_params if use_optimized_similarity else None,
-        )
+        ann = self._ensure_ann(index)
+        if ann is not None:
+            # two-phase: IVF candidates (overfetched) -> exact rerank, the
+            # reference's Milvus-ANN shape (image_search.py:88-107)
+            limit = min(top_k * self.config.search.overfetch, len(index))
+            qn = q / max(np.linalg.norm(q), 1e-12)
+            cos, cand = ann.search(qn, top_k=limit)
+            if self.config.search.rank_by_abs:
+                # abs-ranking (reference app_pipeline.py:167) also surfaces
+                # strongly NEGATIVE cosines; IVF candidates are descending
+                # only, so probe the antipode too and take the union.
+                ncos, ncand = ann.search(-qn, top_k=limit)
+                keep = ~np.isin(ncand, cand)
+                cand = np.concatenate([cand, ncand[keep]])
+                cos = np.concatenate([cos, -ncos[keep]])
+            if use_optimized_similarity:
+                from image_retrieval_tpu.app.search import (
+                    _all_metrics_rows,
+                    _optimized_rows,
+                )
+
+                rows = index.get_vectors(cand) * index.get_magnitudes(cand)[:, None]
+                scores = _optimized_rows(
+                    _all_metrics_rows(q, rows), self.searcher.similarity_params
+                )
+            else:
+                scores = cos
+            pool = np.asarray(cand)
+        else:
+            scores = index.scores(
+                q, metric=metric,
+                params=self.searcher.similarity_params
+                if use_optimized_similarity else None,
+            )
+            pool = None
         if self.config.search.rank_by_abs:
             rank_scores = np.abs(scores)
         else:
             rank_scores = scores
         order = np.argsort(-rank_scores, kind="stable")[:top_k]
         return [
-            {"path": index.paths[int(i)], "score": float(rank_scores[i])}
+            {
+                "path": index.paths[int(i if pool is None else pool[int(i)])],
+                "score": float(rank_scores[i]),
+            }
             for i in order
         ]
 

@@ -53,9 +53,14 @@ class SearchServer:
         index: ShardedVectorIndex,
         max_batch: int = 64,
         max_wait_ms: float = 2.0,
+        ann=None,
     ):
+        """`ann`: optional IVFIndex over the same rows — candidate generation
+        then runs two-phase (IVF candidates -> exact rerank), the reference's
+        Milvus-ANN serving shape (image_search.py:85-112)."""
         self.encoder = encoder
         self.index = index
+        self.ann = ann
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self._queue: "queue.Queue[_Request]" = queue.Queue()
@@ -87,6 +92,33 @@ class SearchServer:
 
     def __exit__(self, *exc):
         self.stop()
+
+    def _ann_search(self, q_unit, q_in, k, metric, params):
+        """Two-phase IVF serving: overfetched cosine candidates, exact rerank
+        for the optimized metric (reference image_search.py:88-107)."""
+        import numpy as np
+
+        limit = min(k * 3, len(self.index))
+        cos, cand = self.ann.search(q_unit, top_k=limit)
+        if metric == "cosine_similarity":
+            return cos[:, :k], cand[:, :k]
+        from image_retrieval_tpu.app.search import (
+            _all_metrics_rows,
+            _optimized_rows,
+        )
+
+        vals = np.empty((len(q_in), min(k, limit)), np.float32)
+        idx = np.empty((len(q_in), min(k, limit)), np.int64)
+        for r in range(len(q_in)):
+            rows = (
+                self.index.get_vectors(cand[r])
+                * self.index.get_magnitudes(cand[r])[:, None]
+            )
+            s = _optimized_rows(_all_metrics_rows(q_in[r], rows), params or {})
+            order = np.argsort(-s, kind="stable")[: vals.shape[1]]
+            vals[r] = s[order]
+            idx[r] = cand[r][order]
+        return vals, idx
 
     # -- client API ----------------------------------------------------------
 
@@ -158,10 +190,17 @@ class SearchServer:
                                       "w_mag"), weights))
                             if weights is not None else None
                         )
-                        vals, idx = self.index.search(
-                            q_in, top_k=min(k, len(self.index)),
-                            metric=metric, params=params,
-                        )
+                        if self.ann is not None and metric in (
+                            "cosine_similarity", "optimized_similarity",
+                        ):
+                            vals, idx = self._ann_search(
+                                qn[rows], q_in, k, metric, params
+                            )
+                        else:
+                            vals, idx = self.index.search(
+                                q_in, top_k=min(k, len(self.index)),
+                                metric=metric, params=params,
+                            )
                         for row, i in enumerate(rows):
                             r = batch[i]
                             r.result = [

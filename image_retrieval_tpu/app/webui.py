@@ -142,6 +142,10 @@ def main(argv=None):
     ap.add_argument("--fake-encoder", action="store_true")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8008)
+    ap.add_argument("--ann", choices=("exact", "ivf"), default="exact",
+                    help="Candidate generation (ivf = Milvus IVF_FLAT analog)")
+    ap.add_argument("--nlist", type=int, default=1024)
+    ap.add_argument("--nprobe", type=int, default=10)
     args = ap.parse_args(argv)
 
     from image_retrieval_tpu.app.pipeline import ImageSearchApp
@@ -150,10 +154,14 @@ def main(argv=None):
 
     encoder = get_encoder(fake=args.fake_encoder) if args.fake_encoder else None
     app = ImageSearchApp(encoder=encoder)
+    if args.ann != "exact":
+        app.config.search.ann = args.ann
+        app.config.search.nlist = args.nlist
+        app.config.search.nprobe = args.nprobe
     paths = app.scan_folders(args.folder)
     app.process_images(paths)
     index = app._ensure_index()
-    with SearchServer(app._get_encoder(), index) as srv:
+    with SearchServer(app._get_encoder(), index, ann=app._ensure_ann(index)) as srv:
         httpd = serve(srv, index.paths, args.host, args.port)
         print(f"Serving {len(index)} images at http://{args.host}:{args.port}")
         try:

@@ -107,6 +107,12 @@ class SearchConfig:
     # (image_search.py:93 uses 3x, :169 uses 5x). The exact index makes this a
     # no-op for correctness but it is honored for behavioral parity.
     overfetch: int = 3
+    # Candidate generation: "exact" (sharded exact index, recall 1.0) or
+    # "ivf" (on-device IVF, the Milvus IVF_FLAT analog — reference
+    # ImageEmbeddingSystem.py:56-61 nlist=1024, image_search.py:88 nprobe=10).
+    ann: str = "exact"
+    nlist: int = 1024
+    nprobe: int = 10
 
 
 @dataclasses.dataclass
