@@ -39,6 +39,16 @@ class ModelConfig:
     remat: bool = False  # rematerialize transformer blocks in the backward
     #                      pass (jax.checkpoint) — trades FLOPs for memory at
     #                      large train batch sizes
+    # -- numerics-preserving layout variants (TPU perf experiments; defaults
+    #    are the measured-fastest settings for the v5e embed path) --
+    # Pad the vision token sequence (CLS + 49 patches) up to this length with
+    # attention-masked zero tokens: 0 = no padding. Padded keys get -inf
+    # attention bias, so outputs for real tokens are IDENTICAL.
+    vision_seq_pad: int = 0
+    # Lower the patch conv as reshape -> one MXU matmul instead of nn.Conv.
+    patch_embed_matmul: bool = False
+    # Use jax.nn.dot_product_attention (XLA fused attention) in Blocks.
+    fused_attention: bool = False
 
 
 def vit_b32() -> "ModelConfig":

@@ -49,6 +49,7 @@ class Attention(nn.Module):
     width: int
     heads: int
     dtype: Dtype = jnp.float32
+    fused: bool = False  # jax.nn.dot_product_attention (XLA fused path)
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
@@ -61,13 +62,16 @@ class Attention(nn.Module):
         k = k.reshape(b, t, self.heads, hd)
         v = v.reshape(b, t, self.heads, hd)
         scale = hd ** -0.5
-        logits = jnp.einsum(
-            "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
-        )
-        if mask is not None:
-            logits = logits + mask
-        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        if self.fused:
+            out = jax.nn.dot_product_attention(q, k, v, bias=mask, scale=scale)
+        else:
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+            )
+            if mask is not None:
+                logits = logits + mask
+            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = out.reshape(b, t, self.width)
         return nn.Dense(self.width, dtype=self.dtype, name="out_proj")(out)
 
@@ -76,13 +80,55 @@ class Block(nn.Module):
     width: int
     heads: int
     dtype: Dtype = jnp.float32
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x)
-        x = x + Attention(self.width, self.heads, self.dtype, name="attn")(h, mask)
+        x = x + Attention(
+            self.width, self.heads, self.dtype, self.fused_attn, name="attn"
+        )(h, mask)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x)
         return x + MLP(self.width, self.dtype, name="mlp")(h)
+
+
+class PatchEmbed(nn.Module):
+    """Strided patch conv, optionally lowered as reshape -> one MXU matmul.
+
+    The parameter tree ({'kernel': (p, p, 3, width)}) matches flax nn.Conv
+    exactly, so checkpoints port identically either way."""
+
+    width: int
+    patch: int
+    dtype: Dtype = jnp.float32
+    as_matmul: bool = False
+
+    @nn.compact
+    def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
+        p = self.patch
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (p, p, 3, self.width),
+        )
+        x = pixels.astype(self.dtype)
+        if self.as_matmul:
+            b, h, w, _ = x.shape
+            gh, gw = h // p, w // p
+            x = (
+                x.reshape(b, gh, p, gw, p, 3)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(b, gh * gw, p * p * 3)
+            )
+            wmat = kernel.astype(self.dtype).reshape(p * p * 3, self.width)
+            return jnp.dot(x, wmat)
+        return jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(self.dtype),
+            window_strides=(p, p),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
 
 
 class CLIPVisionTower(nn.Module):
@@ -94,14 +140,13 @@ class CLIPVisionTower(nn.Module):
         """pixels: (B, H, W, 3) normalized -> (B, embed_dim) unnormalized."""
         c = self.cfg
         b = pixels.shape[0]
-        x = nn.Conv(
+        x = PatchEmbed(
             c.vision_width,
-            kernel_size=(c.patch_size, c.patch_size),
-            strides=(c.patch_size, c.patch_size),
-            use_bias=False,
-            dtype=self.dtype,
+            c.patch_size,
+            self.dtype,
+            as_matmul=c.patch_embed_matmul,
             name="patch_embed",
-        )(pixels.astype(self.dtype))
+        )(pixels)
         n = (c.image_size // c.patch_size) ** 2
         x = x.reshape(b, n, c.vision_width)
         cls = self.param(
@@ -114,9 +159,25 @@ class CLIPVisionTower(nn.Module):
         )
         x = x + pos.astype(self.dtype)[None]
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="pre_ln")(x).astype(self.dtype)
+        mask = None
+        if c.vision_seq_pad and c.vision_seq_pad > n + 1:
+            # Lane-align the token axis: pad with zero tokens whose KEYS are
+            # attention-masked (-inf bias), so real-token outputs (and the
+            # CLS pooling below) are numerically identical.
+            pad = c.vision_seq_pad - (n + 1)
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            mask = jnp.concatenate(
+                [
+                    jnp.zeros((n + 1,), jnp.float32),
+                    jnp.full((pad,), -jnp.inf, jnp.float32),
+                ]
+            )[None, None, None, :]
         block_cls = nn.remat(Block) if c.remat else Block
         for i in range(c.vision_layers):
-            x = block_cls(c.vision_width, c.vision_heads, self.dtype, name=f"block_{i}")(x)
+            x = block_cls(
+                c.vision_width, c.vision_heads, self.dtype,
+                c.fused_attention, name=f"block_{i}",
+            )(x, mask)
         pooled = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="post_ln")(x[:, 0])
         proj = self.param(
             "proj", nn.initializers.normal(0.02), (c.vision_width, c.embed_dim)
@@ -149,7 +210,10 @@ class CLIPTextTower(nn.Module):
         mask = jnp.triu(jnp.full((t, t), -jnp.inf, jnp.float32), k=1)[None, None]
         block_cls = nn.remat(Block) if c.remat else Block
         for i in range(c.text_layers):
-            x = block_cls(c.text_width, c.text_heads, self.dtype, name=f"block_{i}")(x, mask)
+            x = block_cls(
+                c.text_width, c.text_heads, self.dtype,
+                c.fused_attention, name=f"block_{i}",
+            )(x, mask)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_ln")(x)
         eot = jnp.argmax(token_ids, axis=-1)
         pooled = x[jnp.arange(b), eot]
