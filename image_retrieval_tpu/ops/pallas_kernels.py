@@ -159,6 +159,142 @@ def _combo_kernel(q_ref, qn_ref, w_ref, g_ref, mag_ref, out_ref):
         )
 
 
+def _make_combo_topk_kernel(n_total: int, block_n: int, k: int):
+    """Fused weighted scoring + in-kernel block top-k.
+
+    Emits only (Q, k) values + global indices per gallery block, so the
+    (Q, N) score plane never round-trips HBM (SURVEY §7 'core kernel work';
+    VERDICT r1 #8). Selection is iterative max-extraction — k passes over
+    the VMEM-resident (Q, BN) scores, each a VPU max + index-of + mask-out;
+    at k<=64 this is noise next to the (BN, D) elementwise sweep."""
+
+    def kernel(q_ref, qn_ref, w_ref, g_ref, mag_ref, vals_ref, idx_ref):
+        g = g_ref[:].astype(jnp.float32)
+        q = q_ref[:]
+        qn = qn_ref[:]
+        mags = mag_ref[:]
+        bn, d = g.shape
+        nq = q.shape[0]
+        w_angle = w_ref[0, 0]
+        w_l1 = w_ref[0, 1]
+        w_l2 = w_ref[0, 2]
+        w_inf = w_ref[0, 3]
+        w_mag = w_ref[0, 4]
+        inv_d = 1.0 / d
+        inv_sqrt_d = d ** -0.5
+
+        dots = jnp.dot(g, q.T, preferred_element_type=jnp.float32)  # (BN, Q)
+        safe_qn = jnp.where(qn > 0, qn, 1.0)
+        cos = jnp.where(qn.T > 0, dots / safe_qn.T, 0.0)
+        gu = g * mags
+        m1 = mags[:, 0]
+        ones = jnp.ones((d, 1), jnp.float32)
+        rows = []
+        for i in range(nq):
+            ad = jnp.abs(gu - q[i, :][None, :])
+            l1 = jnp.dot(ad, ones, preferred_element_type=jnp.float32)[:, 0] * inv_d
+            linf = jnp.max(ad, axis=1)
+            sq = jnp.maximum(
+                m1 * m1 - 2.0 * m1 * dots[:, i] + qn[i, 0] * qn[i, 0], 0.0
+            )
+            l2 = jnp.sqrt(sq) * inv_sqrt_d
+            dmag = jnp.abs(m1 - qn[i, 0])
+            rows.append(
+                w_angle * cos[:, i] - w_l1 * l1 - w_l2 * l2 - w_inf * linf
+                - w_mag * dmag
+            )
+        scores = jnp.stack(rows)  # (Q, BN) in VMEM
+
+        base = pl.program_id(0) * block_n
+        col = jax.lax.broadcasted_iota(jnp.int32, (nq, bn), 1)
+        gcol = col + base
+        # mask capacity padding (rows past the true N)
+        scores = jnp.where(gcol < n_total, scores, -jnp.inf)
+
+        # k static max-extraction passes, unrolled (Mosaic requires
+        # 128-aligned dynamic stores in the lane dimension, so results
+        # accumulate in registers and write once as whole blocks).
+        s = scores
+        vals_cols = []
+        idx_cols = []
+        for _ in range(k):
+            m = jnp.max(s, axis=1, keepdims=True)  # (Q, 1)
+            # first column attaining the max (stable tie-break by index)
+            at = jnp.min(jnp.where(s == m, col, bn), axis=1)  # (Q,)
+            vals_cols.append(m[:, 0])
+            idx_cols.append(at + base)
+            s = jnp.where(col == at[:, None], -jnp.inf, s)
+        vals_ref[:, 0, :] = jnp.stack(vals_cols, axis=1)
+        idx_ref[:, 0, :] = jnp.stack(idx_cols, axis=1).astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_n"))
+def fused_optimized_topk(
+    queries: jnp.ndarray,
+    gallery_unit: jnp.ndarray,
+    magnitudes: jnp.ndarray,
+    weights: jnp.ndarray,
+    k: int = 10,
+    block_n: int = 2048,
+):
+    """Exact weighted-similarity top-k WITHOUT materializing (Q, N) scores.
+
+    The gallery may be f32 or bf16 (halves HBM traffic; compute stays f32).
+    Returns (values (Q, k) f32, indices (Q, k) int32), sorted descending
+    with ascending-index tie-breaks — identical to scoring + exact_topk.
+    """
+    q = queries.astype(jnp.float32)
+    g = gallery_unit
+    n, d = g.shape
+    nq = q.shape[0]
+    pad = (-n) % block_n
+    if pad:
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+        magnitudes = jnp.pad(magnitudes, (0, pad))
+    npad = n + pad
+    grid_n = npad // block_n
+    kk = min(k, n)
+    qn = jnp.linalg.norm(q, axis=1, keepdims=True)
+    mag2d = magnitudes.astype(jnp.float32).reshape(npad, 1)
+    w = weights.astype(jnp.float32).reshape(1, 5)
+    vals, idx = pl.pallas_call(
+        _make_combo_topk_kernel(n, block_n, kk),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, grid_n, kk), jnp.float32),
+            jax.ShapeDtypeStruct((nq, grid_n, kk), jnp.int32),
+        ),
+        grid=(grid_n,),
+        in_specs=[
+            pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 5), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nq, 1, kk), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, 1, kk), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=_interpret(),
+    )(q, qn, w, g, mag2d)
+    # Final merge over (Q, grid * k) candidates — tiny next to the sweep.
+    fv = vals.reshape(nq, grid_n * kk)
+    fi = idx.reshape(nq, grid_n * kk)
+    # two-key order: score desc, then global index asc (parity with
+    # ops/topk.exact_topk tie-breaking)
+    order_idx = jnp.argsort(fi, axis=-1, stable=True)
+    sv = jnp.take_along_axis(fv, order_idx, axis=-1)
+    order = jnp.take_along_axis(
+        order_idx, jnp.argsort(-sv, axis=-1, stable=True), axis=-1
+    )[:, :kk]
+    return (
+        jnp.take_along_axis(fv, order, axis=-1),
+        jnp.take_along_axis(fi, order, axis=-1),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("block_n",))
 def fused_optimized_scores(
     queries: jnp.ndarray,
