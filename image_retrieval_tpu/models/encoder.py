@@ -94,7 +94,9 @@ class CLIPEncoder(Encoder):
 
     # Each distinct batch shape costs a jit compile (minutes through the
     # remote TPU compiler), so batches snap to a small bucket ladder.
-    _BUCKETS = (8, 32, 128, 256)
+    # 192 is the measured v5e throughput peak (bench_results/
+    # embed_experiments.json: 11.4k img/s vs 11.1k at 128, 10.4k at 256).
+    _BUCKETS = (8, 32, 128, 192, 256)
 
     def _batch_sizes(self, requested: int) -> int:
         # batch must divide evenly over the data axis; snap up to a bucket

@@ -224,8 +224,8 @@ def _make_combo_topk_kernel(n_total: int, block_n: int, k: int):
             vals_cols.append(m[:, 0])
             idx_cols.append(at + base)
             s = jnp.where(col == at[:, None], -jnp.inf, s)
-        vals_ref[:, 0, :] = jnp.stack(vals_cols, axis=1)
-        idx_ref[:, 0, :] = jnp.stack(idx_cols, axis=1).astype(jnp.int32)
+        vals_ref[0, :, :] = jnp.stack(vals_cols, axis=1)
+        idx_ref[0, :, :] = jnp.stack(idx_cols, axis=1).astype(jnp.int32)
 
     return kernel
 
@@ -262,8 +262,11 @@ def fused_optimized_topk(
     vals, idx = pl.pallas_call(
         _make_combo_topk_kernel(n, block_n, kk),
         out_shape=(
-            jax.ShapeDtypeStruct((nq, grid_n, kk), jnp.float32),
-            jax.ShapeDtypeStruct((nq, grid_n, kk), jnp.int32),
+            # grid-major leading axis: each step writes a (1, nq, kk) block
+            # whose trailing dims equal the overall array's (Mosaic's block
+            # divisibility rule for non-128-aligned small outputs)
+            jax.ShapeDtypeStruct((grid_n, nq, kk), jnp.float32),
+            jax.ShapeDtypeStruct((grid_n, nq, kk), jnp.int32),
         ),
         grid=(grid_n,),
         in_specs=[
@@ -274,14 +277,14 @@ def fused_optimized_topk(
             pl.BlockSpec((block_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((nq, 1, kk), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nq, 1, kk), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq, kk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq, kk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         interpret=_interpret(),
     )(q, qn, w, g, mag2d)
     # Final merge over (Q, grid * k) candidates — tiny next to the sweep.
-    fv = vals.reshape(nq, grid_n * kk)
-    fi = idx.reshape(nq, grid_n * kk)
+    fv = vals.transpose(1, 0, 2).reshape(nq, grid_n * kk)
+    fi = idx.transpose(1, 0, 2).reshape(nq, grid_n * kk)
     # two-key order: score desc, then global index asc (parity with
     # ops/topk.exact_topk tie-breaking)
     order_idx = jnp.argsort(fi, axis=-1, stable=True)
