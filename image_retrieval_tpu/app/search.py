@@ -227,8 +227,8 @@ class TextImageSearcher:
         self, text_queries: List[str], top_k: int = 5
     ) -> List[List[dict]]:
         """Batched serving path: encode all queries at once, score the whole
-        batch in one gallery sweep (one sweep serves every query — measured
-        27.8k QPS at 64 queries over 1M x 512 on one v5e chip)."""
+        batch in one gallery sweep (one sweep serves every query — 14.1k QPS
+        at 64 queries over 1M x 512 on one v5e chip, BENCH_r01 batched_qps)."""
         if not text_queries:
             return []
         embs = self.encoder.encode_texts(text_queries)

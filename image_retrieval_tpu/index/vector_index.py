@@ -28,7 +28,11 @@ from jax.sharding import Mesh
 
 from image_retrieval_tpu.config import IndexConfig
 from image_retrieval_tpu.parallel.mesh import make_mesh, shard_rows, replicate
-from image_retrieval_tpu.parallel.collectives import sharded_search_topk, sharded_scores
+from image_retrieval_tpu.parallel.collectives import (
+    multislice_search_topk,
+    sharded_scores,
+    sharded_search_topk,
+)
 
 _WEIGHT_KEYS = ("w_angle", "w_l1", "w_l2", "w_inf", "w_mag")
 
@@ -50,7 +54,16 @@ class ShardedVectorIndex:
         self.dim = dim
         self.mesh = mesh if mesh is not None else make_mesh()
         self.axis = self.config.shard_axis
-        self._nshards = self.mesh.shape[self.axis]
+        # Multi-slice mode: a mesh with a "slice" axis shards rows over
+        # (slice, data) and search merges hierarchically — k candidates per
+        # slice over DCN instead of k per chip (SURVEY §5 scale-out).
+        self._multislice = (
+            "slice" in self.mesh.axis_names and self.axis in self.mesh.axis_names
+        )
+        self._row_axes = ("slice", self.axis) if self._multislice else self.axis
+        self._nshards = 1
+        for a in self._row_axes if self._multislice else (self.axis,):
+            self._nshards *= self.mesh.shape[a]
         self.paths: List[str] = []
         self.count = 0
         self.capacity = 0
@@ -197,11 +210,11 @@ class ShardedVectorIndex:
 
     def _sync_device(self) -> None:
         if self._device_dirty and self._host_gallery is not None:
-            self._gallery = shard_rows(self._host_gallery, self.mesh, self.axis)
-            self._mags = shard_rows(self._host_mags, self.mesh, self.axis)
-            self._valid = shard_rows(self._host_valid, self.mesh, self.axis)
+            self._gallery = shard_rows(self._host_gallery, self.mesh, self._row_axes)
+            self._mags = shard_rows(self._host_mags, self.mesh, self._row_axes)
+            self._valid = shard_rows(self._host_valid, self.mesh, self._row_axes)
             if self._quantized:
-                self._scales = shard_rows(self._host_scales, self.mesh, self.axis)
+                self._scales = shard_rows(self._host_scales, self.mesh, self._row_axes)
             self._device_dirty = False
 
     # Milvus load() now has real work: it stages the gallery onto the mesh
@@ -251,18 +264,33 @@ class ShardedVectorIndex:
         self._sync_device()
         qdev, single = self._prep_queries(queries)
         weights = self._weights_tuple(params) if metric == "optimized_similarity" else None
-        vals, idx = sharded_search_topk(
-            qdev,
-            self._gallery,
-            self._valid,
-            self._mags,
-            min(top_k, self.live_count),
-            metric,
-            weights,
-            self._scales,
-            mesh=self.mesh,
-            axis=self.axis,
-        )
+        if self._multislice:
+            vals, idx = multislice_search_topk(
+                qdev,
+                self._gallery,
+                self._valid,
+                self._mags,
+                min(top_k, self.live_count),
+                metric,
+                weights,
+                self._scales,
+                mesh=self.mesh,
+                slice_axis="slice",
+                data_axis=self.axis,
+            )
+        else:
+            vals, idx = sharded_search_topk(
+                qdev,
+                self._gallery,
+                self._valid,
+                self._mags,
+                min(top_k, self.live_count),
+                metric,
+                weights,
+                self._scales,
+                mesh=self.mesh,
+                axis=self.axis,
+            )
         vals, idx = np.asarray(vals), np.asarray(idx)
         if single:
             return vals[0], idx[0]
@@ -281,7 +309,8 @@ class ShardedVectorIndex:
         qdev, single = self._prep_queries(queries)
         out = sharded_multimetric_topk(
             qdev, self._gallery, self._valid, self._mags,
-            min(top_k, self.live_count), self._scales, mesh=self.mesh, axis=self.axis,
+            min(top_k, self.live_count), self._scales, mesh=self.mesh,
+            axis=self._row_axes,
         )
         result = {}
         for name, (vals, idx) in out.items():
@@ -321,7 +350,7 @@ class ShardedVectorIndex:
         s = np.asarray(
             sharded_scores(
                 qdev, self._gallery, self._mags, metric, weights, self._scales,
-                mesh=self.mesh, axis=self.axis,
+                mesh=self.mesh, axis=self._row_axes,
             )
         )[:, : self.count]
         return s[0] if single else s

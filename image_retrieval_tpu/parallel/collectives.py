@@ -30,6 +30,16 @@ _OPT_INPUTS = (
 )
 
 
+def _axis_size(mesh: "Mesh", axis) -> int:
+    """Total shard count along `axis`, which may be one name or a tuple of
+    names (multi-slice row sharding uses ('slice', 'data'))."""
+    names = axis if isinstance(axis, tuple) else (axis,)
+    size = 1
+    for a in names:
+        size *= mesh.shape[a]
+    return size
+
+
 def _gather_merge_topk(
     vals: jnp.ndarray,
     gidx: jnp.ndarray,
@@ -163,7 +173,7 @@ def sharded_search_topk(
         (values, global_indices), each (Q, k), replicated on all devices.
     """
     descending = metric in DESCENDING_METRICS
-    nshards = mesh.shape[axis]
+    nshards = _axis_size(mesh, axis)
     nlocal = gallery.shape[0] // nshards
     kk = min(k, nlocal)
 
@@ -217,7 +227,7 @@ def sharded_multimetric_topk(
     (descending) and l1/l2/linf/magnitude distances (ascending) — the
     single-sweep replacement for the reference's overfetch-then-sort-5-ways
     (image_search.py:163-220), exact instead of candidate-limited."""
-    nshards = mesh.shape[axis]
+    nshards = _axis_size(mesh, axis)
     nlocal = gallery.shape[0] // nshards
     kk = min(k, nlocal)
     metric_dirs = (

@@ -131,3 +131,53 @@ def test_int8_hierarchical(meshes, rng):
     )
     np.testing.assert_array_equal(mi, fi)
     np.testing.assert_allclose(mv, fv, rtol=1e-6)
+
+
+def test_sharded_index_on_multislice_mesh(meshes, rng):
+    """ShardedVectorIndex transparently shards rows over (slice, data) and
+    searches via the hierarchical merge — identical results to the same
+    index on a flat 8-way mesh, for f32 and int8 storage."""
+    from image_retrieval_tpu.config import IndexConfig
+    from image_retrieval_tpu.index import ShardedVectorIndex
+
+    devs = np.array(jax.devices()[:8])
+    flat_mesh = Mesh(devs.reshape(8, 1), ("data", "model"))
+    sliced_mesh = Mesh(devs.reshape(2, 4), ("slice", "data"))
+
+    emb = rng.normal(size=(200, 32)).astype(np.float32) * rng.uniform(
+        0.5, 2.0, (200, 1)
+    ).astype(np.float32)
+    paths = [f"p{i}" for i in range(200)]
+    q = rng.normal(size=(32,)).astype(np.float32)
+
+    for dtype in ("float32", "int8"):
+        flat = ShardedVectorIndex(
+            dim=32, mesh=flat_mesh,
+            config=IndexConfig(capacity_step=32, dtype=dtype),
+        )
+        ms = ShardedVectorIndex(
+            dim=32, mesh=sliced_mesh,
+            config=IndexConfig(capacity_step=32, dtype=dtype),
+        )
+        assert ms._multislice and not flat._multislice
+        flat.insert(paths, emb)
+        ms.insert(paths, emb)
+        for metric, params in (
+            ("cosine_similarity", None),
+            ("l2_distance", None),
+            ("optimized_similarity",
+             {"w_angle": 1.0, "w_l1": 1.0, "w_l2": 1.0, "w_inf": 0.0,
+              "w_mag": 0.5}),
+        ):
+            fv, fi = flat.search(q, top_k=7, metric=metric, params=params)
+            mv, mi = ms.search(q, top_k=7, metric=metric, params=params)
+            np.testing.assert_array_equal(mi, fi), (dtype, metric)
+            np.testing.assert_allclose(mv, fv, rtol=1e-6)
+        # flat-merge paths accept the tuple axis too
+        mm_flat = flat.multi_metric_topk(q, top_k=5)
+        mm_ms = ms.multi_metric_topk(q, top_k=5)
+        for name in mm_flat:
+            np.testing.assert_array_equal(mm_ms[name][1], mm_flat[name][1])
+        np.testing.assert_allclose(
+            ms.scores(q), flat.scores(q), rtol=1e-6
+        )
