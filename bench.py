@@ -186,12 +186,10 @@ def main():
     try:
         from image_retrieval_tpu.ops.pallas_kernels import fused_optimized_topk
 
-        wts = jnp.asarray(weights, jnp.float32)
-
         @jax.jit
         def pallas_topk_scan(g, m, qs):
             def step(_, q):
-                return None, fused_optimized_topk(q, g, m, wts, k=k, block_n=2048)
+                return None, fused_optimized_topk(q, g, m, weights, k=k, block_n=2048)
             return jax.lax.scan(step, None, qs)[1]
 
         tpk = timed_per_query(lambda qs: pallas_topk_scan(gallery, mags, qs), repeats=3)
@@ -228,6 +226,28 @@ def main():
         t8 = timed_per_query(lambda qs: cos8_scan(g8, g_scale, qs), repeats=3)
         extra["cosine_bf16_p50_ms"] = round(float(np.percentile(t16, 50) * 1e3), 4)
         extra["cosine_int8_p50_ms"] = round(float(np.percentile(t8, 50) * 1e3), 4)
+
+        # int8 batched QPS: 64-query sweeps over the 0.5 GB int8 gallery
+        @jax.jit
+        def cos8_batch_scan(g, s, qss):
+            def step(_, qs2):
+                q2 = qs2[:, 0, :]
+                qn = q2 / jnp.linalg.norm(q2, axis=-1, keepdims=True)
+                dots = jnp.dot(qn.astype(jnp.bfloat16), g.astype(jnp.bfloat16).T,
+                               preferred_element_type=jnp.float32)
+                return None, jax.lax.top_k(dots * s[None, :], k)
+            return jax.lax.scan(step, None, qss)[1]
+
+        _ = jax.device_get(cos8_batch_scan(g8, g_scale,
+                                           make_qbatches(jax.random.PRNGKey(100))))
+        tb8 = []
+        for r in range(5):
+            qss = make_qbatches(jax.random.PRNGKey(400 + r))
+            _ = jax.device_get(qss[0, 0, 0, 0])
+            t0 = time.perf_counter()
+            _ = jax.device_get(cos8_batch_scan(g8, g_scale, qss))
+            tb8.append(max(time.perf_counter() - t0 - fetch_rt, 1e-9) / n_qbatches)
+        extra["batched_qps_int8"] = round(float(np.median(nq / np.array(tb8))), 1)
     except Exception as e:  # pragma: no cover
         extra["compressed_error"] = str(e)[:200]
 

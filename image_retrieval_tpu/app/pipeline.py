@@ -168,11 +168,13 @@ class ImageSearchApp:
         sc = self.config.search
         if sc.ann != "ivf" or index is None or len(index) == 0:
             return None
-        if self._ann is None or self._ann.count != index.count:
+        # live_count (not count) is the staleness key: deletes tombstone
+        # without changing count, and from_index excludes tombstones
+        if self._ann is None or self._ann.count != index.live_count:
             from image_retrieval_tpu.index.ivf import IVFIndex
 
             self._ann = IVFIndex.from_index(
-                index, nlist=min(sc.nlist, index.count), nprobe=sc.nprobe
+                index, nlist=min(sc.nlist, index.live_count), nprobe=sc.nprobe
             )
         return self._ann
 
@@ -202,12 +204,14 @@ class ImageSearchApp:
             limit = min(top_k * self.config.search.overfetch, len(index))
             qn = q / max(np.linalg.norm(q), 1e-12)
             cos, cand = ann.search(qn, top_k=limit)
+            # drop -1 padding slots (under-full probed clusters)
+            cos, cand = cos[cand >= 0], cand[cand >= 0]
             if self.config.search.rank_by_abs:
                 # abs-ranking (reference app_pipeline.py:167) also surfaces
                 # strongly NEGATIVE cosines; IVF candidates are descending
                 # only, so probe the antipode too and take the union.
                 ncos, ncand = ann.search(-qn, top_k=limit)
-                keep = ~np.isin(ncand, cand)
+                keep = (ncand >= 0) & ~np.isin(ncand, cand)
                 cand = np.concatenate([cand, ncand[keep]])
                 cos = np.concatenate([cos, -ncos[keep]])
             if use_optimized_similarity:

@@ -54,13 +54,17 @@ class SearchServer:
         max_batch: int = 64,
         max_wait_ms: float = 2.0,
         ann=None,
+        overfetch: int = 3,
     ):
         """`ann`: optional IVFIndex over the same rows — candidate generation
         then runs two-phase (IVF candidates -> exact rerank), the reference's
-        Milvus-ANN serving shape (image_search.py:85-112)."""
+        Milvus-ANN serving shape (image_search.py:85-112). `overfetch` is the
+        candidate factor (reference image_search.py:93; keep in sync with
+        SearchConfig.overfetch)."""
         self.encoder = encoder
         self.index = index
         self.ann = ann
+        self.overfetch = overfetch
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self._queue: "queue.Queue[_Request]" = queue.Queue()
@@ -95,29 +99,42 @@ class SearchServer:
 
     def _ann_search(self, q_unit, q_in, k, metric, params):
         """Two-phase IVF serving: overfetched cosine candidates, exact rerank
-        for the optimized metric (reference image_search.py:88-107)."""
+        for the optimized metric (reference image_search.py:88-107).
+
+        Under-full probed clusters yield -1 padding slots; those are dropped
+        per query and the output padded with (score=-inf, id=-1), which the
+        result builder skips — fewer-than-k hits, never bogus paths."""
         import numpy as np
 
-        limit = min(k * 3, len(self.index))
+        limit = min(k * self.overfetch, len(self.index))
         cos, cand = self.ann.search(q_unit, top_k=limit)
+        width = min(k, limit)
+        vals = np.full((len(q_unit), width), -np.inf, np.float32)
+        idx = np.full((len(q_unit), width), -1, np.int64)
         if metric == "cosine_similarity":
-            return cos[:, :k], cand[:, :k]
+            for r in range(len(q_unit)):
+                valid = cand[r] >= 0
+                m = min(width, int(valid.sum()))
+                vals[r, :m] = cos[r][valid][:m]
+                idx[r, :m] = cand[r][valid][:m]
+            return vals, idx
         from image_retrieval_tpu.app.search import (
             _all_metrics_rows,
             _optimized_rows,
         )
 
-        vals = np.empty((len(q_in), min(k, limit)), np.float32)
-        idx = np.empty((len(q_in), min(k, limit)), np.int64)
         for r in range(len(q_in)):
+            cr = cand[r][cand[r] >= 0]
+            if not len(cr):
+                continue
             rows = (
-                self.index.get_vectors(cand[r])
-                * self.index.get_magnitudes(cand[r])[:, None]
+                self.index.get_vectors(cr)
+                * self.index.get_magnitudes(cr)[:, None]
             )
             s = _optimized_rows(_all_metrics_rows(q_in[r], rows), params or {})
-            order = np.argsort(-s, kind="stable")[: vals.shape[1]]
-            vals[r] = s[order]
-            idx[r] = cand[r][order]
+            order = np.argsort(-s, kind="stable")[:width]
+            vals[r, : len(order)] = s[order]
+            idx[r, : len(order)] = cr[order]
         return vals, idx
 
     # -- client API ----------------------------------------------------------
@@ -206,6 +223,7 @@ class SearchServer:
                             r.result = [
                                 {"path": self.index.paths[int(j)], "score": float(v)}
                                 for v, j in zip(vals[row][: r.top_k], idx[row][: r.top_k])
+                                if j >= 0  # ANN padding: return fewer, not bogus
                             ]
                             r.done.set()
                     except Exception as e:

@@ -280,12 +280,25 @@ class IVFIndex:
 
     @classmethod
     def from_index(cls, index, nlist: int = 1024, nprobe: int = 10, seed: int = 0):
-        """Build from a ShardedVectorIndex's stored unit rows."""
-        rows = index._host_gallery[: index.count].astype(np.float32)
+        """Build from a ShardedVectorIndex's stored unit rows.
+
+        Tombstoned (deleted) rows are excluded, and returned ids are remapped
+        to INDEX row order, so `index.paths[id]` is always correct and the
+        exact and ANN paths agree on deleted content."""
+        live = np.flatnonzero(index._host_valid[: index.count])
+        rows = index._host_gallery[live].astype(np.float32)
         if index._quantized:
-            rows = rows * index._host_scales[: index.count, None]
+            rows = rows * index._host_scales[live, None]
         ivf = cls(nlist=nlist, nprobe=nprobe, seed=seed)
-        return ivf.build(rows, paths=list(index.paths))
+        ivf.build(rows)
+        # remap packed ids from live-subset order to index row order, and
+        # point paths at the FULL index path list so ivf.paths[id] and
+        # index.paths[id] agree
+        rid = np.asarray(ivf._row_ids)
+        remapped = np.where(rid >= 0, live[np.maximum(rid, 0)], -1).astype(np.int32)
+        ivf._row_ids = jnp.asarray(remapped)
+        ivf.paths = list(index.paths)
+        return ivf
 
     def search(
         self, queries: np.ndarray, top_k: int = 10, nprobe: Optional[int] = None
@@ -299,7 +312,10 @@ class IVFIndex:
         if single:
             q = q[None]
         np_ = min(nprobe or self.nprobe, self.nlist)
-        k = min(top_k, self.count)
+        # k can't exceed the probed slot count (nprobe * lmax scores exist
+        # per query) — small galleries with tight balance caps would
+        # otherwise crash lax.top_k
+        k = min(top_k, self.count, np_ * self._lmax)
         vals, ids = _ivf_search(
             jnp.asarray(q), self._centroids, self._packed, self._row_ids,
             self._lmax, np_, k, self._scales,

@@ -113,7 +113,8 @@ class ShardedVectorIndex:
         if self.count:
             g[: self.count] = self._host_gallery[: self.count]
             m[: self.count] = self._host_mags[: self.count]
-            v[: self.count] = True
+            # copy flags, not True: growth must not resurrect tombstones
+            v[: self.count] = self._host_valid[: self.count]
             if self._quantized:
                 sc[: self.count] = self._host_scales[: self.count]
         self.capacity = cap

@@ -159,50 +159,59 @@ def _combo_kernel(q_ref, qn_ref, w_ref, g_ref, mag_ref, out_ref):
         )
 
 
-def _make_combo_topk_kernel(n_total: int, block_n: int, k: int):
+def _make_combo_topk_kernel(n_total: int, block_n: int, k: int, weights):
     """Fused weighted scoring + in-kernel block top-k.
 
     Emits only (Q, k) values + global indices per gallery block, so the
     (Q, N) score plane never round-trips HBM (SURVEY §7 'core kernel work';
     VERDICT r1 #8). Selection is iterative max-extraction — k passes over
     the VMEM-resident (Q, BN) scores, each a VPU max + index-of + mask-out;
-    at k<=64 this is noise next to the (BN, D) elementwise sweep."""
+    at k<=64 this is noise next to the (BN, D) elementwise sweep.
 
-    def kernel(q_ref, qn_ref, w_ref, g_ref, mag_ref, vals_ref, idx_ref):
+    `weights` is a STATIC 5-tuple: zero-weight terms are eliminated at trace
+    time, same as the XLA scorer (a dead Linf term costs ~2.5 ms/sweep at
+    1M x 512 — CLAUDE.md)."""
+    w_angle, w_l1, w_l2, w_inf, w_mag = (float(w) for w in weights)
+
+    def kernel(q_ref, qn_ref, g_ref, mag_ref, vals_ref, idx_ref):
         g = g_ref[:].astype(jnp.float32)
         q = q_ref[:]
         qn = qn_ref[:]
         mags = mag_ref[:]
         bn, d = g.shape
         nq = q.shape[0]
-        w_angle = w_ref[0, 0]
-        w_l1 = w_ref[0, 1]
-        w_l2 = w_ref[0, 2]
-        w_inf = w_ref[0, 3]
-        w_mag = w_ref[0, 4]
         inv_d = 1.0 / d
         inv_sqrt_d = d ** -0.5
 
-        dots = jnp.dot(g, q.T, preferred_element_type=jnp.float32)  # (BN, Q)
+        need_dots = w_angle != 0.0 or w_l2 != 0.0
+        if need_dots:
+            dots = jnp.dot(g, q.T, preferred_element_type=jnp.float32)  # (BN, Q)
         safe_qn = jnp.where(qn > 0, qn, 1.0)
-        cos = jnp.where(qn.T > 0, dots / safe_qn.T, 0.0)
+        if w_angle != 0.0:
+            cos = jnp.where(qn.T > 0, dots / safe_qn.T, 0.0)
         gu = g * mags
         m1 = mags[:, 0]
         ones = jnp.ones((d, 1), jnp.float32)
         rows = []
         for i in range(nq):
-            ad = jnp.abs(gu - q[i, :][None, :])
-            l1 = jnp.dot(ad, ones, preferred_element_type=jnp.float32)[:, 0] * inv_d
-            linf = jnp.max(ad, axis=1)
-            sq = jnp.maximum(
-                m1 * m1 - 2.0 * m1 * dots[:, i] + qn[i, 0] * qn[i, 0], 0.0
-            )
-            l2 = jnp.sqrt(sq) * inv_sqrt_d
-            dmag = jnp.abs(m1 - qn[i, 0])
-            rows.append(
-                w_angle * cos[:, i] - w_l1 * l1 - w_l2 * l2 - w_inf * linf
-                - w_mag * dmag
-            )
+            total = jnp.zeros((bn,), jnp.float32)
+            if w_angle != 0.0:
+                total = total + w_angle * cos[:, i]
+            if w_l1 != 0.0 or w_inf != 0.0:
+                ad = jnp.abs(gu - q[i, :][None, :])
+                if w_l1 != 0.0:
+                    l1 = jnp.dot(ad, ones, preferred_element_type=jnp.float32)[:, 0] * inv_d
+                    total = total - w_l1 * l1
+                if w_inf != 0.0:
+                    total = total - w_inf * jnp.max(ad, axis=1)
+            if w_l2 != 0.0:
+                sq = jnp.maximum(
+                    m1 * m1 - 2.0 * m1 * dots[:, i] + qn[i, 0] * qn[i, 0], 0.0
+                )
+                total = total - w_l2 * (jnp.sqrt(sq) * inv_sqrt_d)
+            if w_mag != 0.0:
+                total = total - w_mag * jnp.abs(m1 - qn[i, 0])
+            rows.append(total)
         scores = jnp.stack(rows)  # (Q, BN) in VMEM
 
         base = pl.program_id(0) * block_n
@@ -230,17 +239,19 @@ def _make_combo_topk_kernel(n_total: int, block_n: int, k: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_n"))
+@functools.partial(jax.jit, static_argnames=("weights", "k", "block_n"))
 def fused_optimized_topk(
     queries: jnp.ndarray,
     gallery_unit: jnp.ndarray,
     magnitudes: jnp.ndarray,
-    weights: jnp.ndarray,
+    weights,
     k: int = 10,
     block_n: int = 2048,
 ):
     """Exact weighted-similarity top-k WITHOUT materializing (Q, N) scores.
 
+    `weights` is a static 5-tuple (w_angle, w_l1, w_l2, w_inf, w_mag); dead
+    zero-weight terms are eliminated at trace time, like the XLA scorer.
     The gallery may be f32 or bf16 (halves HBM traffic; compute stays f32).
     Returns (values (Q, k) f32, indices (Q, k) int32), sorted descending
     with ascending-index tie-breaks — identical to scoring + exact_topk.
@@ -258,9 +269,8 @@ def fused_optimized_topk(
     kk = min(k, n)
     qn = jnp.linalg.norm(q, axis=1, keepdims=True)
     mag2d = magnitudes.astype(jnp.float32).reshape(npad, 1)
-    w = weights.astype(jnp.float32).reshape(1, 5)
     vals, idx = pl.pallas_call(
-        _make_combo_topk_kernel(n, block_n, kk),
+        _make_combo_topk_kernel(n, block_n, kk, tuple(weights)),
         out_shape=(
             # grid-major leading axis: each step writes a (1, nq, kk) block
             # whose trailing dims equal the overall array's (Mosaic's block
@@ -272,7 +282,6 @@ def fused_optimized_topk(
         in_specs=[
             pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nq, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 5), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
@@ -281,7 +290,7 @@ def fused_optimized_topk(
             pl.BlockSpec((1, nq, kk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         interpret=_interpret(),
-    )(q, qn, w, g, mag2d)
+    )(q, qn, g, mag2d)
     # Final merge over (Q, grid * k) candidates — tiny next to the sweep.
     fv = vals.transpose(1, 0, 2).reshape(nq, grid_n * kk)
     fi = idx.transpose(1, 0, 2).reshape(nq, grid_n * kk)

@@ -275,3 +275,78 @@ def test_server_with_ivf_ann(rng):
         np.testing.assert_allclose(
             [r["score"] for r in got], s[order], rtol=1e-4, atol=1e-5
         )
+
+
+def test_small_gallery_topk_never_exceeds_probed_slots(rng):
+    """top_k larger than nprobe*lmax must clamp, not crash lax.top_k
+    (the CLI/webui small-folder case: nlist ~ count makes lmax tiny)."""
+    unit = rng.normal(size=(100, 32)).astype(np.float32)
+    unit /= np.linalg.norm(unit, axis=1, keepdims=True)
+    ivf = IVFIndex(nlist=100, nprobe=10, seed=0).build(unit)
+    q = rng.normal(size=(32,)).astype(np.float32)
+    vals, ids = ivf.search(q, top_k=30)  # 30 > nprobe * lmax
+    assert len(ids) <= 30 and (ids[vals > -np.inf] >= 0).all()
+
+
+def test_facade_ivf_abs_ranking_never_returns_padding(tmp_path, rng):
+    """-1 padding slots from under-full probed clusters must never surface
+    as results — abs-ranking turns their -inf into +inf if unfiltered."""
+    from image_retrieval_tpu.app.pipeline import ImageSearchApp
+    from image_retrieval_tpu.models.encoder import FakeEncoder
+    from PIL import Image
+
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    names = []
+    for i in range(10):
+        arr = (rng.uniform(0, 255, (8, 8, 3))).astype(np.uint8)
+        name = folder / f"im{i}.png"
+        Image.fromarray(arr).save(name)
+        names.append(str(name))
+    app = ImageSearchApp(encoder=FakeEncoder(dim=32))
+    app.config.search.ann = "ivf"
+    app.config.search.nlist = 8   # tiny clusters -> padding guaranteed
+    app.config.search.nprobe = 2
+    app.process_images(app.scan_folders(str(folder)))
+    res = app.search_images("anything", top_k=5)
+    assert res, "should return real hits"
+    for r in res:
+        assert np.isfinite(r["score"])
+        assert r["path"] in names
+
+
+def test_from_index_excludes_tombstones_and_maps_ids(rng):
+    """IVFIndex.from_index drops deleted rows and returns INDEX-order ids,
+    so index.paths[id] stays correct and ANN never serves deleted content."""
+    emb = rng.normal(size=(60, 32)).astype(np.float32)
+    paths = [f"p{i}" for i in range(60)]
+    index = ShardedVectorIndex(dim=32, config=IndexConfig(capacity_step=32))
+    index.insert(paths, emb)
+    target = emb[17] * 2.0
+    deleted = {"p17"}
+    index.delete(list(deleted))
+    ivf = IVFIndex.from_index(index, nlist=4, nprobe=4)
+    vals, ids = ivf.search(target / np.linalg.norm(target), top_k=10)
+    got_paths = [index.paths[int(i)] for i in ids if i >= 0]
+    assert "p17" not in got_paths
+    # nearest live row by exact cosine should appear (ids are index-order)
+    unit = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    order = np.argsort(-(unit @ (target / np.linalg.norm(target))))
+    best_live = next(int(i) for i in order if f"p{i}" not in deleted)
+    assert best_live in [int(i) for i in ids]
+
+
+def test_growth_preserves_tombstones(rng):
+    """Capacity growth must not resurrect deleted rows."""
+    emb = rng.normal(size=(40, 16)).astype(np.float32)
+    index = ShardedVectorIndex(dim=16, config=IndexConfig(capacity_step=8))
+    index.insert([f"a{i}" for i in range(40)], emb)
+    index.delete(["a5"])
+    assert index.live_count == 39
+    # big insert forces _grow_to
+    more = rng.normal(size=(200, 16)).astype(np.float32)
+    index.insert([f"b{i}" for i in range(200)], more)
+    assert index.live_count == 239  # a5 stays dead
+    q = emb[5] / np.linalg.norm(emb[5])
+    _, ids = index.search(q, top_k=1)
+    assert index.paths[int(ids[0])] != "a5"

@@ -84,10 +84,10 @@ def test_fused_optimized_topk_matches_oracle(rng):
     mags = np.linalg.norm(emb, axis=1).astype(np.float32)
     unit = emb / mags[:, None]
     q = rng.normal(size=(2, d)).astype(np.float32)
-    w = np.array([1.0, 1.0, 1.0, 0.3, 0.5], np.float32)
+    w = (1.0, 1.0, 1.0, 0.3, 0.5)
 
     vals, idx = fused_optimized_topk(
-        jnp.asarray(q), jnp.asarray(unit), jnp.asarray(mags), jnp.asarray(w),
+        jnp.asarray(q), jnp.asarray(unit), jnp.asarray(mags), w,
         k=k, block_n=512,
     )
     rows = (unit * mags[:, None]).astype(np.float64)
@@ -120,14 +120,14 @@ def test_fused_optimized_topk_bf16_gallery(rng):
     mags = np.linalg.norm(emb, axis=1).astype(np.float32)
     unit = emb / mags[:, None]
     q = rng.normal(size=(1, d)).astype(np.float32)
-    w = np.array([1.0, 0.5, 0.5, 0.0, 0.2], np.float32)
+    w = (1.0, 0.5, 0.5, 0.0, 0.2)
     _, i32 = fused_optimized_topk(
-        jnp.asarray(q), jnp.asarray(unit), jnp.asarray(mags), jnp.asarray(w),
+        jnp.asarray(q), jnp.asarray(unit), jnp.asarray(mags), w,
         k=k, block_n=512,
     )
     _, i16 = fused_optimized_topk(
         jnp.asarray(q), jnp.asarray(unit).astype(jnp.bfloat16),
-        jnp.asarray(mags), jnp.asarray(w), k=k, block_n=512,
+        jnp.asarray(mags), w, k=k, block_n=512,
     )
     assert i32[0, 0] == i16[0, 0]
     assert len(set(np.asarray(i16)[0].tolist()) & set(np.asarray(i32)[0].tolist())) >= 9

@@ -54,11 +54,34 @@ def main():
     unit = anisotropic_unit(rng, N, D)
     queries = anisotropic_unit(rng, 64, D)
 
-    print("building IVF (device kmeans nlist=1024)...", flush=True)
-    t0 = time.time()
-    ivf = IVFIndex(nlist=NLIST, nprobe=10, seed=0).build(unit)
-    build_s = time.time() - t0
-    print(f"built in {build_s:.0f}s, lmax={ivf._lmax}", flush=True)
+    cache = f"/tmp/ivf_curve_build_{N}x{D}_nl{NLIST}.npz"  # config-keyed
+    ivf = IVFIndex(nlist=NLIST, nprobe=10, seed=0)
+    if os.path.exists(cache):
+        print("loading cached build...", flush=True)
+        z = np.load(cache)
+        ivf._centroids = jnp.asarray(z["centroids"])
+        ivf._packed = jnp.asarray(z["packed"])
+        ivf._row_ids = jnp.asarray(z["row_ids"])
+        ivf._scales = None
+        ivf._lmax = int(z["lmax"])
+        ivf.nlist = int(z["nlist"])
+        ivf.count = N
+        ivf.paths = [str(i) for i in range(N)]
+        build_s = 0.0
+    else:
+        print("building IVF (device kmeans nlist=1024)...", flush=True)
+        t0 = time.time()
+        ivf.build(unit)
+        build_s = time.time() - t0
+        print(f"built in {build_s:.0f}s, lmax={ivf._lmax}", flush=True)
+        np.savez(
+            cache,
+            centroids=np.asarray(ivf._centroids),
+            packed=np.asarray(ivf._packed),
+            row_ids=np.asarray(ivf._row_ids),
+            lmax=ivf._lmax,
+            nlist=ivf.nlist,
+        )
 
     # exact ids on device (ground truth)
     g = jnp.asarray(unit)
@@ -78,24 +101,33 @@ def main():
     results = {"n": N, "d": D, "k": K, "nlist": ivf.nlist, "lmax": ivf._lmax,
                "build_s": round(build_s, 1), "points": []}
     qdev = jnp.asarray(queries)
+    lmax = ivf._lmax
     for nprobe in NPROBES:
         recall = ivf.recall_at(queries, exact, k=K, nprobe=nprobe)
 
-        @jax.jit
-        def run(qs):
-            def step(_, q):
-                return None, _ivf_search(
-                    q[None], ivf._centroids, ivf._packed, ivf._row_ids,
-                    ivf._lmax, nprobe, K, ivf._scales,
-                )
-            return jax.lax.scan(step, None, qs)[1]
+        # Big tensors MUST be jit arguments — a closure capture ships the
+        # 2 GB packed gallery through the remote compiler as a constant
+        # (CLAUDE.md "Environment quirks"). Scalars (nprobe/lmax/K) close
+        # over as trace-time constants, which is what we want.
+        def make_run(np_):
+            @jax.jit
+            def run(qs, centroids, packed, row_ids):
+                def step(_, q):
+                    return None, _ivf_search(
+                        q[None], centroids, packed, row_ids, lmax, np_, K, None,
+                    )
+                return jax.lax.scan(step, None, qs)[1]
+            return run
+
+        run = make_run(nprobe)
 
         qs = qdev[:NQ]
-        _ = jax.device_get(run(qs))
+        args = (qs, ivf._centroids, ivf._packed, ivf._row_ids)
+        _ = jax.device_get(run(*args))
         ts = []
         for r in range(3):
             t0 = time.perf_counter()
-            _ = jax.device_get(run(qs))
+            _ = jax.device_get(run(*args))
             ts.append(max(time.perf_counter() - t0 - fetch, 1e-9) / NQ)
         point = {
             "nprobe": nprobe,
