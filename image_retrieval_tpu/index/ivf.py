@@ -222,41 +222,74 @@ class IVFIndex:
         self._packed = None
         self._row_ids = None
         self._scales = None
+        self._replicas = 1
         self.count = 0
 
     def build(self, embeddings: np.ndarray, paths: Optional[Sequence[str]] = None,
-              iters: int = 10, balance: Optional[float] = 1.5) -> "IVFIndex":
+              iters: int = 10, balance: Optional[float] = 1.5,
+              replicas: int = 1) -> "IVFIndex":
         """balance: cluster-size cap as a multiple of the mean (None = raw
         k-means assignment). Capping bounds Lmax — memory is
         nlist * Lmax * D, and every probe pays Lmax — at a small recall
-        cost for points pushed to their second-best centroid."""
+        cost for points pushed to their second-best centroid.
+
+        replicas: assign each row to its `replicas` nearest lists (multi-
+        assignment). Boundary rows — the dominant recall loss on unclustered
+        data — become findable from either side, at `replicas`x memory and
+        Lmax. Measured at 1M x 512 unclustered: recall@10 at nprobe=10 goes
+        0.35 -> 0.52 with replicas=2 (bench_results/ivf_curve.json). Search
+        dedups multi-assigned rows before returning."""
         emb = np.asarray(embeddings, np.float32)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         unit = emb / np.where(norms > 0, norms, 1.0)
         n, d = unit.shape
         nlist = min(self.nlist, n)
+        replicas = max(1, min(replicas, nlist))
         centroids, assign = _kmeans_unit(
             jnp.asarray(unit), jnp.asarray([self.seed], jnp.uint32), nlist, iters
         )
         assign = np.asarray(assign)
-        if balance is not None and nlist > 1:
-            assign = _rebalance_assign(
-                unit, np.asarray(centroids), assign,
-                cap=int(np.ceil(balance * n / nlist)),
+        if replicas > 1:
+            # memberships = each row's top-`replicas` centroids, computed in
+            # row chunks on device (the full (N, C) sims never materialize)
+            tops = np.empty((n, replicas), np.int32)
+            chunk = 131072
+            topr = jax.jit(
+                lambda r, c: jax.lax.top_k(
+                    jnp.dot(r, c.T, preferred_element_type=jnp.float32), replicas
+                )[1],
+                static_argnums=(),
             )
-        counts = np.bincount(assign, minlength=nlist)
+            for i in range(0, n, chunk):
+                tops[i : i + chunk] = np.asarray(
+                    topr(jnp.asarray(unit[i : i + chunk]), centroids)
+                )
+            tops[:, 0] = assign  # keep the (possibly rebalanced) primary
+            m_rows = np.repeat(np.arange(n, dtype=np.int64), replicas)
+            m_assign = tops.reshape(-1).astype(np.int64)
+        else:
+            m_rows = np.arange(n, dtype=np.int64)
+            m_assign = assign.astype(np.int64)
+        if balance is not None and nlist > 1:
+            m_assign = _rebalance_assign(
+                unit[m_rows], np.asarray(centroids), m_assign.astype(np.int64),
+                cap=int(np.ceil(balance * len(m_rows) / nlist)),
+            )
+        nm = len(m_rows)
+        counts = np.bincount(m_assign, minlength=nlist)
         lmax = int(counts.max())
         # vectorized packing: stable sort by cluster, slot = rank within
         # cluster (position minus the cluster's start offset)
-        order = np.argsort(assign, kind="stable")
-        sorted_assign = assign[order]
+        order = np.argsort(m_assign, kind="stable")
+        sorted_assign = m_assign[order]
         starts = np.zeros(nlist, np.int64)
         starts[1:] = np.cumsum(counts)[:-1]
-        slots = np.arange(n) - starts[sorted_assign]
+        slots = np.arange(nm) - starts[sorted_assign]
         packed = np.zeros((nlist, lmax, d), np.float32)
         row_ids = np.full((nlist, lmax), -1, np.int32)
-        packed[sorted_assign, slots] = unit[order]
-        row_ids[sorted_assign, slots] = order.astype(np.int32)
+        packed[sorted_assign, slots] = unit[m_rows[order]]
+        row_ids[sorted_assign, slots] = m_rows[order].astype(np.int32)
+        self._replicas = replicas
         self._centroids = jnp.asarray(np.asarray(centroids))
         # canonical device layout is flat + cluster-contiguous (an in-jit
         # reshape of a multi-GB tensor materializes a copy -> HBM OOM)
@@ -316,11 +349,26 @@ class IVFIndex:
         # per query) — small galleries with tight balance caps would
         # otherwise crash lax.top_k
         k = min(top_k, self.count, np_ * self._lmax)
+        # multi-assigned rows can appear once per replica in the raw top-k:
+        # overfetch by the replica factor, dedup keep-first, truncate
+        kf = min(k * self._replicas, np_ * self._lmax)
         vals, ids = _ivf_search(
             jnp.asarray(q), self._centroids, self._packed, self._row_ids,
-            self._lmax, np_, k, self._scales,
+            self._lmax, np_, kf, self._scales,
         )
         vals, ids = np.asarray(vals), np.asarray(ids)
+        if self._replicas > 1:
+            dv = np.full((len(ids), k), -np.inf, vals.dtype)
+            di = np.full((len(ids), k), -1, ids.dtype)
+            for r in range(len(ids)):
+                _, first = np.unique(ids[r], return_index=True)
+                keep = np.sort(first)  # preserve score order
+                keep = keep[ids[r][keep] >= 0][:k]
+                dv[r, : len(keep)] = vals[r][keep]
+                di[r, : len(keep)] = ids[r][keep]
+            vals, ids = dv, di
+        else:
+            vals, ids = vals[:, :k], ids[:, :k]
         return (vals[0], ids[0]) if single else (vals, ids)
 
     def recall_at(self, queries: np.ndarray, exact_ids: np.ndarray, k: int = 10,

@@ -350,3 +350,25 @@ def test_growth_preserves_tombstones(rng):
     q = emb[5] / np.linalg.norm(emb[5])
     _, ids = index.search(q, top_k=1)
     assert index.paths[int(ids[0])] != "a5"
+
+
+def test_replicas_multi_assignment_improves_recall(rng):
+    """replicas=2 (each row in its 2 nearest lists) beats single assignment
+    at the same nprobe on unclustered data, never returns duplicate ids,
+    and still reaches recall 1.0 at probe-all."""
+    n, d, k = 8192, 64, 10
+    unit = _anisotropic_unit(rng, n, d)
+    queries = _anisotropic_unit(rng, 32, d)
+    exact = np.argsort(-(queries @ unit.T), axis=1, kind="stable")[:, :k]
+    r1 = IVFIndex(nlist=64, seed=0).build(unit, replicas=1)
+    r2 = IVFIndex(nlist=64, seed=0).build(unit, replicas=2)
+    rec1 = r1.recall_at(queries, exact, k=k, nprobe=8)
+    rec2 = r2.recall_at(queries, exact, k=k, nprobe=8)
+    assert rec2 > rec1, (rec1, rec2)
+    # no duplicate ids in any result row
+    _, ids = r2.search(queries, top_k=k, nprobe=8)
+    for row in ids:
+        live = row[row >= 0]
+        assert len(set(live.tolist())) == len(live)
+    # probe-all == exact despite duplication
+    assert r2.recall_at(queries, exact, k=k, nprobe=64) == 1.0
