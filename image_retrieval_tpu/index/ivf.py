@@ -236,9 +236,9 @@ class IVFIndex:
         replicas: assign each row to its `replicas` nearest lists (multi-
         assignment). Boundary rows — the dominant recall loss on unclustered
         data — become findable from either side, at `replicas`x memory and
-        Lmax. Measured at 1M x 512 unclustered: recall@10 at nprobe=10 goes
-        0.35 -> 0.52 with replicas=2 (bench_results/ivf_curve.json). Search
-        dedups multi-assigned rows before returning."""
+        Lmax. Measured on unclustered anisotropic data (8k x 64, nlist=64):
+        recall@10 at nprobe=4 goes 0.78 -> 0.90 with replicas=2
+        (tests/test_ivf.py). Search dedups multi-assigned rows."""
         emb = np.asarray(embeddings, np.float32)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         unit = emb / np.where(norms > 0, norms, 1.0)

@@ -145,5 +145,39 @@ def main():
     print("done", flush=True)
 
 
+def replicas_point():
+    """Measure the replicas=2 recall point at 1M (run after main())."""
+    rng = np.random.default_rng(0)
+    unit = anisotropic_unit(rng, N, D)
+    queries = anisotropic_unit(rng, 64, D)
+    g = jnp.asarray(unit)
+    exact = np.asarray(
+        jax.jit(lambda q, gg: jax.lax.top_k(q @ gg.T, K)[1])(jnp.asarray(queries), g)
+    )
+    del g
+    print("building replicas=2 ...", flush=True)
+    t0 = time.time()
+    ivf = IVFIndex(nlist=NLIST, nprobe=10, seed=0).build(unit, replicas=2)
+    print(f"built in {time.time()-t0:.0f}s lmax={ivf._lmax}", flush=True)
+    out = {}
+    for nprobe in (5, 10, 20):
+        out[nprobe] = round(float(ivf.recall_at(queries, exact, k=K, nprobe=nprobe)), 4)
+        print(json.dumps({"replicas": 2, "nprobe": nprobe, "recall_at_10": out[nprobe]}),
+              flush=True)
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "bench_results", "ivf_curve.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        data["replicas2_recall_at_10"] = out
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
+    except Exception as e:
+        print("merge failed:", e)
+
+
 if __name__ == "__main__":
-    main()
+    if "--replicas" in sys.argv:
+        replicas_point()
+    else:
+        main()
