@@ -236,9 +236,12 @@ class IVFIndex:
         replicas: assign each row to its `replicas` nearest lists (multi-
         assignment). Boundary rows — the dominant recall loss on unclustered
         data — become findable from either side, at `replicas`x memory and
-        Lmax. Measured on unclustered anisotropic data (8k x 64, nlist=64):
-        recall@10 at nprobe=4 goes 0.78 -> 0.90 with replicas=2
-        (tests/test_ivf.py). Search dedups multi-assigned rows."""
+        Lmax. Measured at 1M x 512 unclustered, nlist=1024
+        (bench_results/ivf_curve.json): recall@10 at nprobe=10 goes
+        0.35 -> 0.52 with replicas=2; at EQUAL HBM work (lmax doubles, so
+        compare single-assignment nprobe=20: 0.50) the gain is ~2 points
+        plus half the probe-loop steps per query. Search dedups
+        multi-assigned rows."""
         emb = np.asarray(embeddings, np.float32)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         unit = emb / np.where(norms > 0, norms, 1.0)
