@@ -240,12 +240,22 @@ class ShardedVectorIndex:
         return tuple(float(params.get(k, 1.0 if k == "w_angle" else 0.0))
                      for k in _WEIGHT_KEYS)
 
-    def _prep_queries(self, queries: np.ndarray) -> Tuple[jnp.ndarray, bool]:
+    # Each distinct query-batch shape costs a jit compile (minutes through
+    # the remote TPU compiler); the micro-batching server produces batches
+    # of every size 1..max_batch, so Q snaps to a small bucket ladder and
+    # the padded rows are sliced off the result.
+    _Q_BUCKETS = (1, 8, 32, 64, 128, 256)
+
+    def _prep_queries(self, queries: np.ndarray) -> Tuple[jnp.ndarray, bool, int]:
         q = np.asarray(queries, np.float32)
         single = q.ndim == 1
         if single:
             q = q[None]
-        return replicate(jnp.asarray(q), self.mesh), single
+        nq = q.shape[0]
+        bucket = next((b for b in self._Q_BUCKETS if nq <= b), nq)
+        if bucket > nq:
+            q = np.concatenate([q, np.zeros((bucket - nq, q.shape[1]), np.float32)])
+        return replicate(jnp.asarray(q), self.mesh), single, nq
 
     def search(
         self,
@@ -263,7 +273,7 @@ class ShardedVectorIndex:
         if self.count == 0:
             raise ValueError("index is empty")
         self._sync_device()
-        qdev, single = self._prep_queries(queries)
+        qdev, single, nq = self._prep_queries(queries)
         weights = self._weights_tuple(params) if metric == "optimized_similarity" else None
         if self._multislice:
             vals, idx = multislice_search_topk(
@@ -292,7 +302,7 @@ class ShardedVectorIndex:
                 mesh=self.mesh,
                 axis=self.axis,
             )
-        vals, idx = np.asarray(vals), np.asarray(idx)
+        vals, idx = np.asarray(vals)[:nq], np.asarray(idx)[:nq]
         if single:
             return vals[0], idx[0]
         return vals, idx
@@ -307,7 +317,7 @@ class ShardedVectorIndex:
         self._sync_device()
         from image_retrieval_tpu.parallel.collectives import sharded_multimetric_topk
 
-        qdev, single = self._prep_queries(queries)
+        qdev, single, nq = self._prep_queries(queries)
         out = sharded_multimetric_topk(
             qdev, self._gallery, self._valid, self._mags,
             min(top_k, self.live_count), self._scales, mesh=self.mesh,
@@ -315,7 +325,7 @@ class ShardedVectorIndex:
         )
         result = {}
         for name, (vals, idx) in out.items():
-            vals, idx = np.asarray(vals), np.asarray(idx)
+            vals, idx = np.asarray(vals)[:nq], np.asarray(idx)[:nq]
             result[name] = (vals[0], idx[0]) if single else (vals, idx)
         return result
 
@@ -346,14 +356,14 @@ class ShardedVectorIndex:
         if self.count == 0:
             raise ValueError("index is empty")
         self._sync_device()
-        qdev, single = self._prep_queries(queries)
+        qdev, single, nq = self._prep_queries(queries)
         weights = self._weights_tuple(params) if metric == "optimized_similarity" else None
         s = np.asarray(
             sharded_scores(
                 qdev, self._gallery, self._mags, metric, weights, self._scales,
                 mesh=self.mesh, axis=self._row_axes,
             )
-        )[:, : self.count]
+        )[:nq, : self.count]
         return s[0] if single else s
 
     def get_vectors(self, indices: Sequence[int]) -> np.ndarray:

@@ -319,3 +319,24 @@ def test_deletes_survive_save_load(tmp_path, mesh, rng):
     idx2 = ShardedVectorIndex.load_from(f, mesh=mesh)
     assert len(idx2) == 28
     assert "img_3.jpg" not in idx2.paths and "img_4.jpg" not in idx2.paths
+
+
+def test_query_batch_bucketing_reuses_compiles(mesh, rng):
+    """Distinct query-batch sizes snap to a bucket (padded with zero rows,
+    sliced from results), so the micro-batching server doesn't pay a jit
+    compile per batch size — and padding is invisible in the results."""
+    from image_retrieval_tpu.parallel.collectives import sharded_search_topk
+
+    idx, emb, paths = make_index(mesh, rng, n=100)
+    before = sharded_search_topk._cache_size()
+    q3 = rng.normal(size=(3, 64)).astype(np.float32)
+    q5 = rng.normal(size=(5, 64)).astype(np.float32)
+    v3, i3 = idx.search(q3, top_k=4)
+    v5, i5 = idx.search(q5, top_k=4)
+    assert v3.shape == (3, 4) and v5.shape == (5, 4)
+    # both bucketed to Q=8: exactly ONE new executable
+    assert sharded_search_topk._cache_size() == before + 1
+    # padding rows don't perturb real results: row-wise parity vs oracle
+    oracle = np_cosine(q5, emb)
+    want = np.argsort(-oracle, axis=1, kind="stable")[:, :4]
+    np.testing.assert_array_equal(i5, want)
