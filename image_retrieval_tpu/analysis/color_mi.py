@@ -112,6 +112,7 @@ class ColorMIAnalyzer:
         self.optimal_weights: Dict[str, float] = {}
         # cache: per-relationship (valid pair metric table)
         self._tables: Dict[str, Dict[str, np.ndarray]] = {}
+        self._color_tbl = None  # combined color-pair table cache
 
     # -- loading ------------------------------------------------------------
 
@@ -146,6 +147,8 @@ class ColorMIAnalyzer:
                     return False, f"No 'embeddings' array found in {embeddings_file}"
             else:
                 self.embeddings = data.item()
+            self._tables = {}
+            self._color_tbl = None  # embeddings changed: drop cached tables
             logger.info(f"Loaded embeddings for {len(self.embeddings)} images")
             return True, "Dataset loaded successfully"
         except Exception as e:
@@ -231,22 +234,35 @@ class ColorMIAnalyzer:
         same = self.pairs.get("same_object_same_color", [])
         return diff + same, [1] * len(diff) + [0] * len(same)
 
+    def _color_table(self):
+        """Cached (metric table, labels) over the combined color-pair set.
+        Computed once and reused by color MI, the weight grid search, and
+        the PR/summary plots — previously recomputed up to 4x per
+        run_full_analysis, and the plots bypassed precision='device'."""
+        if self._color_tbl is None:
+            all_pairs, all_labels = self._color_pairs_and_labels()
+            a, b, keep = self._valid_pair_arrays(all_pairs)
+            if a.shape[0] == 0:
+                self._color_tbl = ({}, np.array([], int))
+            else:
+                self._color_tbl = (
+                    self._metric_table(a, b), np.array(all_labels)[keep]
+                )
+        return self._color_tbl
+
     def calculate_color_specific_mi(self) -> Dict[str, float]:
         """Binary same/diff-color MI on same-object pairs
         (reference mi_analysis.py:356-429)."""
         if "same_object_diff_color" not in self.pairs:
             logger.warning("No 'same_object_diff_color' pairs found")
             return {}
-        all_pairs, all_labels = self._color_pairs_and_labels()
-        a, b, keep = self._valid_pair_arrays(all_pairs)
+        table, labels = self._color_table()
         color_mi: Dict[str, float] = {}
-        if a.shape[0] == 0:
+        if not table:
             for m in self.metric_names:
                 color_mi[m] = 0.0
             self.mi_results["color_specific"] = color_mi
             return color_mi
-        table = self._metric_table(a, b)
-        labels = np.array(all_labels)[keep]
         for m in self.metric_names:
             color_mi[m] = mutual_info_from_labels(
                 table[m], labels, self.bin_count, self.bin_strategy
@@ -269,13 +285,10 @@ class ColorMIAnalyzer:
         if "same_object_diff_color" not in self.pairs or "same_object_same_color" not in self.pairs:
             logger.warning("No valid pairs found for parameter optimization")
             return dict(zip(_WEIGHT_KEYS, (1.0, 0.0, 0.0, 0.0, 0.0)))
-        all_pairs, all_labels = self._color_pairs_and_labels()
-        a, b, keep = self._valid_pair_arrays(all_pairs)
-        if a.shape[0] == 0:
+        table, labels = self._color_table()
+        if not table:
             logger.warning("No valid pairs found for parameter optimization")
             return dict(zip(_WEIGHT_KEYS, (1.0, 0.0, 0.0, 0.0, 0.0)))
-        table = self._metric_table(a, b)
-        labels = np.array(all_labels)[keep]
         # optimized_distance = -(w_a*cos - w_l1*l1 - w_l2*l2 - w_inf*linf - w_mag*dmag)
         basis = np.stack(
             [

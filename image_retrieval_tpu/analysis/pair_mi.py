@@ -33,9 +33,13 @@ LABEL_MAP = {"same_object": 0, "same_category": 1, "different_categories": 2}
 
 
 def _cosine_rows(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    # zero-norm guard (cos -> 0): one zero embedding would otherwise NaN the
+    # percentile stratification and silently yield 0 pairs
     na = np.linalg.norm(a, axis=1)
     nb = np.linalg.norm(b, axis=1)
-    return np.einsum("pd,pd->p", a, b) / (na * nb)
+    denom = na * nb
+    dots = np.einsum("pd,pd->p", a, b)
+    return np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), 0.0)
 
 
 class PairMIAnalysis:
@@ -173,7 +177,8 @@ class EnhancedPairMIAnalysis(PairMIAnalysis):
         n = len(self.embeddings)
         mat = np.stack([e for _, e in self.embeddings]).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1)
-        sims = (mat @ mat.T) / np.outer(norms, norms)
+        denom = np.outer(norms, norms)
+        sims = np.where(denom > 0, (mat @ mat.T) / np.where(denom > 0, denom, 1.0), 0.0)
         iu, ju = np.triu_indices(n, k=1)
         pairs_data = sorted(
             ((int(i), int(j), float(s)) for i, j, s in zip(iu, ju, sims[iu, ju])),
@@ -206,10 +211,12 @@ class EnhancedPairMIAnalysis(PairMIAnalysis):
     # -- batched metric computation ------------------------------------------
 
     def _pair_matrices(self):
-        """(A, B, A_orig, B_orig) for pairs present in the embedding dict,
-        order-preserving (indexed lookup, not linear scan)."""
-        a, b, ao, bo = [], [], [], []
-        for p1, p2 in self.pairs:
+        """(A, B, A_orig, B_orig, keep) for pairs present in the embedding
+        dict, order-preserving (indexed lookup, not linear scan). `keep`
+        holds the kept PAIR indices — labels must be selected with it, not
+        truncated, or a dropped pair mid-list misaligns every later row."""
+        a, b, ao, bo, keep = [], [], [], [], []
+        for idx, (p1, p2) in enumerate(self.pairs):
             e1 = self._emb_by_path.get(p1)
             e2 = self._emb_by_path.get(p2)
             if e1 is None or e2 is None:
@@ -223,18 +230,19 @@ class EnhancedPairMIAnalysis(PairMIAnalysis):
                 bo.append(o2)
             a.append(e1)
             b.append(e2)
+            keep.append(idx)
         A = np.stack(a) if a else np.zeros((0, 1))
         B = np.stack(b) if b else np.zeros((0, 1))
         AO = np.stack(ao) if ao else A
         BO = np.stack(bo) if bo else B
-        return A, B, AO, BO
+        return A, B, AO, BO, np.array(keep, dtype=int)
 
     def compute_mi_for_all_metrics(self) -> Dict[str, float]:
         """Angle on normalized inputs; L1/L2/Linf/magnitude on unnormalized
         originals when kept (reference mi_analysis.py:1512-1621)."""
         if not self.pairs:
             raise ValueError("No pairs generated. Run generate_pairs() first.")
-        A, B, AO, BO = self._pair_matrices()
+        A, B, AO, BO, kept = self._pair_matrices()
         A64, B64 = A.astype(np.float64), B.astype(np.float64)
         AO64, BO64 = AO.astype(np.float64), BO.astype(np.float64)
         d = A64.shape[1]
@@ -251,7 +259,7 @@ class EnhancedPairMIAnalysis(PairMIAnalysis):
             ),
         }
         numeric = np.array(
-            [self.label_map.get(l, -1) for l in self.labels[: A64.shape[0]]]
+            [self.label_map.get(self.labels[i], -1) for i in kept]
         )
         self.mi_values = {}
         for name, vals in self.distance_measures.items():
@@ -266,7 +274,7 @@ class EnhancedPairMIAnalysis(PairMIAnalysis):
 
         Reference computes optimized_similarity on the ORIGINAL unnormalized
         embeddings when kept (mi_analysis.py:1480-1492)."""
-        A, B, AO, BO = self._pair_matrices()
+        A, B, AO, BO, kept = self._pair_matrices()
         X = (AO if self.keep_unnormalized else A).astype(np.float64)
         Y = (BO if self.keep_unnormalized else B).astype(np.float64)
         d = X.shape[1]
@@ -283,7 +291,7 @@ class EnhancedPairMIAnalysis(PairMIAnalysis):
             axis=1,
         )
         numeric = np.array(
-            [self.label_map.get(l, -1) for l in self.labels[: X.shape[0]]]
+            [self.label_map.get(self.labels[i], -1) for i in kept]
         )
         return basis, numeric
 

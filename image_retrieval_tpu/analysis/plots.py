@@ -116,27 +116,23 @@ def visualize_metric_density_plots(analyzer, output_dir: Optional[str] = None) -
 
 
 def visualize_precision_recall_curves(analyzer, output_path: Optional[str] = None):
-    all_pairs, all_labels = analyzer._color_pairs_and_labels()
-    a, b, keep = analyzer._valid_pair_arrays(all_pairs)
+    # cached combined color-pair table (honors precision='device' too)
+    table, labels = analyzer._color_table()
     fig = plt.figure(figsize=(10, 6))
-    if a.shape[0]:
-        from image_retrieval_tpu.analysis.color_mi import _pair_metric_table
-
-        table = _pair_metric_table(a, b)
-        labels = np.array(all_labels)[keep]
+    if table:
         th, p, r = analyzer.precision_recall(table["cosine_distance"], labels)
         plt.plot(th, p, "b-", label="Cosine Precision")
         plt.plot(th, r, "b--", label="Cosine Recall")
         best = analyzer.f1_optimal_threshold(th, p, r)
         plt.axvline(best, color="b", linestyle=":", label=f"Cosine Optimal ({best:.2f})")
         if analyzer.optimal_weights:
-            w = analyzer.optimal_weights
-            scores = -(
-                w.get("w_angle", 0) * table["cosine_similarity"]
-                - w.get("w_l1", 0) * table["l1_distance"]
-                - w.get("w_l2", 0) * table["l2_distance"]
-                - w.get("w_inf", 0) * table["linf_distance"]
-                - w.get("w_mag", 0) * table["magnitude_difference"]
+            from image_retrieval_tpu.ops.metrics import (
+                optimized_similarity_from_metrics,
+            )
+
+            # one formula, one home: the negated optimized similarity
+            scores = -np.asarray(
+                optimized_similarity_from_metrics(table, analyzer.optimal_weights)
             )
             th2, p2, r2 = analyzer.precision_recall(scores, labels)
             plt.plot(th2, p2, "r-", label="Optimized Precision")
@@ -210,14 +206,20 @@ def create_summary_visualization(analyzer, output_path: Optional[str] = None):
     ax1.legend()
 
     ax2 = axes[0, 1]
-    color_mi = analyzer.mi_results["color_specific"]
+    # .get: a pairs.json without same_object_diff_color pairs legitimately
+    # yields no color-specific MI — render an empty panel, don't crash
+    color_mi = analyzer.mi_results.get("color_specific", {})
     metrics = list(color_mi.keys())
-    vals = np.array([color_mi[m] for m in metrics])
-    order = np.argsort(vals)[::-1]
-    ax2.bar(range(len(metrics)), vals[order],
-            color=plt.cm.viridis(np.linspace(0, 1, len(metrics))))
-    ax2.set_xticks(range(len(metrics)))
-    ax2.set_xticklabels([_title(metrics[i]) for i in order], rotation=45)
+    order = []
+    if metrics:
+        vals = np.array([color_mi[m] for m in metrics])
+        order = np.argsort(vals)[::-1]
+        ax2.bar(range(len(metrics)), vals[order],
+                color=plt.cm.viridis(np.linspace(0, 1, len(metrics))))
+        ax2.set_xticks(range(len(metrics)))
+        ax2.set_xticklabels([_title(metrics[i]) for i in order], rotation=45)
+    else:
+        ax2.text(0.5, 0.5, "no same-object color pairs", ha="center", va="center")
     ax2.set_title("Color Discrimination Power by Geometric Metric")
 
     ax3 = axes[1, 0]
@@ -233,13 +235,8 @@ def create_summary_visualization(analyzer, output_path: Optional[str] = None):
     ax3.legend()
 
     ax4 = axes[1, 1]
-    all_pairs, all_labels = analyzer._color_pairs_and_labels()
-    a, b, keep = analyzer._valid_pair_arrays(all_pairs)
-    if a.shape[0]:
-        from image_retrieval_tpu.analysis.color_mi import _pair_metric_table
-
-        table = _pair_metric_table(a, b)
-        labels = np.array(all_labels)[keep]
+    table, labels = analyzer._color_table()
+    if table:
         th, p, r = analyzer.precision_recall(table["cosine_distance"], labels)
         ax4.plot(th, p, "b-", label="Cosine Precision")
         ax4.plot(th, r, "b--", label="Cosine Recall")

@@ -76,10 +76,14 @@ def run_workflow(
         logger.info("=== Step 2: Generating Embeddings ===")
         encoder = get_encoder(fake=fake_encoder)
         all_paths = []
+        base_norm = os.path.normpath(dataset_dir)
         for item in metadata:
-            path = item["path"]
-            if not os.path.isabs(path) and not path.startswith(dataset_dir):
-                path = os.path.join(dataset_dir, path)
+            # normpath both sides: the dataset builder writes Path-normalized
+            # strings, so "./out"-style dataset_dir would fail startswith and
+            # double-join every path (all decodes would then fail)
+            path = os.path.normpath(item["path"])
+            if not os.path.isabs(path) and not path.startswith(base_norm + os.sep):
+                path = os.path.join(base_norm, path)
             all_paths.append(path)
         # streaming decode->encode pipeline (bounded memory, overlapped)
         from image_retrieval_tpu.data.loader import encode_folder
@@ -98,11 +102,15 @@ def run_workflow(
     results_dir = os.path.join(output_dir, "analysis_results")
     from image_retrieval_tpu.app.pipeline import run_color_analysis
 
-    run_color_analysis(
+    analysis = run_color_analysis(
         embeddings_file=embeddings_file,
         dataset_dir=dataset_dir,
         results_dir=results_dir,
     )
+    if isinstance(analysis, dict) and analysis.get("error"):
+        # a hard failure must not be reported as "Analysis Complete!"
+        logger.error(f"Analysis failed: {analysis['error']}")
+        return None
 
     # Report (reference color_analysis_workflow.py:165-191)
     results_json = os.path.join(results_dir, "results.json")

@@ -9,10 +9,13 @@ frozen pretrained embeddings (SURVEY §2: inference-only).
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from image_retrieval_tpu.models.preprocess import preprocess_batch
 from image_retrieval_tpu.models.tokenizer import get_tokenizer
@@ -37,9 +40,23 @@ def contrastive_batches(
     tok = tokenizer if tokenizer is not None else get_tokenizer()
     rows = [dict(r) for r in metadata]
     if base_dir:
+        base_norm = os.path.normpath(base_dir)
         for r in rows:
-            if not os.path.isabs(r["path"]) and not str(r["path"]).startswith(base_dir):
-                r["path"] = os.path.join(base_dir, r["path"])
+            p = os.path.normpath(str(r["path"]))
+            # normpath both sides: metadata paths are Path-normalized, so a
+            # raw "./out" base_dir would fail startswith and double-join
+            if not os.path.isabs(p) and not p.startswith(base_norm + os.sep):
+                p = os.path.join(base_norm, p)
+            r["path"] = p
+    if not rows:
+        return
+    if batch_size > len(rows):
+        # a tiny dataset would otherwise yield NOTHING and, with
+        # epochs=None, busy-loop forever
+        logger.warning(
+            f"batch_size {batch_size} > dataset size {len(rows)}; clamping"
+        )
+        batch_size = len(rows)
     rng = np.random.default_rng(seed)
     epoch = 0
     while epochs is None or epoch < epochs:

@@ -149,6 +149,7 @@ class PipelinedCLIPTrainer:
         weight_decay: float = 0.01,
         seed: int = 0,
         params=None,
+        optimizer=None,
     ):
         self.cfg = cfg or ModelConfig()
         assert mesh is not None and "pipe" in mesh.axis_names and "data" in mesh.axis_names
@@ -178,7 +179,9 @@ class PipelinedCLIPTrainer:
             is_leaf=lambda x: isinstance(x, P),
         )
         self.params = jax.device_put(split, shardings)
-        self.tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+        self.tx = optimizer if optimizer is not None else optax.adamw(
+            learning_rate, weight_decay=weight_decay
+        )
         opt_state = self.tx.init(self.params)
         rep = NamedSharding(mesh, P())
         opt_shardings = jax.tree.map(
@@ -197,14 +200,19 @@ class PipelinedCLIPTrainer:
         block_cls = nn.remat(Block) if c.remat else Block
         block_v = block_cls(c.vision_width, c.vision_heads, dtype)
         block_t = block_cls(c.text_width, c.text_heads, dtype)
-        t_len = c.context_length
-        causal = jnp.triu(jnp.full((t_len, t_len), -jnp.inf, jnp.float32), k=1)[None, None]
         M = num_micro
+        mesh_size = mesh.size
 
         def body(params_l, opt_l, pixels_l, tokens_l):
             mbl = pixels_l.shape[0] // M
             px = pixels_l.reshape(M, mbl, *pixels_l.shape[1:])
             tk = tokens_l.reshape(M, mbl, tokens_l.shape[1])
+            # causal mask from the ACTUAL token length (CLIPTextTower
+            # semantics) — a fixed context_length mask breaks shorter batches
+            t_len = tokens_l.shape[1]
+            causal = jnp.triu(
+                jnp.full((t_len, t_len), -jnp.inf, jnp.float32), k=1
+            )[None, None]
 
             def loss_fn(pl):
                 ve = jax.vmap(lambda a: v_embed.apply({"params": pl["ve"]}, a))(px)
@@ -241,6 +249,13 @@ class PipelinedCLIPTrainer:
             # which the pipeline only touches on the first/last stage.
             for key in ("ve", "vh", "te", "th", "logit_scale"):
                 grads[key] = jax.lax.psum(grads[key], "pipe")
+            # Every device computes the SAME global loss (img/txt are
+            # all-gathered; gpipe_local psum-replicates stage outputs), so
+            # the psums above accumulate mesh.size identical gradients.
+            # Rescale to the true gradient so non-scale-invariant optimizers
+            # (SGD, grad clipping, grad-norm logging) match trainer.py's
+            # GSPMD gradients — verified by the SGD layout-equivalence test.
+            grads = jax.tree.map(lambda g: g / mesh_size, grads)
             updates, new_opt = self.tx.update(grads, opt_l, params_l)
             new_params = optax.apply_updates(params_l, updates)
             return new_params, new_opt, loss

@@ -77,6 +77,7 @@ class CLIPTrainer:
         weight_decay: float = 0.01,
         seed: int = 0,
         params=None,
+        optimizer=None,
     ):
         self.cfg = cfg or ModelConfig()
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -84,7 +85,9 @@ class CLIPTrainer:
         self.model = CLIP(self.cfg, dtype=dtype)
         if params is None:
             _, params = init_params(self.cfg, seed=seed, dtype=dtype)
-        self.tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+        self.tx = optimizer if optimizer is not None else optax.adamw(
+            learning_rate, weight_decay=weight_decay
+        )
         p_shardings = param_shardings(params, self.mesh)
         self.params = jax.device_put(params, p_shardings)
         opt_state = self.tx.init(self.params)
