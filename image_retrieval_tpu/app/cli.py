@@ -215,7 +215,8 @@ def cmd_serve(args) -> int:
     index = app._ensure_index()
     ann = app._ensure_ann(index)
     with SearchServer(
-        app._get_encoder(), index, max_batch=args.max_batch, ann=ann
+        app._get_encoder(), index, max_batch=args.max_batch, ann=ann,
+        overfetch=app.config.search.overfetch,
     ) as server:
         print(f"Serving {len(index)} vectors. Enter queries (blank line to exit).")
         while True:

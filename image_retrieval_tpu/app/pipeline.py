@@ -70,6 +70,7 @@ class ImageSearchApp:
         self._index: Optional[ShardedVectorIndex] = None
         self._index_dirty = True
         self._ann = None  # lazily built IVFIndex when config.search.ann == "ivf"
+        self._ann_gen = -1  # index.generation the ANN was built from
 
     # -- encoder management (no per-query reloads) ---------------------------
 
@@ -166,16 +167,20 @@ class ImageSearchApp:
         """IVF candidate generator when configured (config.search.ann='ivf'),
         the Milvus IVF_FLAT analog (reference ImageEmbeddingSystem.py:56-61)."""
         sc = self.config.search
-        if sc.ann != "ivf" or index is None or len(index) == 0:
+        if sc.ann != "ivf" or index is None or index.live_count == 0:
+            # live_count, not len(): a fully-tombstoned gallery must fall
+            # back to the exact path (which returns []) instead of crashing
+            # an empty IVF build
             return None
-        # live_count (not count) is the staleness key: deletes tombstone
-        # without changing count, and from_index excludes tombstones
-        if self._ann is None or self._ann.count != index.live_count:
+        # staleness keys on the index's mutation generation — live_count
+        # alone misses a delete+insert of equal size
+        if self._ann is None or self._ann_gen != index.generation:
             from image_retrieval_tpu.index.ivf import IVFIndex
 
             self._ann = IVFIndex.from_index(
                 index, nlist=min(sc.nlist, index.live_count), nprobe=sc.nprobe
             )
+            self._ann_gen = index.generation
         return self._ann
 
     # -- search --------------------------------------------------------------
@@ -201,17 +206,17 @@ class ImageSearchApp:
         if ann is not None:
             # two-phase: IVF candidates (overfetched) -> exact rerank, the
             # reference's Milvus-ANN shape (image_search.py:88-107)
+            from image_retrieval_tpu.app.search import ann_valid_candidates
+
             limit = min(top_k * self.config.search.overfetch, len(index))
             qn = q / max(np.linalg.norm(q), 1e-12)
-            cos, cand = ann.search(qn, top_k=limit)
-            # drop -1 padding slots (under-full probed clusters)
-            cos, cand = cos[cand >= 0], cand[cand >= 0]
+            cos, cand = ann_valid_candidates(ann, index, qn, limit)
             if self.config.search.rank_by_abs:
                 # abs-ranking (reference app_pipeline.py:167) also surfaces
                 # strongly NEGATIVE cosines; IVF candidates are descending
                 # only, so probe the antipode too and take the union.
-                ncos, ncand = ann.search(-qn, top_k=limit)
-                keep = (ncand >= 0) & ~np.isin(ncand, cand)
+                ncos, ncand = ann_valid_candidates(ann, index, -qn, limit)
+                keep = ~np.isin(ncand, cand)
                 cand = np.concatenate([cand, ncand[keep]])
                 cos = np.concatenate([cos, -ncos[keep]])
             if use_optimized_similarity:
@@ -238,6 +243,10 @@ class ImageSearchApp:
             rank_scores = np.abs(scores)
         else:
             rank_scores = scores
+        if pool is None:
+            # scores() is the full matrix incl. tombstoned rows — drop them
+            # from the ranking AFTER abs() (abs(-inf) would rank first)
+            rank_scores = np.where(index.live_mask(), rank_scores, -np.inf)
         order = np.argsort(-rank_scores, kind="stable")[:top_k]
         return [
             {
@@ -245,6 +254,7 @@ class ImageSearchApp:
                 "score": float(rank_scores[i]),
             }
             for i in order
+            if np.isfinite(rank_scores[i])
         ]
 
     def _calculate_optimized_similarity(self, query_emb, image_emb) -> float:

@@ -50,6 +50,17 @@ def _all_metrics_rows(q: np.ndarray, g: np.ndarray) -> Dict[str, np.ndarray]:
     }
 
 
+def ann_valid_candidates(ann, index, q_unit: np.ndarray, limit: int):
+    """VALID IVF candidates for one unit query: (cosine scores, index-order
+    ids) with -1 padding slots (under-full probed clusters) dropped.
+
+    Every ANN consumer must use this (or filter identically): a -1 id fed to
+    index.paths / index.get_vectors silently wraps to the LAST row."""
+    cos, idx = ann.search(q_unit, top_k=min(limit, len(index)))
+    valid = idx >= 0
+    return cos[valid], idx[valid]
+
+
 def _optimized_rows(m: Dict[str, np.ndarray], p: Dict[str, float]) -> np.ndarray:
     return (
         p.get("w_angle", 1.0) * m["cosine_similarity"]
@@ -87,7 +98,7 @@ class TextImageSearcher:
     def _candidates(self, text_embedding: np.ndarray, limit: int):
         qn = text_embedding / np.linalg.norm(text_embedding)
         if self.ann is not None:
-            return self.ann.search(qn, top_k=min(limit, len(self.index)))
+            return ann_valid_candidates(self.ann, self.index, qn, limit)
         vals, idx = self.index.search(qn, top_k=min(limit, len(self.index)))
         return vals, idx
 

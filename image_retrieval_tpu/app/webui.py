@@ -161,7 +161,8 @@ def main(argv=None):
     paths = app.scan_folders(args.folder)
     app.process_images(paths)
     index = app._ensure_index()
-    with SearchServer(app._get_encoder(), index, ann=app._ensure_ann(index)) as srv:
+    with SearchServer(app._get_encoder(), index, ann=app._ensure_ann(index),
+                      overfetch=app.config.search.overfetch) as srv:
         httpd = serve(srv, index.paths, args.host, args.port)
         print(f"Serving {len(index)} images at http://{args.host}:{args.port}")
         try:

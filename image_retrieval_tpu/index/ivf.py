@@ -51,6 +51,14 @@ def _kmeans_unit(rows: jnp.ndarray, seed: jnp.ndarray, nlist: int, iters: int = 
     return centroids, jnp.argmax(sims, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("r",))
+def _top_r_centroids(rows: jnp.ndarray, centroids: jnp.ndarray, r: int):
+    """Top-r centroid ids per row (module-level jit: rebuilds reuse the
+    compiled kernel instead of retracing a per-call lambda)."""
+    sims = jnp.dot(rows, centroids.T, preferred_element_type=jnp.float32)
+    return jax.lax.top_k(sims, r)[1]
+
+
 @functools.partial(jax.jit, static_argnames=("lmax", "nprobe", "k"))
 def _ivf_search(
     queries: jnp.ndarray,      # (Q, D)
@@ -257,15 +265,11 @@ class IVFIndex:
             # row chunks on device (the full (N, C) sims never materialize)
             tops = np.empty((n, replicas), np.int32)
             chunk = 131072
-            topr = jax.jit(
-                lambda r, c: jax.lax.top_k(
-                    jnp.dot(r, c.T, preferred_element_type=jnp.float32), replicas
-                )[1],
-                static_argnums=(),
-            )
             for i in range(0, n, chunk):
                 tops[i : i + chunk] = np.asarray(
-                    topr(jnp.asarray(unit[i : i + chunk]), centroids)
+                    _top_r_centroids(
+                        jnp.asarray(unit[i : i + chunk]), centroids, replicas
+                    )
                 )
             tops[:, 0] = assign  # keep the (possibly rebalanced) primary
             m_rows = np.repeat(np.arange(n, dtype=np.int64), replicas)
@@ -347,6 +351,14 @@ class IVFIndex:
         single = q.ndim == 1
         if single:
             q = q[None]
+        nq = q.shape[0]
+        # _ivf_search jits per (Q, nprobe, k): bucket Q and k so serving
+        # traffic with mixed micro-batch sizes / top_k values reuses a few
+        # executables instead of compiling per signature (remote compiles
+        # cost minutes; same rationale as ShardedVectorIndex._Q_BUCKETS)
+        qb = next((b for b in (1, 8, 32, 64, 128, 256) if nq <= b), nq)
+        if qb > nq:
+            q = np.concatenate([q, np.zeros((qb - nq, q.shape[1]), np.float32)])
         np_ = min(nprobe or self.nprobe, self.nlist)
         # k can't exceed the probed slot count (nprobe * lmax scores exist
         # per query) — small galleries with tight balance caps would
@@ -355,11 +367,13 @@ class IVFIndex:
         # multi-assigned rows can appear once per replica in the raw top-k:
         # overfetch by the replica factor, dedup keep-first, truncate
         kf = min(k * self._replicas, np_ * self._lmax)
+        kf = min(next((b for b in (16, 32, 64, 128, 256) if kf <= b), kf),
+                 np_ * self._lmax, self.count)
         vals, ids = _ivf_search(
             jnp.asarray(q), self._centroids, self._packed, self._row_ids,
             self._lmax, np_, kf, self._scales,
         )
-        vals, ids = np.asarray(vals), np.asarray(ids)
+        vals, ids = np.asarray(vals)[:nq], np.asarray(ids)[:nq]
         if self._replicas > 1:
             dv = np.full((len(ids), k), -np.inf, vals.dtype)
             di = np.full((len(ids), k), -1, ids.dtype)

@@ -79,6 +79,10 @@ class ShardedVectorIndex:
         self._valid = None  # (capacity,) bool sharded jax
         self._scales = None  # (capacity,) sharded jax, int8 mode only
         self._device_dirty = True
+        # monotone content-generation counter: bumps on every mutation
+        # (insert/delete/compact/load); derived structures (IVF) key their
+        # staleness on it — live_count alone misses delete+insert of equal size
+        self.generation = 0
 
     # -- storage ------------------------------------------------------------
 
@@ -165,6 +169,7 @@ class ShardedVectorIndex:
         self._host_mags[start : start + n_new] = mags
         self._host_valid[start : start + n_new] = True
         self._device_dirty = True
+        self.generation += 1
         self.paths.extend(str(p) for p in paths)
         self.count += n_new
         return n_new
@@ -181,6 +186,7 @@ class ShardedVectorIndex:
                 deleted += 1
         if deleted:
             self._device_dirty = True
+            self.generation += 1
         return deleted
 
     @property
@@ -188,6 +194,13 @@ class ShardedVectorIndex:
         if self._host_valid is None:
             return 0
         return int(self._host_valid[: self.count].sum())
+
+    def live_mask(self) -> np.ndarray:
+        """(count,) bool — True for non-tombstoned rows. Consumers of the
+        full scores() matrix must mask with this (search() masks itself)."""
+        if self._host_valid is None:
+            return np.zeros((0,), bool)
+        return self._host_valid[: self.count].copy()
 
     def compact(self) -> int:
         """Reclaim tombstoned rows in place: live rows slide down, paths and
@@ -207,6 +220,7 @@ class ShardedVectorIndex:
         self.paths = [self.paths[int(i)] for i in live]
         self.count = len(live)
         self._device_dirty = True
+        self.generation += 1
         return reclaimed
 
     def _sync_device(self) -> None:

@@ -106,17 +106,29 @@ class CLIPEncoder(Encoder):
                 return b
         return max(nd, -(-requested // nd) * nd)
 
+    # In-flight dispatch window: each pending execution pins its padded
+    # input batch in HBM (~116 MB at bucket 192), so an unbounded dispatch
+    # queue over a large ingest could OOM the 16 GB chip. A window of a few
+    # batches keeps compute/fetch/decode overlapped with bounded residency.
+    _MAX_IN_FLIGHT = 4
+
+    def _drain(self, pending, outs, limit):
+        while len(pending) > limit:
+            dev, m = pending.pop(0)
+            outs.append(np.asarray(dev)[:m])
+
     def encode_pixels(self, pixels: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) normalized f32 -> (B, dim) f32 unnormalized.
 
-        Two-phase: dispatch every batch (jax returns futures), then fetch —
-        device compute overlaps the per-batch host-fetch round-trips (the
-        dev tunnel's fetch alone is ~30 ms, longer than a batch forward)."""
+        Pipelined: up to _MAX_IN_FLIGHT batches are dispatched before the
+        oldest is fetched — device compute overlaps the per-batch host-fetch
+        round-trips (the dev tunnel's fetch alone is ~30 ms, longer than a
+        batch forward) with bounded HBM residency."""
         n = pixels.shape[0]
         if n == 0:
             return np.zeros((0, self.dim), np.float32)
         step = self._batch_sizes(min(n, self._BUCKETS[-1]))
-        pending = []
+        pending, outs = [], []
         for i in range(0, n, step):
             chunk = pixels[i : i + step].astype(np.float32)
             nb = self._batch_sizes(chunk.shape[0])
@@ -124,16 +136,18 @@ class CLIPEncoder(Encoder):
             pending.append(
                 (self._encode_image(self.params, jnp.asarray(padded)), chunk.shape[0])
             )
-        return np.concatenate([np.asarray(dev)[:m] for dev, m in pending], 0)
+            self._drain(pending, outs, self._MAX_IN_FLIGHT)
+        self._drain(pending, outs, 0)
+        return np.concatenate(outs, 0)
 
     def encode_images(self, paths: Sequence[str], batch_size: int = 256) -> np.ndarray:
         """Host-parallel decode -> device-batched forward.
 
         Decode of batch i+1 overlaps the device forward of batch i: each
-        batch is dispatched (async) before the next decode starts, and all
-        results are fetched at the end."""
+        batch is dispatched (async) before the next decode starts; fetches
+        trail by up to _MAX_IN_FLIGHT batches."""
         bs = self._batch_sizes(batch_size)
-        pending = []
+        pending, outs = [], []
         for i in range(0, len(paths), bs):
             chunk = list(paths[i : i + bs])
             pixels = preprocess_batch(chunk).astype(np.float32)
@@ -142,9 +156,11 @@ class CLIPEncoder(Encoder):
             pending.append(
                 (self._encode_image(self.params, jnp.asarray(padded)), pixels.shape[0])
             )
-        if not pending:
+            self._drain(pending, outs, self._MAX_IN_FLIGHT)
+        self._drain(pending, outs, 0)
+        if not outs:
             return np.zeros((0, self.dim), np.float32)
-        return np.concatenate([np.asarray(dev)[:m] for dev, m in pending], 0)
+        return np.concatenate(outs, 0)
 
     def encode_texts(self, texts: Sequence[str]) -> np.ndarray:
         tokens = self.tokenizer(
@@ -155,8 +171,8 @@ class CLIPEncoder(Encoder):
             return np.zeros((0, self.dim), np.float32)
         step = self._batch_sizes(min(n, self._BUCKETS[-1]))
         # Padded rows would pool at argmax=0; harmless, sliced away below.
-        # Dispatch all batches before fetching any (see encode_pixels).
-        pending = []
+        # Windowed async dispatch (see encode_pixels).
+        pending, outs = [], []
         for i in range(0, n, step):
             chunk = tokens[i : i + step]
             nb = self._batch_sizes(chunk.shape[0])
@@ -164,7 +180,9 @@ class CLIPEncoder(Encoder):
             pending.append(
                 (self._encode_text(self.params, jnp.asarray(padded)), chunk.shape[0])
             )
-        return np.concatenate([np.asarray(dev)[:m] for dev, m in pending], 0)
+            self._drain(pending, outs, self._MAX_IN_FLIGHT)
+        self._drain(pending, outs, 0)
+        return np.concatenate(outs, 0)
 
 
 class FakeEncoder(Encoder):

@@ -372,3 +372,76 @@ def test_replicas_multi_assignment_improves_recall(rng):
         assert len(set(live.tolist())) == len(live)
     # probe-all == exact despite duplication
     assert r2.recall_at(queries, exact, k=k, nprobe=64) == 1.0
+
+
+def test_searcher_ann_never_surfaces_padding(rng):
+    """TextImageSearcher with under-full probed clusters must drop -1
+    padding ids — an unfiltered -1 maps to paths[-1]/the last gallery row."""
+    from image_retrieval_tpu.app.search import TextImageSearcher
+    from image_retrieval_tpu.models.encoder import FakeEncoder
+
+    n, d = 30, 32
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    idx = ShardedVectorIndex(dim=d, config=IndexConfig(capacity_step=16))
+    idx.insert([f"p{i}" for i in range(n)], emb)
+    ann = IVFIndex(nlist=10, nprobe=1, seed=0).build(
+        emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    )
+    searcher = TextImageSearcher(FakeEncoder(dim=d), idx, ann=ann)
+    res = searcher.search("q", top_k=20, score_threshold=-1e9)
+    # nprobe=1 over 10 lists: only ~3 candidates exist; all must be real
+    assert 0 < len(res) <= 20
+    assert all(r["path"].startswith("p") for r in res)
+    multi = searcher.search_with_multiple_metrics("q", top_k=20)
+    for m in ("cosine_similarity", "l1_distance", "l2_distance"):
+        assert all(np.isfinite(r[m]) for r in multi[m])
+        assert all(r["path"].startswith("p") for r in multi[m])
+
+
+def test_facade_ann_fully_deleted_gallery(tmp_path, rng):
+    """A fully-tombstoned gallery with --ann ivf returns [] like the exact
+    path instead of crashing the IVF build."""
+    from image_retrieval_tpu.app.pipeline import ImageSearchApp
+    from image_retrieval_tpu.models.encoder import FakeEncoder
+    from PIL import Image
+
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    for i in range(4):
+        Image.fromarray(
+            rng.uniform(0, 255, (8, 8, 3)).astype(np.uint8)
+        ).save(folder / f"im{i}.png")
+    app = ImageSearchApp(encoder=FakeEncoder(dim=32))
+    app.config.search.ann = "ivf"
+    app.process_images(app.scan_folders(str(folder)))
+    index = app._ensure_index()
+    index.delete(list(index.paths))
+    assert index.live_count == 0
+    assert app._ensure_ann(index) is None
+    assert app.search_images("anything", top_k=3) == []
+
+
+def test_facade_ann_rebuilds_on_generation_change(rng):
+    """delete+insert of EQUAL size must rebuild the ANN (live_count alone
+    wouldn't change); new rows become findable, deleted ones never surface."""
+    from image_retrieval_tpu.app.pipeline import ImageSearchApp
+    from image_retrieval_tpu.models.encoder import FakeEncoder
+
+    app = ImageSearchApp(encoder=FakeEncoder(dim=32))
+    app.config.search.ann = "ivf"
+    app.config.search.nlist = 4
+    app.config.search.nprobe = 4
+    emb = rng.normal(size=(24, 32)).astype(np.float32)
+    app.embeddings = {f"old{i}": emb[i] for i in range(24)}
+    index = app._ensure_index()
+    ann1 = app._ensure_ann(index)
+    assert ann1 is not None
+    index.delete(["old3"])
+    new_vec = emb[3] * 1.01
+    index.insert(["brandnew"], new_vec[None])
+    ann2 = app._ensure_ann(index)
+    assert ann2 is not ann1  # generation bump forced a rebuild
+    q = new_vec / np.linalg.norm(new_vec)
+    _, ids = ann2.search(q, top_k=3)
+    got = [index.paths[int(i)] for i in ids if i >= 0]
+    assert "brandnew" in got and "old3" not in got
