@@ -85,8 +85,22 @@ class ImageBatchLoader:
         return -(-len(self.paths) // self.batch_size)
 
     def __iter__(self) -> Iterator[Tuple[List[str], np.ndarray, np.ndarray]]:
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        # maxsize must be >= 1: Queue(maxsize=0) means UNBOUNDED in Python —
+        # the opposite of the documented backpressure bound
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch))
         stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that still observes stop: a plain q.put() on a
+            # full queue blocks forever once the consumer abandons the
+            # iterator, leaking the thread and its decoded batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
@@ -98,9 +112,12 @@ class ImageBatchLoader:
                         batch, ok = _decode_chunk_native(chunk, self.size, self.threads)
                     else:
                         batch, ok = _decode_chunk_pil(chunk, self.size)
-                    q.put((chunk, batch, ok))
+                    if not _put((chunk, batch, ok)):
+                        return
+            except BaseException as e:  # surfaced to the consumer, not lost
+                _put(e)
             finally:
-                q.put(None)
+                _put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -109,9 +126,19 @@ class ImageBatchLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    # producer died mid-run: re-raise instead of silently
+                    # truncating the corpus
+                    raise item
                 yield item
         finally:
             stop.set()
+            # drain so a blocked producer can observe stop and exit
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
 
 def encode_folder(

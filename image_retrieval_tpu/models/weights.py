@@ -16,18 +16,33 @@ import numpy as np
 from image_retrieval_tpu.config import ModelConfig
 
 
+def _to_numpy(t) -> np.ndarray:
+    """torch tensor -> numpy; bf16 (a common HF export dtype) upcasts to
+    f32 first — .numpy() raises on bfloat16, and the mapping casts to f32
+    at the end regardless."""
+    if t.dtype.is_floating_point and t.element_size() < 4:
+        t = t.float()
+    return t.numpy()
+
+
 def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
     safep = os.path.join(path, "model.safetensors")
     binp = os.path.join(path, "pytorch_model.bin")
     if os.path.exists(safep):
-        from safetensors.numpy import load_file
+        try:
+            from safetensors.numpy import load_file
 
-        return load_file(safep)
+            return load_file(safep)
+        except (TypeError, ValueError, ImportError):
+            # safetensors.numpy rejects bf16 tensors; go through torch
+            from safetensors.torch import load_file as load_torch
+
+            return {k: _to_numpy(v) for k, v in load_torch(safep).items()}
     if os.path.exists(binp):
         import torch
 
         sd = torch.load(binp, map_location="cpu", weights_only=True)
-        return {k: v.numpy() for k, v in sd.items()}
+        return {k: _to_numpy(v) for k, v in sd.items()}
     raise FileNotFoundError(f"no checkpoint found under {path}")
 
 

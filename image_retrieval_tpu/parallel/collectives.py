@@ -21,15 +21,6 @@ from jax import shard_map
 from image_retrieval_tpu.ops.metrics import pairwise_metrics
 from image_retrieval_tpu.ops.topk import exact_topk, DESCENDING_METRICS
 
-_OPT_INPUTS = (
-    "cosine_similarity",
-    "l1_distance",
-    "l2_distance",
-    "linf_distance",
-    "magnitude_difference",
-)
-
-
 def _axis_size(mesh: "Mesh", axis) -> int:
     """Total shard count along `axis`, which may be one name or a tuple of
     names (multi-slice row sharding uses ('slice', 'data'))."""

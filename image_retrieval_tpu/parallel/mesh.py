@@ -28,7 +28,9 @@ def make_mesh(
     n = len(devices)
     model = max(1, cfg.model)
     data = cfg.data if cfg.data > 0 else n // model
-    if data * model > n:
+    # data < 1 catches model > device count under data=-1 (n // model == 0
+    # would otherwise build a zero-device mesh and fail obscurely downstream)
+    if data < 1 or data * model > n:
         raise ValueError(f"mesh {data}x{model} needs {data*model} devices, have {n}")
     grid = np.array(devices[: data * model]).reshape(data, model)
     return Mesh(grid, cfg.axis_names)

@@ -42,9 +42,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        if not os.path.exists(os.path.join(_NATIVE_DIR, "ir_native.cpp")) or not _build():
+    if os.path.exists(os.path.join(_NATIVE_DIR, "ir_native.cpp")):
+        # always invoke make: it is an mtime no-op when the .so is fresh,
+        # and rebuilds when ir_native.cpp changed (a stale committed binary
+        # would otherwise silently shadow source edits)
+        if not _build() and not os.path.exists(_LIB_PATH):
             return None
+    elif not os.path.exists(_LIB_PATH):
+        return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
         lib.ir_decode_preprocess_batch.argtypes = [

@@ -20,6 +20,7 @@
 #include <cstdio>
 #include <cstring>
 #include <functional>
+#include <limits>
 #include <thread>
 #include <vector>
 
@@ -159,8 +160,20 @@ void resize_crop_normalize(const ImageU8& img, int size, float* out) {
 }
 
 void run_pool(int n_items, int threads, const std::function<void(int)>& work) {
+  // Exceptions must never escape a worker: an uncaught exception in a
+  // std::thread body calls std::terminate and kills the whole Python
+  // process (e.g. bad_alloc from a corrupt JPEG header claiming 65k x 65k).
+  // Per-item failures are the caller's status[] contract.
+  auto safe = [&](int i) {
+    try {
+      work(i);
+    } catch (...) {
+      // work() marks status on failure paths it controls; an escaping
+      // exception simply leaves that item marked failed / zeroed.
+    }
+  };
   if (threads <= 1) {
-    for (int i = 0; i < n_items; ++i) work(i);
+    for (int i = 0; i < n_items; ++i) safe(i);
     return;
   }
   std::atomic<int> next{0};
@@ -169,7 +182,7 @@ void run_pool(int n_items, int threads, const std::function<void(int)>& work) {
   pool.reserve(nt);
   for (int t = 0; t < nt; ++t) {
     pool.emplace_back([&]() {
-      for (int i = next.fetch_add(1); i < n_items; i = next.fetch_add(1)) work(i);
+      for (int i = next.fetch_add(1); i < n_items; i = next.fetch_add(1)) safe(i);
     });
   }
   for (auto& th : pool) th.join();
@@ -257,8 +270,15 @@ void ir_cosine_topk(const float* query, const float* gallery, int n, int d,
   std::vector<int> idx(n);
   for (int i = 0; i < n; ++i) idx[i] = i;
   const int kk = std::min(k, n);
+  // NaN-safe comparison key: NaN compares false both ways, which violates
+  // partial_sort's strict weak ordering (UB); map NaN to -inf (rank last).
+  auto key = [&](int i) {
+    const float v = scores[i];
+    return std::isnan(v) ? -std::numeric_limits<float>::infinity() : v;
+  };
   std::partial_sort(idx.begin(), idx.begin() + kk, idx.end(), [&](int a, int b) {
-    if (scores[a] != scores[b]) return scores[a] > scores[b];
+    const float ka = key(a), kb = key(b);
+    if (ka != kb) return ka > kb;
     return a < b;  // stable lowest-index tie-break, matching the device index
   });
   for (int i = 0; i < kk; ++i) {

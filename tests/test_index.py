@@ -340,3 +340,10 @@ def test_query_batch_bucketing_reuses_compiles(mesh, rng):
     oracle = np_cosine(q5, emb)
     want = np.argsort(-oracle, axis=1, kind="stable")[:, :4]
     np.testing.assert_array_equal(i5, want)
+
+
+def test_make_mesh_rejects_zero_data_axis():
+    """model > device count with data=-1 must raise, not build a 0-device
+    mesh (data = n // model == 0 used to slip past validation)."""
+    with pytest.raises(ValueError, match="needs"):
+        make_mesh(MeshConfig(data=-1, model=1024))

@@ -51,3 +51,42 @@ def test_encode_folder_pipeline(img_files):
     # equals the direct path
     direct = enc.encode_images(img_files)
     np.testing.assert_allclose(embs, direct, rtol=1e-5, atol=1e-5)
+
+
+def test_producer_exception_surfaces(tmp_path, monkeypatch):
+    """A producer-thread crash must raise in the consumer, not silently
+    truncate the corpus (the None sentinel used to mask it)."""
+    from image_retrieval_tpu.data import loader as L
+
+    paths = [str(tmp_path / f"x{i}.jpg") for i in range(8)]
+
+    def boom(chunk, size):
+        raise MemoryError("decode blew up")
+
+    monkeypatch.setattr(L, "_decode_chunk_pil", boom)
+    with pytest.raises(MemoryError):
+        list(L.ImageBatchLoader(paths, batch_size=4, use_native=False))
+
+
+def test_abandoned_iterator_does_not_leak_producer(tmp_path, rng):
+    """Breaking out of iteration must let the producer thread exit even when
+    the bounded queue is full (q.put observes the stop event)."""
+    import threading
+    import time
+
+    from PIL import Image
+    from image_retrieval_tpu.data.loader import ImageBatchLoader
+
+    paths = []
+    for i in range(12):
+        p = tmp_path / f"i{i}.png"
+        Image.fromarray(rng.uniform(0, 255, (8, 8, 3)).astype(np.uint8)).save(p)
+        paths.append(str(p))
+    before = threading.active_count()
+    it = iter(ImageBatchLoader(paths, batch_size=1, prefetch=1, use_native=False))
+    next(it)
+    it.close()  # abandon: GeneratorExit triggers the finally/stop path
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
