@@ -41,7 +41,9 @@ class ImageEmbeddingSystem:
         (reference ImageEmbeddingSystem.py:68-98)."""
         emb = self.encoder.encode_images([str(image_path)])[0]
         magnitude = float(np.linalg.norm(emb))
-        return emb / magnitude, magnitude
+        # zero-norm guard (matches ShardedVectorIndex.insert): a degenerate
+        # embedding must not produce a NaN unit vector
+        return emb / (magnitude if magnitude > 0 else 1.0), magnitude
 
     def process_and_store_images(
         self, image_paths: Sequence, batch_size: Optional[int] = None

@@ -52,12 +52,25 @@ class Collection:
     """Named collection facade (process-local registry mirrors Milvus's
     server-side collection namespace)."""
 
-    def __init__(self, name: str, dim: int = 512, index: Optional[ShardedVectorIndex] = None):
+    def __init__(self, name: str, dim: Optional[int] = None,
+                 index: Optional[ShardedVectorIndex] = None):
+        """`Collection(name)` opens an existing collection (pymilvus
+        semantics); pass `dim` to declare the schema — an EXPLICIT dim that
+        conflicts with the registered collection raises here instead of as
+        a bare assert deep inside a later insert."""
         self.name = name
         if name in _REGISTRY and index is None:
-            self._impl = _REGISTRY[name]._impl
+            impl = _REGISTRY[name]._impl
+            if dim is not None and impl.dim != dim:
+                raise ValueError(
+                    f"collection {name!r} exists with dim={impl.dim}, "
+                    f"requested dim={dim}"
+                )
+            self._impl = impl
         else:
-            self._impl = index if index is not None else ShardedVectorIndex(dim=dim)
+            self._impl = index if index is not None else ShardedVectorIndex(
+                dim=dim if dim is not None else 512
+            )
         _REGISTRY[name] = self
 
     # -- schema/lifecycle no-ops kept for API parity -------------------------
@@ -98,10 +111,21 @@ class Collection:
     ) -> List[List[_Hit]]:
         param = param or {}
         metric_type = (param.get("metric_type") or "COSINE").upper()
-        metric = "cosine_similarity" if metric_type == "COSINE" else "l2_distance"
+        metrics = {"COSINE": "cosine_similarity", "L2": "l2_distance"}
+        if metric_type not in metrics:
+            # anything else (IP, a typo, ...) must not silently fall back to
+            # a different ranking
+            raise ValueError(
+                f"unsupported metric_type {metric_type!r}; supported: "
+                f"{sorted(metrics)}"
+            )
+        metric = metrics[metric_type]
         output_fields = output_fields or ["image_path"]
         results = []
         for q in data:
+            if self._impl.live_count == 0:
+                results.append([])  # pymilvus returns empty hits, not an error
+                continue
             vals, idx = self._impl.search(np.asarray(q, np.float32), top_k=limit,
                                           metric=metric)
             hits = []

@@ -65,11 +65,24 @@ class HistogramEncoder(Encoder):
         self.bins = bins_per_channel
         self.dim = bins_per_channel**3
 
+    # Same bucket ladder as CLIPEncoder: each distinct batch shape is a jit
+    # signature (minutes through the remote TPU compiler), so ragged tails
+    # snap up to a bucket and the padding is sliced off.
+    _BUCKETS = (8, 32, 128, 256)
+
     def encode_pixels(self, pixels: np.ndarray) -> np.ndarray:
         x01 = np.clip(
             np.asarray(pixels, np.float32) * CLIP_STD + CLIP_MEAN, 0.0, 1.0
         )
-        return np.asarray(batched_color_histogram(jnp.asarray(x01), self.bins))
+        n = x01.shape[0]
+        if n == 0:
+            return np.zeros((0, self.dim), np.float32)
+        nb = next((b for b in self._BUCKETS if n <= b), n)
+        if nb > n:
+            x01 = np.concatenate(
+                [x01, np.zeros((nb - n,) + x01.shape[1:], np.float32)]
+            )
+        return np.asarray(batched_color_histogram(jnp.asarray(x01), self.bins))[:n]
 
     def encode_images(self, paths: Sequence[str], batch_size: int = 256) -> np.ndarray:
         from image_retrieval_tpu.models.preprocess import preprocess_batch

@@ -164,11 +164,15 @@ def _make_int8_combo_kernel(weights):
     read serves both the MXU dot (angle + Gram-form L2 + magnitude) and the
     live L1/Linf elementwise reductions.
 
-    This is the case where a hand kernel beats XLA: the XLA int8 scorer
-    (ops/metrics.py fused_optimized_scores_int8) cannot fuse the dot and
-    the elementwise sweep into one pass, so it reads the 0.5 GB int8 rows
-    twice (measured 1.40 ms at 1M x 512 on v5e); here the block is VMEM-
-    resident for both. Norm-preserving scales (index quantization) make
+    Motivation: the XLA int8 scorer (ops/metrics.py
+    fused_optimized_scores_int8) cannot fuse the dot and the elementwise
+    sweep into one pass, so it reads the 0.5 GB int8 rows twice (1.40 ms at
+    1M x 512 on v5e against a ~0.6 ms single-read bound). MEASURED OUTCOME:
+    despite the single VMEM residency this kernel runs 5.8 ms — Mosaic's
+    bandwidth-bound matvec codegen loses more than the second read costs —
+    so the XLA scorer remains the production path and this kernel is a
+    correctness-tested demonstration (ARCHITECTURE.md "Fusion beats
+    hand-scheduling"). Norm-preserving scales (index quantization) make
     ||int8_row * scale|| == 1 exactly, so the Gram L2 is exact.
 
     `weights` is a STATIC 5-tuple; zero-weight terms vanish at trace time.
@@ -400,20 +404,13 @@ def fused_optimized_topk(
         ),
         interpret=_interpret(),
     )(q, qn, g, mag2d)
-    # Final merge over (Q, grid * k) candidates — tiny next to the sweep.
+    # Final merge over (Q, grid * k) candidates — tiny next to the sweep;
+    # the shared two-key select keeps tie-breaks identical to exact_topk.
+    from image_retrieval_tpu.ops.topk import two_key_topk
+
     fv = vals.transpose(1, 0, 2).reshape(nq, grid_n * kk)
     fi = idx.transpose(1, 0, 2).reshape(nq, grid_n * kk)
-    # two-key order: score desc, then global index asc (parity with
-    # ops/topk.exact_topk tie-breaking)
-    order_idx = jnp.argsort(fi, axis=-1, stable=True)
-    sv = jnp.take_along_axis(fv, order_idx, axis=-1)
-    order = jnp.take_along_axis(
-        order_idx, jnp.argsort(-sv, axis=-1, stable=True), axis=-1
-    )[:, :kk]
-    return (
-        jnp.take_along_axis(fv, order, axis=-1),
-        jnp.take_along_axis(fi, order, axis=-1),
-    )
+    return two_key_topk(fv, fi, kk, descending=True)
 
 
 @functools.partial(jax.jit, static_argnames=("block_n",))

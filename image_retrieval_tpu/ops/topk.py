@@ -61,6 +61,28 @@ def topk_for_metric(
 topk_with_scores = topk_for_metric
 
 
+def two_key_topk(
+    vals: jnp.ndarray, idx: jnp.ndarray, k: int, descending: bool
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Select the top-k of (vals, idx) candidate lists with the canonical
+    (score, ascending-global-index) tie-break — THE one merge used by every
+    shard/slice/kernel combiner (parallel/collectives.py, pallas top-k),
+    so tie semantics cannot drift between paths. Trace-safe (no jit here;
+    callers jit)."""
+    s = vals if descending else -vals
+    # stable two-key sort: sort on index first (ascending), then
+    # stable-sort on score
+    order_idx = jnp.argsort(idx, axis=-1, stable=True)
+    s2 = jnp.take_along_axis(s, order_idx, axis=-1)
+    order_val = jnp.argsort(-s2, axis=-1, stable=True)
+    order = jnp.take_along_axis(order_idx, order_val, axis=-1)
+    top = order[..., : min(k, vals.shape[-1])]
+    return (
+        jnp.take_along_axis(vals, top, axis=-1),
+        jnp.take_along_axis(idx, top, axis=-1),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("k", "descending"))
 def merge_topk(
     values_a: jnp.ndarray,
@@ -76,15 +98,4 @@ def merge_topk(
     single-device ordering."""
     vals = jnp.concatenate([values_a, values_b], axis=-1)
     idx = jnp.concatenate([indices_a, indices_b], axis=-1)
-    s = vals if descending else -vals
-    # Sort by (score desc, index asc): stable two-key sort via lexsort-style
-    # composite: sort on index first (ascending), then stable-sort on score.
-    order_idx = jnp.argsort(idx, axis=-1, stable=True)
-    s2 = jnp.take_along_axis(s, order_idx, axis=-1)
-    order_val = jnp.argsort(-s2, axis=-1, stable=True)
-    order = jnp.take_along_axis(order_idx, order_val, axis=-1)
-    top = order[..., :k]
-    return (
-        jnp.take_along_axis(vals, top, axis=-1),
-        jnp.take_along_axis(idx, top, axis=-1),
-    )
+    return two_key_topk(vals, idx, k, descending)

@@ -19,7 +19,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from image_retrieval_tpu.ops.metrics import pairwise_metrics
-from image_retrieval_tpu.ops.topk import exact_topk, DESCENDING_METRICS
+from image_retrieval_tpu.ops.topk import exact_topk, two_key_topk, DESCENDING_METRICS
 
 def _axis_size(mesh: "Mesh", axis) -> int:
     """Total shard count along `axis`, which may be one name or a tuple of
@@ -45,17 +45,7 @@ def _gather_merge_topk(
     (two-key sort: index asc first, then stable score sort)."""
     all_vals = jax.lax.all_gather(vals, axis, axis=-1, tiled=True)
     all_idx = jax.lax.all_gather(gidx, axis, axis=-1, tiled=True)
-    s = all_vals if descending else -all_vals
-    order_idx = jnp.argsort(all_idx, axis=-1, stable=True)
-    s2 = jnp.take_along_axis(s, order_idx, axis=-1)
-    order = jnp.take_along_axis(
-        order_idx, jnp.argsort(-s2, axis=-1, stable=True), axis=-1
-    )
-    top = order[..., : min(k, all_vals.shape[-1])]
-    return (
-        jnp.take_along_axis(all_vals, top, axis=-1),
-        jnp.take_along_axis(all_idx, top, axis=-1),
-    )
+    return two_key_topk(all_vals, all_idx, k, descending)
 
 
 def _score_block(

@@ -81,3 +81,28 @@ def test_collection_l2_metric_and_drop(rng):
     assert res[0][0].entity.get("image_path") == "x5"  # exact self-match
     drop_collection("tmp_l2")
     assert not has_collection("tmp_l2")
+
+
+def test_collection_schema_and_metric_validation(rng):
+    """Explicit dim conflicts and unsupported metric types raise instead of
+    silently returning wrong results; empty collections return empty hits
+    (pymilvus behavior), not errors."""
+    import pytest as _pytest
+
+    from image_retrieval_tpu.index.compat import Collection, drop_collection
+
+    drop_collection("val_test")
+    c = Collection("val_test", dim=32)
+    # empty search -> empty hit lists, not ValueError
+    res = c.search([rng.normal(size=32).astype(np.float32)], limit=3)
+    assert res == [[]]
+    # opening by name without dim works; explicit conflicting dim raises
+    assert Collection("val_test")._impl.dim == 32
+    with _pytest.raises(ValueError, match="dim"):
+        Collection("val_test", dim=128)
+    # unsupported metric_type raises instead of silently remapping
+    c.insert([["a"], rng.normal(size=(1, 32)).astype(np.float32)])
+    with _pytest.raises(ValueError, match="metric_type"):
+        c.search([rng.normal(size=32).astype(np.float32)],
+                 param={"metric_type": "IP"}, limit=1)
+    drop_collection("val_test")
