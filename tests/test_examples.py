@@ -16,3 +16,17 @@ def test_quickstart_runs(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "QUICKSTART COMPLETE" in proc.stdout
+
+
+def test_serving_example_runs(tmp_path):
+    proc = subprocess.run(
+        [sys.executable, "examples/serving.py"],
+        capture_output=True, text=True, timeout=600,
+        env={"JAX_PLATFORMS": "cpu",
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+             "PATH": "/usr/bin:/bin", "HOME": "/root",
+             "PYTHONPATH": "."},
+        cwd=".",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "[5] deleted" in proc.stdout
