@@ -37,6 +37,7 @@ def run_workflow(
     num_examples: int = 5,
     batch_size: int = 100,
     native_decode: bool = False,
+    config=None,
 ) -> Optional[dict]:
     from image_retrieval_tpu.data.dataset import prepare_color_dataset
     from image_retrieval_tpu.models.encoder import get_encoder
@@ -74,7 +75,7 @@ def run_workflow(
         logger.info(f"Using existing embeddings at {embeddings_file}")
     else:
         logger.info("=== Step 2: Generating Embeddings ===")
-        encoder = get_encoder(fake=fake_encoder)
+        encoder = get_encoder(config=config, fake=fake_encoder)
         all_paths = []
         base_norm = os.path.normpath(dataset_dir)
         for item in metadata:
@@ -90,8 +91,10 @@ def run_workflow(
 
         # native_decode=False keeps PIL bicubic preprocessing (CLIPProcessor
         # parity); the C++ decoder uses bilinear and is for throughput ingest.
+        size = config.model.image_size if config is not None else 224
         ok_paths, embs = encode_folder(
-            encoder, all_paths, batch_size=batch_size, use_native=native_decode
+            encoder, all_paths, batch_size=batch_size, size=size,
+            use_native=native_decode,
         )
         embeddings = {p: e for p, e in zip(ok_paths, embs)}
         np.savez(embeddings_file, embeddings=np.array(embeddings, dtype=object))
@@ -159,9 +162,17 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=100)
     parser.add_argument("--native_decode", action="store_true",
                         help="Use the C++ decoder (bilinear) instead of PIL bicubic")
+    parser.add_argument("--weights_path",
+                        help="HF CLIP checkpoint directory (model.safetensors"
+                             " + vocab.json/merges.txt) to port weights from")
     args = parser.parse_args(argv)
     if not args.synthetic and not (args.coco_dir and args.annotation_file):
         parser.error("provide --coco_dir and --annotation_file, or --synthetic")
+    config = None
+    if args.weights_path:
+        from image_retrieval_tpu.config import Config
+
+        config = Config(weights_path=args.weights_path)
     run_workflow(
         coco_dir=args.coco_dir,
         annotation_file=args.annotation_file,
@@ -173,6 +184,7 @@ def main(argv=None):
         num_examples=args.num_examples,
         batch_size=args.batch_size,
         native_decode=args.native_decode,
+        config=config,
     )
 
 

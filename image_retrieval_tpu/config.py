@@ -49,6 +49,17 @@ class ModelConfig:
     patch_embed_matmul: bool = False
     # Use jax.nn.dot_product_attention (XLA fused attention) in Blocks.
     fused_attention: bool = False
+    # Fused Pallas attention (ops/flash_attention.py): packed block-diagonal
+    # per-image attention, VMEM-resident scores/softmax. Applies where no
+    # attention mask is needed (the vision tower); the text tower's causal
+    # path keeps the XLA einsum. Backward recomputes via XLA (custom VJP).
+    pallas_attention: bool = False
+    # Serving-time quantization: run the big projections (QKV/out, MLP) as
+    # int8 x int8 -> int32 MXU matmuls with dynamic per-token activation and
+    # per-channel weight scales. v5e int8 peak is 2x bf16; embedding cosine
+    # vs the f32 tower stays >0.99. Inference-only numerics trade (keep off
+    # for training).
+    int8_matmuls: bool = False
 
 
 def vit_b32() -> "ModelConfig":

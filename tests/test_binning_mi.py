@@ -94,3 +94,71 @@ def test_discretize_adversarial_cases(values):
     ours = discretize(x, 5, "uniform")
     theirs = _sk_binned(x, 5, "uniform")
     np.testing.assert_array_equal(ours, theirs)
+
+# -- property-based coverage (hypothesis): binning edge semantics hold for
+# arbitrary inputs, not just the sampled/adversarial cases above --
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+    _floats = st.floats(
+        min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False,
+        width=64,
+    )
+    _arrays = st.lists(_floats, min_size=2, max_size=200).map(
+        lambda v: np.asarray(v, np.float64)
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(x=_arrays, n_bins=st.integers(2, 32),
+           strategy=st.sampled_from(["uniform", "quantile"]))
+    def test_property_discretize_matches_sklearn(x, n_bins, strategy):
+        """For ANY finite input: digit-identical ordinal codes vs sklearn,
+        including duplicate-heavy, constant, and huge-range inputs."""
+        ours = discretize(x, n_bins, strategy)
+        theirs = _sk_binned(x, n_bins, strategy)
+        np.testing.assert_array_equal(ours, theirs)
+        assert ours.min() >= 0 and ours.max() <= n_bins - 1
+
+    @settings(max_examples=60, deadline=None)
+    @given(x=_arrays, n_bins=st.integers(2, 32))
+    def test_property_mi_matches_sklearn(x, n_bins):
+        """MI from our contingency-table implementation == sklearn
+        mutual_info_score on the same binned codes, for any labels."""
+        labels = (np.arange(len(x)) % 3).astype(np.int64)
+        got = mutual_info_from_labels(x, labels, n_bins, "uniform")
+        want = mutual_info_score(labels, _sk_binned(x, n_bins, "uniform"))
+        assert got == pytest.approx(want, rel=1e-12, abs=1e-12)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        x=st.lists(
+            st.floats(min_value=-100, max_value=100, allow_nan=False,
+                      allow_infinity=False, width=32),
+            min_size=2, max_size=100,
+        ).map(lambda v: np.asarray(v, np.float32)),
+        n_bins=st.integers(2, 16),
+    )
+    def test_property_jax_uniform_binning_tracks_host(x, n_bins):
+        """The on-device f32 binning matches the f64 host path everywhere
+        except values within f32 noise of an interior edge (where either
+        side is defensible); such near-edge values may differ by one bin."""
+        got = np.asarray(discretize_uniform_jax(x, n_bins))
+        want = discretize(x, n_bins, "uniform")
+        mn, mx = float(x.min()), float(x.max())
+        if mn == mx:
+            np.testing.assert_array_equal(got, 0)
+            return
+        edges = np.linspace(mn, mx, n_bins + 1)[1:-1]
+        tol = max(abs(mn), abs(mx), 1.0) * 1e-5
+        near_edge = np.min(
+            np.abs(x[:, None].astype(np.float64) - edges[None, :]), axis=1
+        ) <= tol
+        mismatch = got != want
+        assert not (mismatch & ~near_edge).any()
+        assert np.abs(got - want).max(initial=0) <= 1

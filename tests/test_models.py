@@ -142,3 +142,36 @@ def test_preprocess_device_close_to_host(tmp_path):
     out = np.asarray(preprocess_device(jnp.asarray(small)))
     assert out.shape == (2, 224, 224, 3)
     assert -3.0 < out.min() < out.max() < 3.0
+
+
+def test_int8_matmuls_close_to_f32(rng):
+    """The int8 serving path (QuantDense: dynamic per-token activation +
+    per-channel weight scales, int8 MXU dot) shares the f32 parameter tree
+    and keeps embedding cosine >0.999 on both towers."""
+    import dataclasses
+
+    cfg = tiny_model_config()
+    model, params = init_params(cfg, seed=0)
+    m8 = CLIP(dataclasses.replace(cfg, int8_matmuls=True), dtype=jnp.float32)
+
+    px = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    ids = np.zeros((2, 16), np.int64)
+    ids[:, 0] = BOS
+    ids[0, 1:4] = [100, 200, 300]
+    ids[:, 4] = EOS
+    tok = jnp.asarray(ids.astype(np.int32))
+
+    def cos(a, b):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        return (a * b).sum(-1) / (np.linalg.norm(a, -1) or 1) if a.ndim == 1 else (
+            (a * b).sum(-1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
+        )
+
+    img32 = model.apply(params, px, method=CLIP.encode_image)
+    img8 = m8.apply(params, px, method=CLIP.encode_image)
+    assert cos(img32, img8).min() > 0.999
+
+    txt32 = model.apply(params, tok, method=CLIP.encode_text)
+    txt8 = m8.apply(params, tok, method=CLIP.encode_text)
+    assert cos(txt32, txt8).min() > 0.999
