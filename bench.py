@@ -292,6 +292,38 @@ def main():
     except Exception as e:  # pragma: no cover
         extra["embed_error"] = str(e)[:200]
 
+    # --- embed throughput, serving config (Pallas attention + int8 MXU
+    # projections, cos >0.999 vs f32; bench_results/attn_probe4.json) -------
+    try:
+        from image_retrieval_tpu.config import vit_b32_serving
+
+        if not on_tpu:
+            raise RuntimeError("serving embed: TPU-only (interpret mode is slow)")
+        cfg_s = vit_b32_serving()
+        model_s, params_s = init_params(cfg_s, seed=0, dtype=jnp.bfloat16)
+
+        @jax.jit
+        def encode_scan_serving(p, base):
+            def step(_, i):
+                x = base + i.astype(jnp.bfloat16) * 1e-6
+                emb = model_s.apply(p, x, method=CLIP.encode_image)
+                return None, emb[:, 0]
+            _, out = jax.lax.scan(step, None, jnp.arange(n_batches))
+            return out
+
+        _ = jax.device_get(encode_scan_serving(params_s, base))
+        times_s = []
+        for r in range(5):
+            t0 = time.perf_counter()
+            _ = jax.device_get(encode_scan_serving(params_s, base))
+            times_s.append(max(time.perf_counter() - t0 - fetch_rt, 1e-9) / n_batches)
+        ips_s = bs / np.array(times_s)
+        extra["embed_serving_img_per_s"] = round(float(np.median(ips_s)), 1)
+        extra["embed_serving_img_per_s_min"] = round(float(ips_s.min()), 1)
+        extra["embed_serving_img_per_s_max"] = round(float(ips_s.max()), 1)
+    except Exception as e:  # pragma: no cover
+        extra["embed_serving_error"] = str(e)[:200]
+
     target_ms = 5.0
     print(
         json.dumps(

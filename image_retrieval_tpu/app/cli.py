@@ -75,6 +75,12 @@ def _build_app(args):
 
     encoder = get_encoder(fake=args.fake_encoder) if args.fake_encoder else None
     app = ImageSearchApp(encoder=encoder)
+    if getattr(args, "fast_encoder", False) and not args.fake_encoder:
+        # Measured-fastest v5e serving model (Pallas attention + int8 MXU
+        # projections, cos >0.999 vs f32; bench_results/attn_probe4.json).
+        from image_retrieval_tpu.config import vit_b32_serving
+
+        app.config.model = vit_b32_serving()
     if getattr(args, "ann", "exact") != "exact":
         app.config.search.ann = args.ann
         app.config.search.nlist = args.nlist
@@ -262,6 +268,10 @@ def make_parser() -> argparse.ArgumentParser:
         sp.add_argument("--folder", required=True, help="Image folder")
         sp.add_argument("--fake-encoder", action="store_true",
                         help="Deterministic encoder (no CLIP weights needed)")
+        sp.add_argument("--fast-encoder", action="store_true",
+                        help="Serving-optimized CLIP (Pallas attention + "
+                             "int8 MXU projections; 16.0k vs 11.4k img/s on "
+                             "v5e, cos >0.999 vs f32)")
         sp.add_argument("--ann", choices=("exact", "ivf"), default="exact",
                         help="Candidate generation: exact sharded index "
                              "(recall 1.0) or on-device IVF (Milvus "

@@ -54,6 +54,15 @@ class ModelConfig:
     # attention mask is needed (the vision tower); the text tower's causal
     # path keeps the XLA einsum. Backward recomputes via XLA (custom VJP).
     pallas_attention: bool = False
+    # Fuse the WHOLE pre-LN attention sub-block (LN1 + QKV + attention +
+    # out-proj + residual) into one kernel with VMEM-resident layer weights
+    # (ops/flash_attention.py attention_block). Mask-free towers only;
+    # mutually exclusive with int8_matmuls (falls back when quantizing).
+    fused_attn_block: bool = False
+    # Fuse the pre-LN MLP sub-block (LN2 + fc1 + quick_gelu + fc2 +
+    # residual) into one kernel, both MLP weights VMEM-resident
+    # (ops/flash_attention.py mlp_block). Same exclusions as above.
+    fused_mlp_block: bool = False
     # Serving-time quantization: run the big projections (QKV/out, MLP) as
     # int8 x int8 -> int32 MXU matmuls with dynamic per-token activation and
     # per-channel weight scales. v5e int8 peak is 2x bf16; embedding cosine
@@ -64,6 +73,17 @@ class ModelConfig:
 
 def vit_b32() -> "ModelConfig":
     return ModelConfig()
+
+
+def vit_b32_serving() -> "ModelConfig":
+    """Measured-fastest v5e serving configuration for the embed path
+    (bench_results/attn_probe4.json): fused Pallas attention + int8
+    projections — 16.0k img/s at batch 192 vs 11.4k baseline bf16.
+    Embedding cosine vs the f32 tower stays >0.999; use the default config
+    where bit-level parity with the training/eval path matters."""
+    return dataclasses.replace(
+        ModelConfig(), pallas_attention=True, int8_matmuls=True
+    )
 
 
 def vit_b16() -> "ModelConfig":

@@ -136,6 +136,35 @@ class Attention(nn.Module):
         return _dense(self.quant, self.width, self.dtype, "out_proj")(out)
 
 
+class _LNParams(nn.Module):
+    """Parameter holder matching nn.LayerNorm's tree ({'scale','bias'}) for
+    paths consumed by a fused kernel instead of a flax call."""
+
+    width: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.width,))
+        b = self.param("bias", nn.initializers.zeros, (self.width,))
+        return s, b
+
+
+class _DenseParams(nn.Module):
+    """Parameter holder matching nn.Dense's tree ({'kernel','bias'})."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class Block(nn.Module):
     width: int
     heads: int
@@ -143,14 +172,60 @@ class Block(nn.Module):
     fused_attn: bool = False
     quant: bool = False
     pallas_attn: bool = False
+    fused_block: bool = False  # whole LN1+attention sub-block as one kernel
+    fused_mlp: bool = False    # whole LN2+MLP sub-block as one kernel
 
     @nn.compact
     def __call__(self, x, mask=None):
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x)
-        x = x + Attention(
-            self.width, self.heads, self.dtype, self.fused_attn, self.quant,
-            self.pallas_attn, name="attn",
-        )(h, mask)
+        if self.fused_block and mask is None and not self.quant:
+            # Fused attention sub-block (ops/flash_attention.py
+            # attention_block): LN1 + QKV + attention + out-proj + residual
+            # in one kernel, weights VMEM-resident. The parameter tree is
+            # identical to the unfused path (same module/param names), so
+            # checkpoints and the weight port are unaffected.
+            from image_retrieval_tpu.ops.flash_attention import attention_block
+
+            ln_s, ln_b = _LNParams(self.width, name="ln1")()
+
+            class _AttnParams(nn.Module):
+                width: int
+
+                @nn.compact
+                def __call__(self):
+                    return [
+                        _DenseParams(self.width, self.width, name=nm)()
+                        for nm in ("q_proj", "k_proj", "v_proj", "out_proj")
+                    ]
+
+            (wq, bq), (wk, bk), (wv, bv), (wo, bo) = _AttnParams(
+                self.width, name="attn"
+            )()
+            x = attention_block(
+                x.astype(self.dtype), ln_s, ln_b, wq, bq, wk, bk, wv, bv,
+                wo, bo, self.heads,
+            )
+        else:
+            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x)
+            x = x + Attention(
+                self.width, self.heads, self.dtype, self.fused_attn, self.quant,
+                self.pallas_attn, name="attn",
+            )(h, mask)
+        if self.fused_mlp and not self.quant:
+            from image_retrieval_tpu.ops.flash_attention import mlp_block
+
+            ln_s, ln_b = _LNParams(self.width, name="ln2")()
+
+            class _MLPParams(nn.Module):
+                width: int
+
+                @nn.compact
+                def __call__(self):
+                    w1 = _DenseParams(self.width, self.width * 4, name="fc1")()
+                    w2 = _DenseParams(self.width * 4, self.width, name="fc2")()
+                    return w1, w2
+
+            (w1, b1), (w2, b2) = _MLPParams(self.width, name="mlp")()
+            return mlp_block(x.astype(self.dtype), ln_s, ln_b, w1, b1, w2, b2)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x)
         return x + MLP(self.width, self.dtype, self.quant, name="mlp")(h)
 
@@ -240,7 +315,7 @@ class CLIPVisionTower(nn.Module):
             x = block_cls(
                 c.vision_width, c.vision_heads, self.dtype,
                 c.fused_attention, c.int8_matmuls, c.pallas_attention,
-                name=f"block_{i}",
+                c.fused_attn_block, c.fused_mlp_block, name=f"block_{i}",
             )(x, mask)
         pooled = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="post_ln")(x[:, 0])
         proj = self.param(
@@ -277,7 +352,7 @@ class CLIPTextTower(nn.Module):
             x = block_cls(
                 c.text_width, c.text_heads, self.dtype,
                 c.fused_attention, c.int8_matmuls, c.pallas_attention,
-                name=f"block_{i}",
+                c.fused_attn_block, c.fused_mlp_block, name=f"block_{i}",
             )(x, mask)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_ln")(x)
         eot = jnp.argmax(token_ids, axis=-1)

@@ -77,11 +77,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int):
     qf = q_ref[:].reshape(m, w)
     kf = k_ref[:].reshape(m, w)
     vf = v_ref[:].reshape(m, w)
-    # Block-diagonal mask: token row i may only attend to tokens of the same
-    # image (i // t == j // t); the packed matmul's cross-image terms get -inf.
-    row_img = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0) // t
-    col_img = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1) // t
-    neg = jnp.where(row_img == col_img, 0.0, -jnp.inf).astype(jnp.float32)
+    if bm > 1:
+        # Block-diagonal mask: token row i may only attend to tokens of the
+        # same image (i // t == j // t); packed cross-image terms get -inf.
+        row_img = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0) // t
+        col_img = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1) // t
+        neg = jnp.where(row_img == col_img, 0.0, -jnp.inf).astype(jnp.float32)
+    else:
+        neg = None  # single image per block: no packing, no mask needed
     scale = hd ** -0.5
     outs = []
     for h in range(heads):
@@ -91,7 +94,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int):
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s * scale + neg
+        s = s * scale if neg is None else s * scale + neg
         s = s - jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s)
         p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(qf.dtype)
@@ -103,18 +106,21 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int):
 
 
 def _block_images(b: int, t: int) -> int:
-    """Images per kernel block: the largest divisor of b keeping the packed
-    token axis (bm * t) near the MXU sweet spot without bloating VMEM
-    (scores are (bm*t)^2 f32 — bm=8, T=50 -> 640 KB)."""
-    for bm in (8, 4, 2, 1):
-        if b % bm == 0 and bm * t <= 512:
-            return bm
+    """Images per kernel block. Measured on v5e in the 12-layer ViT-B/32
+    tower at batch 128 (bench_results/attn_probe*.json): bm=1 14.2k img/s,
+    bm=4 13.0k, bm=8 12.5k, bm=16 10.8k — packing more images per block
+    grows the wasted (bm*t)^2 softmax/mask area faster than it amortizes
+    per-step overhead, so one image per block wins. The packed (bm>1) path
+    stays available for callers with tiny sequences."""
     return 1
 
 
-def _pallas_attention(q, k, v, heads: int) -> jnp.ndarray:
+def _pallas_attention(q, k, v, heads: int, bm: int | None = None) -> jnp.ndarray:
     b, t, w = q.shape
-    bm = _block_images(b, t)
+    if bm is None:
+        bm = _block_images(b, t)
+    if b % bm != 0:
+        bm = 1
     grid = (b // bm,)
     spec = pl.BlockSpec((bm, t, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -146,3 +152,237 @@ def _mha_bwd(heads: int, res, g):
 
 
 multihead_attention.defvjp(_mha_fwd, _mha_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused attention BLOCK: LN1 + QKV projections + attention + out projection
+# + residual in ONE kernel, layer weights VMEM-resident across the batch
+# grid (constant index_map -> fetched once). Removes the q/k/v/out HBM
+# round-trips and XLA fusion boundaries around the attention section.
+# ---------------------------------------------------------------------------
+
+
+def _fast_layernorm_f32(xf, scale, bias, eps=1e-5):
+    """flax nn.LayerNorm semantics (use_fast_variance=True, f32)."""
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(ms - mu * mu, 0.0)
+    return (xf - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def xla_attention_block(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
+                        heads: int):
+    """Semantics-defining XLA implementation (also the backward recompute):
+
+        h = LayerNorm_f32(x) -> compute dtype
+        attn = MHA(h@Wq+bq, h@Wk+bk, h@Wv+bv)
+        return x + (attn @ Wo + bo)        # residual, compute dtype
+
+    Matches models/clip.py Block's ln1+Attention+residual exactly."""
+    dt = x.dtype
+    h = _fast_layernorm_f32(
+        x.astype(jnp.float32), ln_scale.astype(jnp.float32),
+        ln_bias.astype(jnp.float32),
+    ).astype(dt)
+    q = (jnp.dot(h, wq.astype(dt), preferred_element_type=jnp.float32)
+         + bq.astype(jnp.float32)).astype(dt)
+    k = (jnp.dot(h, wk.astype(dt), preferred_element_type=jnp.float32)
+         + bk.astype(jnp.float32)).astype(dt)
+    v = (jnp.dot(h, wv.astype(dt), preferred_element_type=jnp.float32)
+         + bv.astype(jnp.float32)).astype(dt)
+    attn = xla_attention(q, k, v, heads)
+    out = (jnp.dot(attn, wo.astype(dt), preferred_element_type=jnp.float32)
+           + bo.astype(jnp.float32)).astype(dt)
+    return x + out
+
+
+def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
+                       bk_ref, wv_ref, bv_ref, wo_ref, bo_ref, o_ref, *,
+                       heads: int):
+    bm, t, w = x_ref.shape
+    hd = w // heads
+    m = bm * t
+    dt = x_ref.dtype
+    xb = x_ref[:].reshape(m, w)
+    h = _fast_layernorm_f32(
+        xb.astype(jnp.float32), lns_ref[0].astype(jnp.float32),
+        lnb_ref[0].astype(jnp.float32),
+    ).astype(dt)
+    q = (jnp.dot(h, wq_ref[:], preferred_element_type=jnp.float32)
+         + bq_ref[0].astype(jnp.float32)).astype(dt)
+    k = (jnp.dot(h, wk_ref[:], preferred_element_type=jnp.float32)
+         + bk_ref[0].astype(jnp.float32)).astype(dt)
+    v = (jnp.dot(h, wv_ref[:], preferred_element_type=jnp.float32)
+         + bv_ref[0].astype(jnp.float32)).astype(dt)
+    scale = hd ** -0.5
+    # Per-image attention (no packing: the (bm*t)^2 packed softmax measured
+    # slower — see _block_images). Static loops; shapes are tiny.
+    attn_rows = []
+    for i in range(bm):
+        sl = slice(i * t, (i + 1) * t)
+        outs = []
+        for hh in range(heads):
+            cs = slice(hh * hd, (hh + 1) * hd)
+            qh = q[sl, cs]
+            kh = k[sl, cs]
+            vh = v[sl, cs]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = s - jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s)
+            p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(dt)
+            outs.append(
+                jax.lax.dot_general(
+                    p, vh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dt)
+            )
+        attn_rows.append(jnp.concatenate(outs, axis=1))
+    attn = jnp.concatenate(attn_rows, axis=0) if bm > 1 else attn_rows[0]
+    out = (jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
+           + bo_ref[0].astype(jnp.float32)).astype(dt)
+    o_ref[:] = (xb + out).reshape(bm, t, w)
+
+
+def _pallas_attention_block(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv,
+                            wo, bo, heads: int, bm: int | None = None):
+    b, t, w = x.shape
+    dt = x.dtype
+    if bm is None or b % bm != 0:
+        bm = _block_images(b, t)
+    x_spec = pl.BlockSpec((bm, t, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((w, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    vec = lambda a: a.reshape(1, w)
+    return pl.pallas_call(
+        functools.partial(_attn_block_kernel, heads=heads),
+        out_shape=jax.ShapeDtypeStruct((b, t, w), dt),
+        grid=(b // bm,),
+        in_specs=[x_spec, v_spec, v_spec, w_spec, v_spec, w_spec, v_spec,
+                  w_spec, v_spec, w_spec, v_spec],
+        out_specs=x_spec,
+        interpret=_interpret(),
+    )(
+        x, vec(ln_scale), vec(ln_bias), wq.astype(dt), vec(bq),
+        wk.astype(dt), vec(bk), wv.astype(dt), vec(bv), wo.astype(dt),
+        vec(bo),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
+def attention_block(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
+                    heads: int):
+    """Whole pre-LN attention sub-block as one kernel (forward); backward
+    recomputes through xla_attention_block. Weights stay VMEM-resident
+    across the image grid (~4.7 MB bf16 for ViT-B/32)."""
+    return _pallas_attention_block(
+        x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, heads
+    )
+
+
+def _blk_fwd(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, heads):
+    out = _pallas_attention_block(
+        x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, heads
+    )
+    return out, (x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo)
+
+
+def _blk_bwd(heads, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: xla_attention_block(*a, heads=heads), *res
+    )
+    return vjp(g)
+
+
+attention_block.defvjp(_blk_fwd, _blk_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused MLP block: LN2 + fc1 + quick_gelu + fc2 + residual in one kernel,
+# both MLP weight matrices VMEM-resident (~9.4 MB bf16 for ViT-B/32).
+# ---------------------------------------------------------------------------
+
+
+def _quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def xla_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2):
+    """Semantics-defining XLA implementation (backward recompute path):
+    x + fc2(quick_gelu(fc1(LayerNorm_f32(x)))) — matches models/clip.py
+    Block's ln2+MLP+residual."""
+    dt = x.dtype
+    h = _fast_layernorm_f32(
+        x.astype(jnp.float32), ln_scale.astype(jnp.float32),
+        ln_bias.astype(jnp.float32),
+    ).astype(dt)
+    a = (jnp.dot(h, w1.astype(dt), preferred_element_type=jnp.float32)
+         + b1.astype(jnp.float32)).astype(dt)
+    a = _quick_gelu(a)
+    out = (jnp.dot(a, w2.astype(dt), preferred_element_type=jnp.float32)
+           + b2.astype(jnp.float32)).astype(dt)
+    return x + out
+
+
+def _mlp_block_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                      b2_ref, o_ref):
+    bm, t, w = x_ref.shape
+    m = bm * t
+    dt = x_ref.dtype
+    xb = x_ref[:].reshape(m, w)
+    h = _fast_layernorm_f32(
+        xb.astype(jnp.float32), lns_ref[0].astype(jnp.float32),
+        lnb_ref[0].astype(jnp.float32),
+    ).astype(dt)
+    a = (jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32)
+         + b1_ref[0].astype(jnp.float32)).astype(dt)
+    a = _quick_gelu(a)
+    out = (jnp.dot(a, w2_ref[:], preferred_element_type=jnp.float32)
+           + b2_ref[0].astype(jnp.float32)).astype(dt)
+    o_ref[:] = (xb + out).reshape(bm, t, w)
+
+
+def _pallas_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                      bm: int | None = None):
+    b, t, w = x.shape
+    hidden = w1.shape[1]
+    dt = x.dtype
+    if bm is None or b % bm != 0:
+        bm = _block_images(b, t)
+    x_spec = pl.BlockSpec((bm, t, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    w1_spec = pl.BlockSpec((w, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    w2_spec = pl.BlockSpec((hidden, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    vw = lambda a: a.reshape(1, -1)
+    vw_spec = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _mlp_block_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t, w), dt),
+        grid=(b // bm,),
+        in_specs=[x_spec, vw_spec(w), vw_spec(w), w1_spec, vw_spec(hidden),
+                  w2_spec, vw_spec(w)],
+        out_specs=x_spec,
+        interpret=_interpret(),
+    )(x, vw(ln_scale), vw(ln_bias), w1.astype(dt), vw(b1), w2.astype(dt),
+      vw(b2))
+
+
+@jax.custom_vjp
+def mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2):
+    """Whole pre-LN MLP sub-block as one kernel (forward); backward
+    recomputes through xla_mlp_block."""
+    return _pallas_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _mlp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2):
+    out = _pallas_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2)
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _mlp_bwd(res, g):
+    _, vjp = jax.vjp(xla_mlp_block, *res)
+    return vjp(g)
+
+
+mlp_block.defvjp(_mlp_fwd, _mlp_bwd)

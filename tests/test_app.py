@@ -264,3 +264,33 @@ def test_cli_analyze_synthetic(tmp_path, capsys):
     captured = capsys.readouterr().out
     assert "general_mi" in captured
     assert os.path.exists(os.path.join(out_dir, "analysis_results", "results.json"))
+
+
+def test_cli_fast_encoder_flag_parses():
+    from image_retrieval_tpu.app.cli import make_parser
+
+    args = make_parser().parse_args(
+        ["search", "--folder", "/tmp/x", "--fast-encoder", "dog"]
+    )
+    assert args.fast_encoder is True
+    # fake encoder wins over fast (fast needs the real CLIP towers)
+    args2 = make_parser().parse_args(
+        ["search", "--folder", "/tmp/x", "--fake-encoder", "dog"]
+    )
+    assert args2.fake_encoder is True and args2.fast_encoder is False
+
+
+def test_serving_model_config():
+    from image_retrieval_tpu.config import vit_b32_serving
+
+    cfg = vit_b32_serving()
+    assert cfg.pallas_attention and cfg.int8_matmuls
+    # same architecture as the parity config — only execution strategy flags
+    from image_retrieval_tpu.config import ModelConfig
+    import dataclasses
+
+    base = ModelConfig()
+    for f in dataclasses.fields(ModelConfig):
+        if f.name in ("pallas_attention", "int8_matmuls"):
+            continue
+        assert getattr(cfg, f.name) == getattr(base, f.name), f.name

@@ -69,11 +69,24 @@ def test_gradients_match_xla_path(rng):
 
 
 def test_block_images_selection():
-    assert _block_images(128, 50) == 8   # 400 packed tokens
-    assert _block_images(128, 128) == 4  # 512 cap
-    assert _block_images(3, 50) == 1     # odd batch
-    assert _block_images(2, 512) == 1    # long sequence
-    assert _block_images(192, 50) == 8
+    # bm=1 is the measured-fastest production default (see _block_images
+    # docstring); any batch/sequence gets a legal grid.
+    for b, t in [(128, 50), (3, 50), (2, 512), (192, 50)]:
+        assert b % _block_images(b, t) == 0
+
+
+@pytest.mark.parametrize("bm", [2, 4, 8])
+def test_packed_blocks_match_xla(rng, bm):
+    """The packed (bm>1) block-diagonal path stays correct."""
+    from image_retrieval_tpu.ops.flash_attention import _pallas_attention
+
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(8, 10, 32)).astype(np.float32))
+        for _ in range(3)
+    ]
+    got = _pallas_attention(q, k, v, 4, bm=bm)
+    want = xla_attention(q, k, v, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
 def test_vision_tower_with_pallas_attention_matches_baseline(rng):
@@ -100,3 +113,162 @@ def test_vision_tower_with_pallas_attention_matches_baseline(rng):
     bt = np.asarray(model.apply(params, tok, method=CLIP.encode_text))
     pt = np.asarray(mp.apply(params, tok, method=CLIP.encode_text))
     np.testing.assert_allclose(pt, bt, rtol=1e-6, atol=1e-7)
+
+
+# -- fused attention BLOCK (LN1 + QKV + attention + out-proj + residual) --
+
+
+def _block_args(rng, w):
+    """Realistically-scaled block parameters (lecun-ish weights, LN near
+    identity) — adversarial unnormalized scales saturate softmax and only
+    bound f32 reassociation error loosely."""
+    import math
+
+    def mat():
+        return jnp.asarray(
+            (rng.normal(size=(w, w)) / math.sqrt(w)).astype(np.float32)
+        )
+
+    def vec(scale=0.02):
+        return jnp.asarray((rng.normal(size=(w,)) * scale).astype(np.float32))
+
+    ln_s = jnp.asarray((1.0 + 0.05 * rng.normal(size=(w,))).astype(np.float32))
+    ln_b = vec()
+    return [ln_s, ln_b, mat(), vec(), mat(), vec(), mat(), vec(), mat(), vec()]
+
+
+def test_attention_block_matches_xla(rng):
+    from image_retrieval_tpu.ops.flash_attention import (
+        attention_block,
+        xla_attention_block,
+    )
+
+    w, heads = 96, 12
+    x = jnp.asarray(rng.normal(size=(4, 50, w)).astype(np.float32))
+    args = _block_args(rng, w)
+    got = attention_block(x, *args, heads)
+    want = xla_attention_block(x, *args, heads=heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_attention_block_gradients(rng):
+    from image_retrieval_tpu.ops.flash_attention import (
+        attention_block,
+        xla_attention_block,
+    )
+
+    w, heads = 32, 4
+    x = jnp.asarray(rng.normal(size=(2, 5, w)).astype(np.float32))
+    args = _block_args(rng, w)
+
+    def lk(x, *a):
+        return jnp.mean(attention_block(x, *a, heads) ** 2)
+
+    def lr(x, *a):
+        return jnp.mean(xla_attention_block(x, *a, heads=heads) ** 2)
+
+    gk = jax.grad(lk, argnums=tuple(range(11)))(x, *args)
+    gr = jax.grad(lr, argnums=tuple(range(11)))(x, *args)
+    for a, b_ in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+def test_vision_tower_fused_block_matches_baseline(rng):
+    from image_retrieval_tpu.config import ModelConfig
+    from image_retrieval_tpu.models.clip import CLIP, init_params
+
+    cfg = ModelConfig(
+        image_size=32, patch_size=8, vision_width=48, vision_layers=2,
+        vision_heads=4, text_width=32, text_layers=2, text_heads=2,
+        vocab_size=1000, context_length=16, embed_dim=24, dtype="float32",
+    )
+    model, params = init_params(cfg, seed=0)
+    fcfg = dataclasses.replace(cfg, fused_attn_block=True)
+    mf = CLIP(fcfg, dtype=jnp.float32)
+    # identical parameter trees AND identical init values (same param paths)
+    _, pf = init_params(fcfg, seed=0)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(pf)
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(pf)
+    ):
+        assert np.array_equal(np.asarray(a), np.asarray(b_))
+
+    px = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    base = np.asarray(model.apply(params, px, method=CLIP.encode_image))
+    fused = np.asarray(mf.apply(params, px, method=CLIP.encode_image))
+    np.testing.assert_allclose(fused, base, rtol=1e-5, atol=1e-6)
+
+    # text tower (masked) falls back to the standard path: identical
+    ids = np.zeros((2, 16), np.int64)
+    ids[:, 0] = 1
+    ids[:, 1] = 999
+    tok = jnp.asarray(ids.astype(np.int32))
+    bt = np.asarray(model.apply(params, tok, method=CLIP.encode_text))
+    ft = np.asarray(mf.apply(params, tok, method=CLIP.encode_text))
+    np.testing.assert_allclose(ft, bt, rtol=1e-6, atol=1e-7)
+
+
+def test_mlp_block_matches_xla(rng):
+    import math
+
+    from image_retrieval_tpu.ops.flash_attention import mlp_block, xla_mlp_block
+
+    w = 64
+    x = jnp.asarray(rng.normal(size=(4, 50, w)).astype(np.float32))
+    ln_s = jnp.asarray((1.0 + 0.05 * rng.normal(size=(w,))).astype(np.float32))
+    ln_b = jnp.asarray((0.02 * rng.normal(size=(w,))).astype(np.float32))
+    w1 = jnp.asarray((rng.normal(size=(w, 4 * w)) / math.sqrt(w)).astype(np.float32))
+    b1 = jnp.asarray((0.02 * rng.normal(size=(4 * w,))).astype(np.float32))
+    w2 = jnp.asarray(
+        (rng.normal(size=(4 * w, w)) / math.sqrt(4 * w)).astype(np.float32)
+    )
+    b2 = jnp.asarray((0.02 * rng.normal(size=(w,))).astype(np.float32))
+    got = mlp_block(x, ln_s, ln_b, w1, b1, w2, b2)
+    want = xla_mlp_block(x, ln_s, ln_b, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def lk(*a):
+        return jnp.mean(mlp_block(*a) ** 2)
+
+    def lr(*a):
+        return jnp.mean(xla_mlp_block(*a) ** 2)
+
+    gk = jax.grad(lk, argnums=tuple(range(7)))(x, ln_s, ln_b, w1, b1, w2, b2)
+    gr = jax.grad(lr, argnums=tuple(range(7)))(x, ln_s, ln_b, w1, b1, w2, b2)
+    for a, b_ in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+def test_vision_tower_fully_fused_matches_baseline(rng):
+    """fused_attn_block + fused_mlp_block: identical tree, same outputs."""
+    from image_retrieval_tpu.config import ModelConfig
+    from image_retrieval_tpu.models.clip import CLIP, init_params
+
+    cfg = ModelConfig(
+        image_size=32, patch_size=8, vision_width=48, vision_layers=2,
+        vision_heads=4, text_width=32, text_layers=2, text_heads=2,
+        vocab_size=1000, context_length=16, embed_dim=24, dtype="float32",
+    )
+    model, params = init_params(cfg, seed=0)
+    fcfg = dataclasses.replace(cfg, fused_attn_block=True, fused_mlp_block=True)
+    mf = CLIP(fcfg, dtype=jnp.float32)
+    _, pf = init_params(fcfg, seed=0)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(pf)
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(pf)
+    ):
+        assert np.array_equal(np.asarray(a), np.asarray(b_))
+
+    px = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    base = np.asarray(model.apply(params, px, method=CLIP.encode_image))
+    fused = np.asarray(mf.apply(params, px, method=CLIP.encode_image))
+    np.testing.assert_allclose(fused, base, rtol=1e-5, atol=1e-6)
+
+    # gradients flow through both fused sub-blocks (training viability)
+    def loss(p):
+        e = mf.apply(p, px, method=CLIP.encode_image)
+        return jnp.mean(e ** 2)
+
+    g = jax.grad(loss)(params)
+    gnorm = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0
