@@ -292,8 +292,9 @@ def main():
     except Exception as e:  # pragma: no cover
         extra["embed_error"] = str(e)[:200]
 
-    # --- embed throughput, serving config (Pallas attention + int8 MXU
-    # projections, cos >0.999 vs f32; bench_results/attn_probe4.json) -------
+    # --- embed throughput, serving config (fully-fused Pallas sub-blocks
+    # with int8 MXU projections in-kernel, cos >0.999 vs bf16 baseline;
+    # bench_results/attn_probe7.json) ---------------------------------------
     try:
         from image_retrieval_tpu.config import vit_b32_serving
 

@@ -56,12 +56,14 @@ class ModelConfig:
     pallas_attention: bool = False
     # Fuse the WHOLE pre-LN attention sub-block (LN1 + QKV + attention +
     # out-proj + residual) into one kernel with VMEM-resident layer weights
-    # (ops/flash_attention.py attention_block). Mask-free towers only;
-    # mutually exclusive with int8_matmuls (falls back when quantizing).
+    # (ops/flash_attention.py attention_block). Mask-free towers only; with
+    # int8_matmuls the projections run int8 x int8 on the MXU in-kernel
+    # (attention_block_int8).
     fused_attn_block: bool = False
     # Fuse the pre-LN MLP sub-block (LN2 + fc1 + quick_gelu + fc2 +
     # residual) into one kernel, both MLP weights VMEM-resident
-    # (ops/flash_attention.py mlp_block). Same exclusions as above.
+    # (ops/flash_attention.py mlp_block / mlp_block_int8). Same mask-free
+    # restriction as above.
     fused_mlp_block: bool = False
     # Serving-time quantization: run the big projections (QKV/out, MLP) as
     # int8 x int8 -> int32 MXU matmuls with dynamic per-token activation and
@@ -77,12 +79,15 @@ def vit_b32() -> "ModelConfig":
 
 def vit_b32_serving() -> "ModelConfig":
     """Measured-fastest v5e serving configuration for the embed path
-    (bench_results/attn_probe4.json): fused Pallas attention + int8
-    projections — 16.0k img/s at batch 192 vs 11.4k baseline bf16.
-    Embedding cosine vs the f32 tower stays >0.999; use the default config
-    where bit-level parity with the training/eval path matters."""
+    (bench_results/attn_probe7.json): fully-fused transformer sub-blocks
+    (attention_block_int8 + mlp_block_int8, layer weights VMEM-resident,
+    int8 MXU projections in-kernel) — 17.9k img/s at batch 192, 16.4k at
+    128, vs 11.4k baseline bf16. Embedding cosine vs the bf16 tower stays
+    >0.999; use the default config where bit-level parity with the
+    training/eval path matters."""
     return dataclasses.replace(
-        ModelConfig(), pallas_attention=True, int8_matmuls=True
+        ModelConfig(), fused_attn_block=True, fused_mlp_block=True,
+        int8_matmuls=True,
     )
 
 

@@ -177,14 +177,19 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
-        if self.fused_block and mask is None and not self.quant:
+        if self.fused_block and mask is None:
             # Fused attention sub-block (ops/flash_attention.py
             # attention_block): LN1 + QKV + attention + out-proj + residual
             # in one kernel, weights VMEM-resident. The parameter tree is
             # identical to the unfused path (same module/param names), so
-            # checkpoints and the weight port are unaffected.
-            from image_retrieval_tpu.ops.flash_attention import attention_block
+            # checkpoints and the weight port are unaffected. With quant,
+            # the projections run int8 x int8 on the MXU in-kernel.
+            from image_retrieval_tpu.ops.flash_attention import (
+                attention_block,
+                attention_block_int8,
+            )
 
+            kernel_fn = attention_block_int8 if self.quant else attention_block
             ln_s, ln_b = _LNParams(self.width, name="ln1")()
 
             class _AttnParams(nn.Module):
@@ -200,7 +205,7 @@ class Block(nn.Module):
             (wq, bq), (wk, bk), (wv, bv), (wo, bo) = _AttnParams(
                 self.width, name="attn"
             )()
-            x = attention_block(
+            x = kernel_fn(
                 x.astype(self.dtype), ln_s, ln_b, wq, bq, wk, bk, wv, bv,
                 wo, bo, self.heads,
             )
@@ -210,9 +215,13 @@ class Block(nn.Module):
                 self.width, self.heads, self.dtype, self.fused_attn, self.quant,
                 self.pallas_attn, name="attn",
             )(h, mask)
-        if self.fused_mlp and not self.quant:
-            from image_retrieval_tpu.ops.flash_attention import mlp_block
+        if self.fused_mlp:
+            from image_retrieval_tpu.ops.flash_attention import (
+                mlp_block,
+                mlp_block_int8,
+            )
 
+            mlp_fn = mlp_block_int8 if self.quant else mlp_block
             ln_s, ln_b = _LNParams(self.width, name="ln2")()
 
             class _MLPParams(nn.Module):
@@ -225,7 +234,7 @@ class Block(nn.Module):
                     return w1, w2
 
             (w1, b1), (w2, b2) = _MLPParams(self.width, name="mlp")()
-            return mlp_block(x.astype(self.dtype), ln_s, ln_b, w1, b1, w2, b2)
+            return mlp_fn(x.astype(self.dtype), ln_s, ln_b, w1, b1, w2, b2)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x)
         return x + MLP(self.width, self.dtype, self.quant, name="mlp")(h)
 

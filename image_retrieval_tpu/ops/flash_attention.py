@@ -115,6 +115,20 @@ def _block_images(b: int, t: int) -> int:
     return 1
 
 
+def _block_images_fused(b: int, t: int) -> int:
+    """Images per block for the FUSED sub-block kernels (attention_block /
+    mlp_block and their int8 variants). Unlike the bare attention kernel,
+    these keep the full layer weights VMEM-resident and their cost is
+    dominated by the (bm*t, w) projections, so packing more images per grid
+    step amortizes the per-step weight traffic: measured at batch 128/192
+    on v5e (bench_results/attn_probe7.json) bm=8 16.4k img/s int8 vs bm=1
+    15.0k; bm=8 and bm=4 are within noise, bm=8 slightly ahead at 192."""
+    for bm in (8, 4, 2):
+        if b % bm == 0:
+            return bm
+    return 1
+
+
 def _pallas_attention(q, k, v, heads: int, bm: int | None = None) -> jnp.ndarray:
     b, t, w = q.shape
     if bm is None:
@@ -251,7 +265,7 @@ def _pallas_attention_block(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv,
     b, t, w = x.shape
     dt = x.dtype
     if bm is None or b % bm != 0:
-        bm = _block_images(b, t)
+        bm = _block_images_fused(b, t)
     x_spec = pl.BlockSpec((bm, t, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((w, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
     v_spec = pl.BlockSpec((1, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -336,9 +350,11 @@ def _mlp_block_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
         xb.astype(jnp.float32), lns_ref[0].astype(jnp.float32),
         lnb_ref[0].astype(jnp.float32),
     ).astype(dt)
-    a = (jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32)
-         + b1_ref[0].astype(jnp.float32)).astype(dt)
-    a = _quick_gelu(a)
+    af = (jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32)
+          + b1_ref[0].astype(jnp.float32))
+    # gelu in f32: Mosaic rejects bf16 logistic ('vector.broadcast' element
+    # type verification bug), and f32 is the more accurate choice anyway.
+    a = _quick_gelu(af).astype(dt)
     out = (jnp.dot(a, w2_ref[:], preferred_element_type=jnp.float32)
            + b2_ref[0].astype(jnp.float32)).astype(dt)
     o_ref[:] = (xb + out).reshape(bm, t, w)
@@ -350,7 +366,7 @@ def _pallas_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2,
     hidden = w1.shape[1]
     dt = x.dtype
     if bm is None or b % bm != 0:
-        bm = _block_images(b, t)
+        bm = _block_images_fused(b, t)
     x_spec = pl.BlockSpec((bm, t, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     w1_spec = pl.BlockSpec((w, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM)
     w2_spec = pl.BlockSpec((hidden, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -386,3 +402,257 @@ def _mlp_bwd(res, g):
 
 
 mlp_block.defvjp(_mlp_fwd, _mlp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# int8 variants: same fused blocks with the projections executed as
+# int8 x int8 -> int32 MXU matmuls (v5e int8 peak = 2x bf16). Weights are
+# quantized per output channel OUTSIDE the kernel (input-independent, XLA
+# hoists it); activations are quantized per row IN VMEM. Backward uses a
+# straight-through estimator: gradients flow through the f32
+# xla_attention_block / xla_mlp_block as if quantization were identity
+# (jnp.round's a.e.-zero derivative would kill weight grads otherwise).
+# ---------------------------------------------------------------------------
+
+
+def _quantize_weight(w):
+    """f32 (in, out) -> (int8 values, f32 (1, out) per-channel scales)."""
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-12) / 127.0
+    wq = jnp.round(w / s).astype(jnp.int8)
+    return wq, s.reshape(1, -1).astype(jnp.float32)
+
+
+def _rowquant(hf32):
+    """f32 (m, w) -> (int8 values, f32 (m, 1) per-row scales)."""
+    s = jnp.maximum(jnp.max(jnp.abs(hf32), axis=-1, keepdims=True), 1e-12) / 127.0
+    return jnp.round(hf32 / s).astype(jnp.int8), s
+
+
+def _int8_proj(hq, hs, wq_ref, ws_ref, b_ref, dt):
+    acc = jax.lax.dot_general(
+        hq, wq_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * hs * ws_ref[0]
+            + b_ref[0].astype(jnp.float32)).astype(dt)
+
+
+def _attn_block_int8_kernel(x_ref, lns_ref, lnb_ref, wqq_ref, wqs_ref,
+                            bq_ref, wkq_ref, wks_ref, bk_ref, wvq_ref,
+                            wvs_ref, bv_ref, woq_ref, wos_ref, bo_ref,
+                            o_ref, *, heads: int):
+    bm, t, w = x_ref.shape
+    hd = w // heads
+    m = bm * t
+    dt = x_ref.dtype
+    xb = x_ref[:].reshape(m, w)
+    hf = _fast_layernorm_f32(
+        xb.astype(jnp.float32), lns_ref[0].astype(jnp.float32),
+        lnb_ref[0].astype(jnp.float32),
+    )
+    hq, hs = _rowquant(hf)
+    q = _int8_proj(hq, hs, wqq_ref, wqs_ref, bq_ref, dt)
+    k = _int8_proj(hq, hs, wkq_ref, wks_ref, bk_ref, dt)
+    v = _int8_proj(hq, hs, wvq_ref, wvs_ref, bv_ref, dt)
+    scale = hd ** -0.5
+    attn_rows = []
+    for i in range(bm):
+        sl = slice(i * t, (i + 1) * t)
+        outs = []
+        for hh in range(heads):
+            cs = slice(hh * hd, (hh + 1) * hd)
+            s = jax.lax.dot_general(
+                q[sl, cs], k[sl, cs], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = s - jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s)
+            p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(dt)
+            outs.append(
+                jax.lax.dot_general(
+                    p, v[sl, cs], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dt)
+            )
+        attn_rows.append(jnp.concatenate(outs, axis=1))
+    attn = jnp.concatenate(attn_rows, axis=0) if bm > 1 else attn_rows[0]
+    aq, as_ = _rowquant(attn.astype(jnp.float32))
+    out = _int8_proj(aq, as_, woq_ref, wos_ref, bo_ref, dt)
+    o_ref[:] = (xb + out).reshape(bm, t, w)
+
+
+def xla_attention_block_int8(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv,
+                             wo, bo, heads: int):
+    """XLA mirror of the int8 kernel's exact quantization math (tests)."""
+    dt = x.dtype
+    b, t, w = x.shape
+    hf = _fast_layernorm_f32(
+        x.reshape(b * t, w).astype(jnp.float32),
+        ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
+    )
+    hq, hs = _rowquant(hf)
+
+    def proj(wmat, bias):
+        wqv, ws = _quantize_weight(wmat)
+        acc = jax.lax.dot_general(
+            hq, wqv, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        return ((acc.astype(jnp.float32) * hs * ws
+                 + bias.astype(jnp.float32)).astype(dt)).reshape(b, t, w)
+
+    attn = xla_attention(proj(wq, bq), proj(wk, bk), proj(wv, bv), heads)
+    aq, as_ = _rowquant(attn.reshape(b * t, w).astype(jnp.float32))
+    woq, wos = _quantize_weight(wo)
+    acc = jax.lax.dot_general(
+        aq, woq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    out = (acc.astype(jnp.float32) * as_ * wos
+           + bo.astype(jnp.float32)).astype(dt).reshape(b, t, w)
+    return x + out
+
+
+def _pallas_attention_block_int8(x, ln_scale, ln_bias, wq, bq, wk, bk, wv,
+                                 bv, wo, bo, heads: int,
+                                 bm: int | None = None):
+    b, t, w = x.shape
+    dt = x.dtype
+    if bm is None or b % bm != 0:
+        bm = _block_images_fused(b, t)
+    x_spec = pl.BlockSpec((bm, t, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((w, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    vec = lambda a: a.reshape(1, w)
+    qs = [_quantize_weight(m_) for m_ in (wq, wk, wv, wo)]
+    return pl.pallas_call(
+        functools.partial(_attn_block_int8_kernel, heads=heads),
+        out_shape=jax.ShapeDtypeStruct((b, t, w), dt),
+        grid=(b // bm,),
+        in_specs=[x_spec, v_spec, v_spec,
+                  w_spec, v_spec, v_spec,
+                  w_spec, v_spec, v_spec,
+                  w_spec, v_spec, v_spec,
+                  w_spec, v_spec, v_spec],
+        out_specs=x_spec,
+        interpret=_interpret(),
+    )(
+        x, vec(ln_scale), vec(ln_bias),
+        qs[0][0], qs[0][1], vec(bq),
+        qs[1][0], qs[1][1], vec(bk),
+        qs[2][0], qs[2][1], vec(bv),
+        qs[3][0], qs[3][1], vec(bo),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
+def attention_block_int8(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo,
+                         bo, heads: int):
+    """int8 fused attention sub-block; backward = straight-through f32."""
+    return _pallas_attention_block_int8(
+        x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, heads
+    )
+
+
+def _blk8_fwd(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, heads):
+    out = _pallas_attention_block_int8(
+        x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, heads
+    )
+    return out, (x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo)
+
+
+def _blk8_bwd(heads, res, g):
+    _, vjp = jax.vjp(lambda *a: xla_attention_block(*a, heads=heads), *res)
+    return vjp(g)
+
+
+attention_block_int8.defvjp(_blk8_fwd, _blk8_bwd)
+
+
+def _mlp_block_int8_kernel(x_ref, lns_ref, lnb_ref, w1q_ref, w1s_ref,
+                           b1_ref, w2q_ref, w2s_ref, b2_ref, o_ref):
+    bm, t, w = x_ref.shape
+    m = bm * t
+    dt = x_ref.dtype
+    xb = x_ref[:].reshape(m, w)
+    hf = _fast_layernorm_f32(
+        xb.astype(jnp.float32), lns_ref[0].astype(jnp.float32),
+        lnb_ref[0].astype(jnp.float32),
+    )
+    hq, hs = _rowquant(hf)
+    # f32 gelu (Mosaic rejects bf16 logistic), straight into requantization
+    a = _quick_gelu(
+        _int8_proj(hq, hs, w1q_ref, w1s_ref, b1_ref, jnp.float32)
+    )
+    aq, as_ = _rowquant(a)
+    out = _int8_proj(aq, as_, w2q_ref, w2s_ref, b2_ref, dt)
+    o_ref[:] = (xb + out).reshape(bm, t, w)
+
+
+def xla_mlp_block_int8(x, ln_scale, ln_bias, w1, b1, w2, b2):
+    """XLA mirror of the int8 MLP kernel's quantization math (tests)."""
+    dt = x.dtype
+    b, t, w = x.shape
+    hf = _fast_layernorm_f32(
+        x.reshape(b * t, w).astype(jnp.float32),
+        ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
+    )
+    hq, hs = _rowquant(hf)
+    w1q, w1s = _quantize_weight(w1)
+    acc = jax.lax.dot_general(
+        hq, w1q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    a = _quick_gelu(
+        (acc.astype(jnp.float32) * hs * w1s + b1.astype(jnp.float32)).astype(dt)
+    )
+    aq, as_ = _rowquant(a.astype(jnp.float32))
+    w2q, w2s = _quantize_weight(w2)
+    acc2 = jax.lax.dot_general(
+        aq, w2q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    out = (acc2.astype(jnp.float32) * as_ * w2s
+           + b2.astype(jnp.float32)).astype(dt).reshape(b, t, w)
+    return x + out
+
+
+def _pallas_mlp_block_int8(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                           bm: int | None = None):
+    b, t, w = x.shape
+    hidden = w1.shape[1]
+    dt = x.dtype
+    if bm is None or b % bm != 0:
+        bm = _block_images_fused(b, t)
+    x_spec = pl.BlockSpec((bm, t, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    w1_spec = pl.BlockSpec((w, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    w2_spec = pl.BlockSpec((hidden, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    vw = lambda a: a.reshape(1, -1)
+    vw_spec = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    w1q, w1s = _quantize_weight(w1)
+    w2q, w2s = _quantize_weight(w2)
+    return pl.pallas_call(
+        _mlp_block_int8_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t, w), dt),
+        grid=(b // bm,),
+        in_specs=[x_spec, vw_spec(w), vw_spec(w),
+                  w1_spec, vw_spec(hidden), vw_spec(hidden),
+                  w2_spec, vw_spec(w), vw_spec(w)],
+        out_specs=x_spec,
+        interpret=_interpret(),
+    )(x, vw(ln_scale), vw(ln_bias), w1q, w1s, vw(b1), w2q, w2s, vw(b2))
+
+
+@jax.custom_vjp
+def mlp_block_int8(x, ln_scale, ln_bias, w1, b1, w2, b2):
+    """int8 fused MLP sub-block; backward = straight-through f32."""
+    return _pallas_mlp_block_int8(x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _mlp8_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2):
+    out = _pallas_mlp_block_int8(x, ln_scale, ln_bias, w1, b1, w2, b2)
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _mlp8_bwd(res, g):
+    _, vjp = jax.vjp(xla_mlp_block, *res)
+    return vjp(g)
+
+
+mlp_block_int8.defvjp(_mlp8_fwd, _mlp8_bwd)

@@ -272,3 +272,67 @@ def test_vision_tower_fully_fused_matches_baseline(rng):
     g = jax.grad(loss)(params)
     gnorm = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_int8_fused_blocks_match_their_xla_mirrors(rng):
+    """attention_block_int8 / mlp_block_int8 vs XLA mirrors of the exact
+    same quantization math; plus full int8-fused tower cos>0.999 vs f32."""
+    import math
+
+    from image_retrieval_tpu.ops.flash_attention import (
+        attention_block_int8,
+        mlp_block_int8,
+        xla_attention_block_int8,
+        xla_mlp_block_int8,
+    )
+
+    w, heads = 96, 12
+    x = jnp.asarray(rng.normal(size=(2, 50, w)).astype(np.float32))
+    args = _block_args(rng, w)
+    got = attention_block_int8(x, *args, heads)
+    want = xla_attention_block_int8(x, *args, heads=heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    w1 = jnp.asarray((rng.normal(size=(w, 4 * w)) / math.sqrt(w)).astype(np.float32))
+    b1 = jnp.asarray((0.02 * rng.normal(size=(4 * w,))).astype(np.float32))
+    w2 = jnp.asarray(
+        (rng.normal(size=(4 * w, w)) / math.sqrt(4 * w)).astype(np.float32)
+    )
+    b2 = jnp.asarray((0.02 * rng.normal(size=(w,))).astype(np.float32))
+    got_m = mlp_block_int8(x, args[0], args[1], w1, b1, w2, b2)
+    want_m = xla_mlp_block_int8(x, args[0], args[1], w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m), atol=2e-5)
+
+
+def test_vision_tower_int8_fused_cos_and_grads(rng):
+    from image_retrieval_tpu.config import ModelConfig
+    from image_retrieval_tpu.models.clip import CLIP, init_params
+
+    cfg = ModelConfig(
+        image_size=32, patch_size=8, vision_width=48, vision_layers=2,
+        vision_heads=4, text_width=32, text_layers=2, text_heads=2,
+        vocab_size=1000, context_length=16, embed_dim=24, dtype="float32",
+    )
+    model, params = init_params(cfg, seed=0)
+    fcfg = dataclasses.replace(
+        cfg, fused_attn_block=True, fused_mlp_block=True, int8_matmuls=True
+    )
+    mf = CLIP(fcfg, dtype=jnp.float32)
+    _, pf = init_params(fcfg, seed=0)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(pf)
+
+    px = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    base = np.asarray(model.apply(params, px, method=CLIP.encode_image), np.float64)
+    fused = np.asarray(mf.apply(params, px, method=CLIP.encode_image), np.float64)
+    cos = (base * fused).sum(-1) / (
+        np.linalg.norm(base, axis=-1) * np.linalg.norm(fused, axis=-1)
+    )
+    assert cos.min() > 0.999
+
+    # straight-through backward: finite, nonzero grads
+    def loss(p):
+        return jnp.mean(mf.apply(p, px, method=CLIP.encode_image) ** 2)
+
+    g = jax.grad(loss)(params)
+    gnorm = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0
