@@ -6,14 +6,16 @@ perf numbers (its search path is an O(N) Python loop, app_pipeline.py:155-172,
 or a Milvus server round-trip); vs_baseline is target_ms / measured_ms, so
 values > 1.0 beat the 5 ms target.
 
-Methodology: each measurement runs a lax.scan over NQ distinct queries inside
-ONE dispatch, fetches the (tiny) result to host, subtracts the separately
-measured fetch round-trip, and divides by NQ. Rationale: under the
-dev-environment TPU tunnel, block_until_ready returns before device
-execution completes (fully async futures) and per-dispatch RPC overhead
-(~30 ms) would swamp sub-ms kernels — only a host fetch of the result is a
-true execution barrier. Fresh queries per repeat defeat any replay caching.
-The gallery is always a jit *argument* so the 2 GB buffer never becomes a
+Methodology: each measurement runs a lax.scan over NQ distinct inputs inside
+ONE dispatch. Under the dev-environment TPU tunnel, block_until_ready
+returns before device execution completes (fully async futures) and only a
+host fetch of the result is a true execution barrier; the fetch round-trip
+itself is ~30-45 ms and DRIFTS between sessions, so instead of subtracting a
+separately measured estimate, every number uses an overhead-cancelling
+difference (`device_seconds`): time fetch(1 dispatch) and fetch(2 dispatches
+queued back-to-back) of the same program on distinct inputs — the difference
+is pure device time. Fresh inputs per dispatch defeat replay caching. The
+gallery is always a jit *argument* so the 2 GB buffer never becomes a
 compile-time constant.
 
 Prints ONE JSON line:
@@ -73,17 +75,43 @@ def main():
     fetch_rt = time.perf_counter() - t0
     extra["fetch_roundtrip_ms"] = round(fetch_rt * 1e3, 2)
 
-    def timed_per_query(fn, repeats=5):
-        """fn(queries) -> small output. Returns per-query seconds array."""
-        _ = jax.device_get(fn(make_queries(jax.random.PRNGKey(100))))  # compile
-        times = []
-        for r in range(repeats):
-            qs = make_queries(jax.random.PRNGKey(200 + r))
-            _ = jax.device_get(qs[0, 0, 0])
+    def device_seconds(enqueue, repeats=5):
+        """Pure device-seconds for ONE unit of work, overhead-cancelled.
+
+        enqueue(i) dispatches the SAME jitted program on repeat-distinct
+        inputs and returns the (unfetched) result. Each repeat times
+        fetch(1 unit) and fetch(2 units queued back-to-back); the
+        difference is one unit of device time — the tunnel's fetch
+        round-trip and dispatch overhead cancel exactly instead of being
+        subtracted as a separately measured (and drifting) estimate.
+        """
+        _ = jax.device_get(enqueue(0))  # compile + warm
+        ts = []
+        tag = 1
+        for _r in range(repeats):
+            a = enqueue(tag); tag += 1
             t0 = time.perf_counter()
-            _ = jax.device_get(fn(qs))
-            times.append(max(time.perf_counter() - t0 - fetch_rt, 1e-9) / nq)
-        return np.array(times)
+            _ = jax.device_get(a)
+            t1 = time.perf_counter()
+            b = enqueue(tag); tag += 1
+            c = enqueue(tag); tag += 1
+            t2 = time.perf_counter()
+            # fetch ONLY c: the device executes dispatches in order, so c's
+            # completion implies b finished — fetching b too would add a
+            # second round-trip and break the cancellation whenever the unit
+            # time is smaller than the RTT.
+            _ = jax.device_get(c)
+            t3 = time.perf_counter()
+            del b
+            ts.append(max((t3 - t2) - (t1 - t0), 1e-9))
+        return np.array(ts)
+
+    def timed_per_query(fn, repeats=5):
+        """fn(queries) -> small output. Returns per-query device-seconds."""
+        qs_pool = [make_queries(jax.random.PRNGKey(100 + i))
+                   for i in range(3 * repeats + 1)]
+        _ = jax.device_get(qs_pool[-1][0, 0, 0])  # sync generation
+        return device_seconds(lambda i: fn(qs_pool[i]), repeats) / nq
 
     # --- headline: exact cosine top-10, single query (scan = per-query pass) --
     @jax.jit
@@ -119,15 +147,12 @@ def main():
             lambda kk: jax.random.normal(kk, (n_qbatches, nq, 1, d), jnp.float32)
         )(key)
 
-    _ = jax.device_get(cosine_batch_scan(gallery, make_qbatches(jax.random.PRNGKey(100))))
-    tb = []
-    for r in range(5):
-        qss = make_qbatches(jax.random.PRNGKey(300 + r))
-        _ = jax.device_get(qss[0, 0, 0, 0])
-        t0 = time.perf_counter()
-        _ = jax.device_get(cosine_batch_scan(gallery, qss))
-        tb.append(max(time.perf_counter() - t0 - fetch_rt, 1e-9) / n_qbatches)
-    qps = nq / np.array(tb)
+    qss_pool = [make_qbatches(jax.random.PRNGKey(300 + i)) for i in range(16)]
+    _ = jax.device_get(qss_pool[-1][0, 0, 0, 0])
+    tb = device_seconds(
+        lambda i: cosine_batch_scan(gallery, qss_pool[i]), repeats=5
+    ) / n_qbatches
+    qps = nq / tb
     extra["batched64_total_ms"] = round(float(np.percentile(tb, 50) * 1e3), 4)
     extra["batched_qps"] = round(float(np.median(qps)), 1)
     extra["batched_qps_min"] = round(float(qps.min()), 1)
@@ -238,16 +263,10 @@ def main():
                 return None, jax.lax.top_k(dots * s[None, :], k)
             return jax.lax.scan(step, None, qss)[1]
 
-        _ = jax.device_get(cos8_batch_scan(g8, g_scale,
-                                           make_qbatches(jax.random.PRNGKey(100))))
-        tb8 = []
-        for r in range(5):
-            qss = make_qbatches(jax.random.PRNGKey(400 + r))
-            _ = jax.device_get(qss[0, 0, 0, 0])
-            t0 = time.perf_counter()
-            _ = jax.device_get(cos8_batch_scan(g8, g_scale, qss))
-            tb8.append(max(time.perf_counter() - t0 - fetch_rt, 1e-9) / n_qbatches)
-        extra["batched_qps_int8"] = round(float(np.median(nq / np.array(tb8))), 1)
+        tb8 = device_seconds(
+            lambda i: cos8_batch_scan(g8, g_scale, qss_pool[i]), repeats=5
+        ) / n_qbatches
+        extra["batched_qps_int8"] = round(float(np.median(nq / tb8)), 1)
     except Exception as e:  # pragma: no cover
         extra["compressed_error"] = str(e)[:200]
 
@@ -270,21 +289,18 @@ def main():
         )(jax.random.PRNGKey(5))
 
         @jax.jit
-        def encode_scan(p, base):
+        def encode_scan(p, base, j):
             def step(_, i):
-                x = base + i.astype(jnp.bfloat16) * 1e-6
+                x = base + (i + j * n_batches).astype(jnp.bfloat16) * 1e-6
                 emb = model.apply(p, x, method=CLIP.encode_image)
                 return None, emb[:, 0]
             _, out = jax.lax.scan(step, None, jnp.arange(n_batches))
             return out
 
-        _ = jax.device_get(encode_scan(params, base))
-        times = []
-        for r in range(5):
-            t0 = time.perf_counter()
-            _ = jax.device_get(encode_scan(params, base))
-            times.append(max(time.perf_counter() - t0 - fetch_rt, 1e-9) / n_batches)
-        ips = bs / np.array(times)
+        times = device_seconds(
+            lambda i: encode_scan(params, base, jnp.int32(i)), repeats=5
+        ) / n_batches
+        ips = bs / times
         extra["embed_img_per_s_per_chip"] = round(float(np.median(ips)), 1)
         extra["embed_img_per_s_min"] = round(float(ips.min()), 1)
         extra["embed_img_per_s_max"] = round(float(ips.max()), 1)
@@ -302,28 +318,98 @@ def main():
             raise RuntimeError("serving embed: TPU-only (interpret mode is slow)")
         cfg_s = vit_b32_serving()
         model_s, params_s = init_params(cfg_s, seed=0, dtype=jnp.bfloat16)
+        bs_s = 256  # serving sweet spot (bench_results/attn_probe8/9.json);
+        #             the parity path peaks at 192 instead
+        base_s = jax.jit(
+            lambda key: jax.random.normal(key, (bs_s, 224, 224, 3), jnp.bfloat16)
+        )(jax.random.PRNGKey(6))
 
         @jax.jit
-        def encode_scan_serving(p, base):
+        def encode_scan_serving(p, base, j):
             def step(_, i):
-                x = base + i.astype(jnp.bfloat16) * 1e-6
+                x = base + (i + j * n_batches).astype(jnp.bfloat16) * 1e-6
                 emb = model_s.apply(p, x, method=CLIP.encode_image)
                 return None, emb[:, 0]
             _, out = jax.lax.scan(step, None, jnp.arange(n_batches))
             return out
 
-        _ = jax.device_get(encode_scan_serving(params_s, base))
-        times_s = []
-        for r in range(5):
-            t0 = time.perf_counter()
-            _ = jax.device_get(encode_scan_serving(params_s, base))
-            times_s.append(max(time.perf_counter() - t0 - fetch_rt, 1e-9) / n_batches)
-        ips_s = bs / np.array(times_s)
+        times_s = device_seconds(
+            lambda i: encode_scan_serving(params_s, base_s, jnp.int32(i)),
+            repeats=5,
+        ) / n_batches
+        ips_s = bs_s / times_s
+        extra["embed_serving_batch_size"] = bs_s
         extra["embed_serving_img_per_s"] = round(float(np.median(ips_s)), 1)
         extra["embed_serving_img_per_s_min"] = round(float(ips_s.min()), 1)
         extra["embed_serving_img_per_s_max"] = round(float(ips_s.max()), 1)
     except Exception as e:  # pragma: no cover
         extra["embed_serving_error"] = str(e)[:200]
+
+    # --- text encode throughput (query path): parity + serving config -------
+    # The serving config's fused causal blocks apply the autoregressive mask
+    # in-kernel (ops/flash_attention.py _inkernel_attention causal=True).
+    try:
+        if not on_tpu:
+            raise RuntimeError("text encode bench: TPU-only")
+        tbs = 256
+        toks = jax.jit(
+            lambda key: jax.random.randint(key, (tbs, 77), 1, 49407, jnp.int32)
+        )(jax.random.PRNGKey(7))
+
+        for tag, (mdl, prm) in {
+            "text_parity": (model, params),
+            "text_serving": (model_s, params_s),
+        }.items():
+            @jax.jit
+            def tscan(p, toks, j, mdl=mdl):
+                def step(_, i):
+                    # vary the tokens per step (defeats CSE/hoisting)
+                    tt = jnp.maximum(toks - ((i + j).astype(jnp.int32) % 2), 1)
+                    return None, mdl.apply(p, tt, method=CLIP.encode_text)[:, 0]
+                _, out = jax.lax.scan(step, None, jnp.arange(n_batches))
+                return out
+
+            tt = device_seconds(
+                lambda i, f=tscan, prm=prm: f(prm, toks, jnp.int32(i)),
+                repeats=5,
+            ) / n_batches
+            tps = tbs / tt
+            extra[f"{tag}_per_s"] = round(float(np.median(tps)), 1)
+            extra[f"{tag}_per_s_min"] = round(float(tps.min()), 1)
+    except Exception as e:  # pragma: no cover
+        extra["text_encode_error"] = str(e)[:200]
+
+    # --- end-to-end query QPS: text tokens -> serving CLIP text encode ->
+    # int8 exact top-10 over the 1M gallery, all in one dispatch -------------
+    try:
+        if not on_tpu:
+            raise RuntimeError("e2e query bench: TPU-only")
+        qtoks = jax.jit(
+            lambda key: jax.random.randint(
+                key, (n_qbatches, nq, 77), 1, 49407, jnp.int32
+            )
+        )(jax.random.PRNGKey(8))
+
+        @jax.jit
+        def e2e_scan(p, toks, g, s, j):
+            def step(_, tb):
+                tb = jnp.maximum(tb - j % 2, 1)
+                q = model_s.apply(p, tb, method=CLIP.encode_text)
+                qn = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+                dots = jnp.dot(
+                    qn.astype(jnp.bfloat16), g.astype(jnp.bfloat16).T,
+                    preferred_element_type=jnp.float32,
+                )
+                return None, jax.lax.top_k(dots * s[None, :], k)
+            return jax.lax.scan(step, None, toks)[1]
+
+        te = device_seconds(
+            lambda i: e2e_scan(params_s, qtoks, g8, g_scale, jnp.int32(i)),
+            repeats=5,
+        ) / n_qbatches
+        extra["e2e_query_qps_int8"] = round(float(np.median(nq / te)), 1)
+    except Exception as e:  # pragma: no cover
+        extra["e2e_query_error"] = str(e)[:200]
 
     target_ms = 5.0
     print(

@@ -65,6 +65,11 @@ class ModelConfig:
     # (ops/flash_attention.py mlp_block / mlp_block_int8). Same mask-free
     # restriction as above.
     fused_mlp_block: bool = False
+    # Fuse the WHOLE transformer layer (attention + MLP sub-blocks) into a
+    # single kernel per layer (ops/flash_attention.py layer_block_int8) —
+    # removes the mid-layer activation HBM round-trip. int8-projection
+    # serving path only; requires int8_matmuls.
+    fused_layer_block: bool = False
     # Serving-time quantization: run the big projections (QKV/out, MLP) as
     # int8 x int8 -> int32 MXU matmuls with dynamic per-token activation and
     # per-channel weight scales. v5e int8 peak is 2x bf16; embedding cosine
@@ -78,16 +83,17 @@ def vit_b32() -> "ModelConfig":
 
 
 def vit_b32_serving() -> "ModelConfig":
-    """Measured-fastest v5e serving configuration for the embed path
-    (bench_results/attn_probe7.json): fully-fused transformer sub-blocks
-    (attention_block_int8 + mlp_block_int8, layer weights VMEM-resident,
-    int8 MXU projections in-kernel) — 17.9k img/s at batch 192, 16.4k at
-    128, vs 11.4k baseline bf16. Embedding cosine vs the bf16 tower stays
-    >0.999; use the default config where bit-level parity with the
-    training/eval path matters."""
+    """Measured-fastest v5e serving configuration
+    (bench_results/attn_probe9.json): one mega-kernel per transformer
+    layer (ops/flash_attention.py layer_block_int8 — LN1 + int8 QKV +
+    attention + out-proj + residual + LN2 + int8 MLP + residual, all layer
+    weights VMEM-resident, causal mask in-kernel for the text tower) —
+    20.9k img/s at batch 256 (vs 11.4k baseline bf16) and 26.5k texts/s
+    (vs 18.1k). Embedding cosine vs the bf16 tower stays >0.999; use the
+    default config where bit-level parity with the training/eval path
+    matters."""
     return dataclasses.replace(
-        ModelConfig(), fused_attn_block=True, fused_mlp_block=True,
-        int8_matmuls=True,
+        ModelConfig(), fused_layer_block=True, int8_matmuls=True
     )
 
 

@@ -174,10 +174,52 @@ class Block(nn.Module):
     pallas_attn: bool = False
     fused_block: bool = False  # whole LN1+attention sub-block as one kernel
     fused_mlp: bool = False    # whole LN2+MLP sub-block as one kernel
+    causal: bool = False       # autoregressive (text) tower: the fused
+    #                            kernel applies the causal mask in-kernel
+    #                            instead of needing the `mask` argument
+    fused_layer: bool = False  # whole layer (attn + MLP) as ONE kernel
+    #                            (int8 only; ops/flash_attention.py
+    #                            layer_block_int8)
 
     @nn.compact
     def __call__(self, x, mask=None):
-        if self.fused_block and mask is None:
+        if (self.fused_layer and self.quant
+                and (mask is None or self.causal)):
+            from image_retrieval_tpu.ops.flash_attention import layer_block_int8
+
+            ln1_s, ln1_b = _LNParams(self.width, name="ln1")()
+
+            class _AttnParams(nn.Module):
+                width: int
+
+                @nn.compact
+                def __call__(self):
+                    return [
+                        _DenseParams(self.width, self.width, name=nm)()
+                        for nm in ("q_proj", "k_proj", "v_proj", "out_proj")
+                    ]
+
+            (wq, bq), (wk, bk), (wv, bv), (wo, bo) = _AttnParams(
+                self.width, name="attn"
+            )()
+            ln2_s, ln2_b = _LNParams(self.width, name="ln2")()
+
+            class _MLPParams(nn.Module):
+                width: int
+
+                @nn.compact
+                def __call__(self):
+                    w1 = _DenseParams(self.width, self.width * 4, name="fc1")()
+                    w2 = _DenseParams(self.width * 4, self.width, name="fc2")()
+                    return w1, w2
+
+            (w1, b1), (w2, b2) = _MLPParams(self.width, name="mlp")()
+            return layer_block_int8(
+                x.astype(self.dtype), ln1_s, ln1_b, wq, bq, wk, bk, wv, bv,
+                wo, bo, ln2_s, ln2_b, w1, b1, w2, b2, self.heads,
+                self.causal,
+            )
+        if self.fused_block and (mask is None or self.causal):
             # Fused attention sub-block (ops/flash_attention.py
             # attention_block): LN1 + QKV + attention + out-proj + residual
             # in one kernel, weights VMEM-resident. The parameter tree is
@@ -207,7 +249,7 @@ class Block(nn.Module):
             )()
             x = kernel_fn(
                 x.astype(self.dtype), ln_s, ln_b, wq, bq, wk, bk, wv, bv,
-                wo, bo, self.heads,
+                wo, bo, self.heads, self.causal,
             )
         else:
             h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x)
@@ -324,7 +366,8 @@ class CLIPVisionTower(nn.Module):
             x = block_cls(
                 c.vision_width, c.vision_heads, self.dtype,
                 c.fused_attention, c.int8_matmuls, c.pallas_attention,
-                c.fused_attn_block, c.fused_mlp_block, name=f"block_{i}",
+                c.fused_attn_block, c.fused_mlp_block,
+                fused_layer=c.fused_layer_block, name=f"block_{i}",
             )(x, mask)
         pooled = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="post_ln")(x[:, 0])
         proj = self.param(
@@ -361,7 +404,8 @@ class CLIPTextTower(nn.Module):
             x = block_cls(
                 c.text_width, c.text_heads, self.dtype,
                 c.fused_attention, c.int8_matmuls, c.pallas_attention,
-                c.fused_attn_block, c.fused_mlp_block, name=f"block_{i}",
+                c.fused_attn_block, c.fused_mlp_block, causal=True,
+                fused_layer=c.fused_layer_block, name=f"block_{i}",
             )(x, mask)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_ln")(x)
         eot = jnp.argmax(token_ids, axis=-1)

@@ -184,8 +184,12 @@ def _fast_layernorm_f32(xf, scale, bias, eps=1e-5):
     return (xf - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
+def _causal_bias(t: int) -> jnp.ndarray:
+    return jnp.triu(jnp.full((t, t), -jnp.inf, jnp.float32), k=1)[None, None]
+
+
 def xla_attention_block(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
-                        heads: int):
+                        heads: int, causal: bool = False):
     """Semantics-defining XLA implementation (also the backward recompute):
 
         h = LayerNorm_f32(x) -> compute dtype
@@ -204,17 +208,94 @@ def xla_attention_block(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
          + bk.astype(jnp.float32)).astype(dt)
     v = (jnp.dot(h, wv.astype(dt), preferred_element_type=jnp.float32)
          + bv.astype(jnp.float32)).astype(dt)
-    attn = xla_attention(q, k, v, heads)
+    mask = _causal_bias(x.shape[1]) if causal else None
+    attn = xla_attention(q, k, v, heads, mask)
     out = (jnp.dot(attn, wo.astype(dt), preferred_element_type=jnp.float32)
            + bo.astype(jnp.float32)).astype(dt)
     return x + out
 
 
+# In-kernel attention strategy for the fused block kernels. "packed" does
+# one (bm*t, bm*t, hd) score matmul per head with a block-diagonal -inf
+# mask (exact: exp(-inf)=0 contributes exactly zero in f32, so numerics
+# match the per-image loop bit-for-bit); "loop" does bm*heads tiny
+# (t, t, hd) matmuls. Measured on v5e (bench_results/attn_probe8.json,
+# int8 fused tower): loop 17.4k/18.5k img/s at batch 192/256 vs packed
+# 15.8k/16.3k — inside the weights-resident block kernel the packed
+# variant's ~bm x extra score FLOPs and (bm*t)^2 mask/softmax area cost
+# more than the tiny-matmul padding they avoid (unlike the BARE attention
+# kernel, where packed wins because there is nothing else to overlap).
+# Module-level so probes can flip it.
+_PACKED_BLOCK_ATTN = False
+
+
+def _inkernel_attention(q, k, v, heads: int, bm: int, t: int,
+                        causal: bool = False):
+    """Attention over bm sequences packed into (bm*t, w) operands, in VMEM.
+
+    causal=True adds a per-sequence lower-triangular mask (the text tower's
+    autoregressive mask, reference image_search.py:47-64 text path)."""
+    m, w = q.shape
+    hd = w // heads
+    dt = q.dtype
+    scale = hd ** -0.5
+    if (_PACKED_BLOCK_ATTN and bm > 1) or (causal and bm == 1):
+        row = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+        ok = (row // t) == (col // t)
+        if causal:
+            ok = ok & ((col % t) <= (row % t))
+        neg = jnp.where(ok, 0.0, -jnp.inf).astype(jnp.float32)
+        outs = []
+        for hh in range(heads):
+            cs = slice(hh * hd, (hh + 1) * hd)
+            s = jax.lax.dot_general(
+                q[:, cs], k[:, cs], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale + neg
+            s = s - jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s)
+            p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(dt)
+            outs.append(
+                jax.lax.dot_general(
+                    p, v[:, cs], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dt)
+            )
+        return jnp.concatenate(outs, axis=1)
+    if causal:
+        rr = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+        cmask = jnp.where(cc <= rr, 0.0, -jnp.inf).astype(jnp.float32)
+    attn_rows = []
+    for i in range(bm):
+        sl = slice(i * t, (i + 1) * t)
+        outs = []
+        for hh in range(heads):
+            cs = slice(hh * hd, (hh + 1) * hd)
+            s = jax.lax.dot_general(
+                q[sl, cs], k[sl, cs], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if causal:
+                s = s + cmask
+            s = s - jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s)
+            p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(dt)
+            outs.append(
+                jax.lax.dot_general(
+                    p, v[sl, cs], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dt)
+            )
+        attn_rows.append(jnp.concatenate(outs, axis=1))
+    return jnp.concatenate(attn_rows, axis=0) if bm > 1 else attn_rows[0]
+
+
 def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
                        bk_ref, wv_ref, bv_ref, wo_ref, bo_ref, o_ref, *,
-                       heads: int):
+                       heads: int, causal: bool = False):
     bm, t, w = x_ref.shape
-    hd = w // heads
     m = bm * t
     dt = x_ref.dtype
     xb = x_ref[:].reshape(m, w)
@@ -228,40 +309,15 @@ def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
          + bk_ref[0].astype(jnp.float32)).astype(dt)
     v = (jnp.dot(h, wv_ref[:], preferred_element_type=jnp.float32)
          + bv_ref[0].astype(jnp.float32)).astype(dt)
-    scale = hd ** -0.5
-    # Per-image attention (no packing: the (bm*t)^2 packed softmax measured
-    # slower — see _block_images). Static loops; shapes are tiny.
-    attn_rows = []
-    for i in range(bm):
-        sl = slice(i * t, (i + 1) * t)
-        outs = []
-        for hh in range(heads):
-            cs = slice(hh * hd, (hh + 1) * hd)
-            qh = q[sl, cs]
-            kh = k[sl, cs]
-            vh = v[sl, cs]
-            s = jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            s = s - jnp.max(s, axis=1, keepdims=True)
-            p = jnp.exp(s)
-            p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(dt)
-            outs.append(
-                jax.lax.dot_general(
-                    p, vh, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(dt)
-            )
-        attn_rows.append(jnp.concatenate(outs, axis=1))
-    attn = jnp.concatenate(attn_rows, axis=0) if bm > 1 else attn_rows[0]
+    attn = _inkernel_attention(q, k, v, heads, bm, t, causal)
     out = (jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
            + bo_ref[0].astype(jnp.float32)).astype(dt)
     o_ref[:] = (xb + out).reshape(bm, t, w)
 
 
 def _pallas_attention_block(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv,
-                            wo, bo, heads: int, bm: int | None = None):
+                            wo, bo, heads: int, bm: int | None = None,
+                            causal: bool = False):
     b, t, w = x.shape
     dt = x.dtype
     if bm is None or b % bm != 0:
@@ -271,7 +327,7 @@ def _pallas_attention_block(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv,
     v_spec = pl.BlockSpec((1, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
     vec = lambda a: a.reshape(1, w)
     return pl.pallas_call(
-        functools.partial(_attn_block_kernel, heads=heads),
+        functools.partial(_attn_block_kernel, heads=heads, causal=causal),
         out_shape=jax.ShapeDtypeStruct((b, t, w), dt),
         grid=(b // bm,),
         in_specs=[x_spec, v_spec, v_spec, w_spec, v_spec, w_spec, v_spec,
@@ -285,27 +341,31 @@ def _pallas_attention_block(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
 def attention_block(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
-                    heads: int):
+                    heads: int, causal: bool = False):
     """Whole pre-LN attention sub-block as one kernel (forward); backward
     recomputes through xla_attention_block. Weights stay VMEM-resident
-    across the image grid (~4.7 MB bf16 for ViT-B/32)."""
+    across the image grid (~4.7 MB bf16 for ViT-B/32). causal=True applies
+    the text tower's autoregressive mask in-kernel."""
     return _pallas_attention_block(
-        x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, heads
+        x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, heads,
+        causal=causal,
     )
 
 
-def _blk_fwd(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, heads):
+def _blk_fwd(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, heads,
+             causal):
     out = _pallas_attention_block(
-        x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, heads
+        x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, heads,
+        causal=causal,
     )
     return out, (x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo)
 
 
-def _blk_bwd(heads, res, g):
+def _blk_bwd(heads, causal, res, g):
     _, vjp = jax.vjp(
-        lambda *a: xla_attention_block(*a, heads=heads), *res
+        lambda *a: xla_attention_block(*a, heads=heads, causal=causal), *res
     )
     return vjp(g)
 
@@ -440,7 +500,7 @@ def _int8_proj(hq, hs, wq_ref, ws_ref, b_ref, dt):
 def _attn_block_int8_kernel(x_ref, lns_ref, lnb_ref, wqq_ref, wqs_ref,
                             bq_ref, wkq_ref, wks_ref, bk_ref, wvq_ref,
                             wvs_ref, bv_ref, woq_ref, wos_ref, bo_ref,
-                            o_ref, *, heads: int):
+                            o_ref, *, heads: int, causal: bool = False):
     bm, t, w = x_ref.shape
     hd = w // heads
     m = bm * t
@@ -454,35 +514,14 @@ def _attn_block_int8_kernel(x_ref, lns_ref, lnb_ref, wqq_ref, wqs_ref,
     q = _int8_proj(hq, hs, wqq_ref, wqs_ref, bq_ref, dt)
     k = _int8_proj(hq, hs, wkq_ref, wks_ref, bk_ref, dt)
     v = _int8_proj(hq, hs, wvq_ref, wvs_ref, bv_ref, dt)
-    scale = hd ** -0.5
-    attn_rows = []
-    for i in range(bm):
-        sl = slice(i * t, (i + 1) * t)
-        outs = []
-        for hh in range(heads):
-            cs = slice(hh * hd, (hh + 1) * hd)
-            s = jax.lax.dot_general(
-                q[sl, cs], k[sl, cs], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            s = s - jnp.max(s, axis=1, keepdims=True)
-            p = jnp.exp(s)
-            p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(dt)
-            outs.append(
-                jax.lax.dot_general(
-                    p, v[sl, cs], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(dt)
-            )
-        attn_rows.append(jnp.concatenate(outs, axis=1))
-    attn = jnp.concatenate(attn_rows, axis=0) if bm > 1 else attn_rows[0]
+    attn = _inkernel_attention(q, k, v, heads, bm, t, causal)
     aq, as_ = _rowquant(attn.astype(jnp.float32))
     out = _int8_proj(aq, as_, woq_ref, wos_ref, bo_ref, dt)
     o_ref[:] = (xb + out).reshape(bm, t, w)
 
 
 def xla_attention_block_int8(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv,
-                             wo, bo, heads: int):
+                             wo, bo, heads: int, causal: bool = False):
     """XLA mirror of the int8 kernel's exact quantization math (tests)."""
     dt = x.dtype
     b, t, w = x.shape
@@ -500,7 +539,8 @@ def xla_attention_block_int8(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv,
         return ((acc.astype(jnp.float32) * hs * ws
                  + bias.astype(jnp.float32)).astype(dt)).reshape(b, t, w)
 
-    attn = xla_attention(proj(wq, bq), proj(wk, bk), proj(wv, bv), heads)
+    mask = _causal_bias(t) if causal else None
+    attn = xla_attention(proj(wq, bq), proj(wk, bk), proj(wv, bv), heads, mask)
     aq, as_ = _rowquant(attn.reshape(b * t, w).astype(jnp.float32))
     woq, wos = _quantize_weight(wo)
     acc = jax.lax.dot_general(
@@ -513,7 +553,8 @@ def xla_attention_block_int8(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv,
 
 def _pallas_attention_block_int8(x, ln_scale, ln_bias, wq, bq, wk, bk, wv,
                                  bv, wo, bo, heads: int,
-                                 bm: int | None = None):
+                                 bm: int | None = None,
+                                 causal: bool = False):
     b, t, w = x.shape
     dt = x.dtype
     if bm is None or b % bm != 0:
@@ -524,7 +565,8 @@ def _pallas_attention_block_int8(x, ln_scale, ln_bias, wq, bq, wk, bk, wv,
     vec = lambda a: a.reshape(1, w)
     qs = [_quantize_weight(m_) for m_ in (wq, wk, wv, wo)]
     return pl.pallas_call(
-        functools.partial(_attn_block_int8_kernel, heads=heads),
+        functools.partial(_attn_block_int8_kernel, heads=heads,
+                          causal=causal),
         out_shape=jax.ShapeDtypeStruct((b, t, w), dt),
         grid=(b // bm,),
         in_specs=[x_spec, v_spec, v_spec,
@@ -543,24 +585,29 @@ def _pallas_attention_block_int8(x, ln_scale, ln_bias, wq, bq, wk, bk, wv,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
 def attention_block_int8(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo,
-                         bo, heads: int):
+                         bo, heads: int, causal: bool = False):
     """int8 fused attention sub-block; backward = straight-through f32."""
     return _pallas_attention_block_int8(
-        x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, heads
+        x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, heads,
+        causal=causal,
     )
 
 
-def _blk8_fwd(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, heads):
+def _blk8_fwd(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, heads,
+              causal):
     out = _pallas_attention_block_int8(
-        x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, heads
+        x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, heads,
+        causal=causal,
     )
     return out, (x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo)
 
 
-def _blk8_bwd(heads, res, g):
-    _, vjp = jax.vjp(lambda *a: xla_attention_block(*a, heads=heads), *res)
+def _blk8_bwd(heads, causal, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: xla_attention_block(*a, heads=heads, causal=causal), *res
+    )
     return vjp(g)
 
 
@@ -656,3 +703,142 @@ def _mlp8_bwd(res, g):
 
 
 mlp_block_int8.defvjp(_mlp8_fwd, _mlp8_bwd)
+
+
+# ---------------------------------------------------------------------------
+# MEGA-KERNEL: one Pallas call per transformer LAYER (attention sub-block +
+# MLP sub-block). Relative to the two-kernel path this removes the
+# mid-layer (bm, t, w) activation HBM round-trip and halves kernel
+# launches; all weights of the layer stay VMEM-resident (~7 MB int8 for
+# ViT-B/32). int8-projection variant only (the serving path).
+# ---------------------------------------------------------------------------
+
+
+def _layer_block_int8_kernel(x_ref, ln1s_ref, ln1b_ref, wqq_ref, wqs_ref,
+                             bq_ref, wkq_ref, wks_ref, bk_ref, wvq_ref,
+                             wvs_ref, bv_ref, woq_ref, wos_ref, bo_ref,
+                             ln2s_ref, ln2b_ref, w1q_ref, w1s_ref, b1_ref,
+                             w2q_ref, w2s_ref, b2_ref, o_ref, *, heads: int,
+                             causal: bool = False):
+    bm, t, w = x_ref.shape
+    m = bm * t
+    dt = x_ref.dtype
+    xb = x_ref[:].reshape(m, w)
+    # attention sub-block
+    hf = _fast_layernorm_f32(
+        xb.astype(jnp.float32), ln1s_ref[0].astype(jnp.float32),
+        ln1b_ref[0].astype(jnp.float32),
+    )
+    hq, hs = _rowquant(hf)
+    q = _int8_proj(hq, hs, wqq_ref, wqs_ref, bq_ref, dt)
+    k = _int8_proj(hq, hs, wkq_ref, wks_ref, bk_ref, dt)
+    v = _int8_proj(hq, hs, wvq_ref, wvs_ref, bv_ref, dt)
+    attn = _inkernel_attention(q, k, v, heads, bm, t, causal)
+    aq, as_ = _rowquant(attn.astype(jnp.float32))
+    x1 = xb + _int8_proj(aq, as_, woq_ref, wos_ref, bo_ref, dt)
+    # MLP sub-block
+    h2 = _fast_layernorm_f32(
+        x1.astype(jnp.float32), ln2s_ref[0].astype(jnp.float32),
+        ln2b_ref[0].astype(jnp.float32),
+    )
+    h2q, h2s = _rowquant(h2)
+    a = _quick_gelu(_int8_proj(h2q, h2s, w1q_ref, w1s_ref, b1_ref, jnp.float32))
+    aq2, as2 = _rowquant(a)
+    out2 = _int8_proj(aq2, as2, w2q_ref, w2s_ref, b2_ref, dt)
+    o_ref[:] = (x1 + out2).reshape(bm, t, w)
+
+
+def _pallas_layer_block_int8(x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo,
+                             bo, ln2_s, ln2_b, w1, b1, w2, b2, heads: int,
+                             bm: int | None = None, causal: bool = False):
+    b, t, w = x.shape
+    hidden = w1.shape[1]
+    dt = x.dtype
+    if bm is None or b % bm != 0:
+        bm = _block_images_fused(b, t)
+    x_spec = pl.BlockSpec((bm, t, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    sq_spec = pl.BlockSpec((w, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    w1_spec = pl.BlockSpec((w, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    w2_spec = pl.BlockSpec((hidden, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    vw = lambda a: a.reshape(1, -1)
+    vw_spec = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    qs = [_quantize_weight(m_) for m_ in (wq, wk, wv, wo)]
+    w1q, w1s = _quantize_weight(w1)
+    w2q, w2s = _quantize_weight(w2)
+    return pl.pallas_call(
+        functools.partial(_layer_block_int8_kernel, heads=heads,
+                          causal=causal),
+        out_shape=jax.ShapeDtypeStruct((b, t, w), dt),
+        grid=(b // bm,),
+        in_specs=[x_spec, vw_spec(w), vw_spec(w),
+                  sq_spec, vw_spec(w), vw_spec(w),
+                  sq_spec, vw_spec(w), vw_spec(w),
+                  sq_spec, vw_spec(w), vw_spec(w),
+                  sq_spec, vw_spec(w), vw_spec(w),
+                  vw_spec(w), vw_spec(w),
+                  w1_spec, vw_spec(hidden), vw_spec(hidden),
+                  w2_spec, vw_spec(w), vw_spec(w)],
+        out_specs=x_spec,
+        interpret=_interpret(),
+    )(
+        x, vw(ln1_s), vw(ln1_b),
+        qs[0][0], qs[0][1], vw(bq),
+        qs[1][0], qs[1][1], vw(bk),
+        qs[2][0], qs[2][1], vw(bv),
+        qs[3][0], qs[3][1], vw(bo),
+        vw(ln2_s), vw(ln2_b),
+        w1q, w1s, vw(b1), w2q, w2s, vw(b2),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(17, 18))
+def layer_block_int8(x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo, bo,
+                     ln2_s, ln2_b, w1, b1, w2, b2, heads: int,
+                     causal: bool = False):
+    """Whole transformer layer (int8 attention + MLP sub-blocks) as ONE
+    kernel; backward = straight-through f32 through the XLA mirrors."""
+    return _pallas_layer_block_int8(
+        x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo, bo, ln2_s, ln2_b,
+        w1, b1, w2, b2, heads, causal=causal,
+    )
+
+
+def _layer8_fwd(x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo, bo, ln2_s,
+                ln2_b, w1, b1, w2, b2, heads, causal):
+    out = _pallas_layer_block_int8(
+        x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo, bo, ln2_s, ln2_b,
+        w1, b1, w2, b2, heads, causal=causal,
+    )
+    return out, (x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo, bo, ln2_s,
+                 ln2_b, w1, b1, w2, b2)
+
+
+def _layer8_bwd(heads, causal, res, g):
+    x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo, bo, ln2_s, ln2_b, \
+        w1, b1, w2, b2 = res
+
+    def ref(x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo, bo, ln2_s, ln2_b,
+            w1, b1, w2, b2):
+        x1 = xla_attention_block(
+            x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo, bo, heads=heads,
+            causal=causal,
+        )
+        return xla_mlp_block(x1, ln2_s, ln2_b, w1, b1, w2, b2)
+
+    _, vjp = jax.vjp(ref, x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo, bo,
+                     ln2_s, ln2_b, w1, b1, w2, b2)
+    return vjp(g)
+
+
+layer_block_int8.defvjp(_layer8_fwd, _layer8_bwd)
+
+
+def xla_layer_block_int8(x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo, bo,
+                         ln2_s, ln2_b, w1, b1, w2, b2, heads: int,
+                         causal: bool = False):
+    """XLA mirror of the mega-kernel's exact quantization math (tests)."""
+    x1 = xla_attention_block_int8(
+        x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo, bo, heads=heads,
+        causal=causal,
+    )
+    return xla_mlp_block_int8(x1, ln2_s, ln2_b, w1, b1, w2, b2)

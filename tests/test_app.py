@@ -284,13 +284,13 @@ def test_serving_model_config():
     from image_retrieval_tpu.config import vit_b32_serving
 
     cfg = vit_b32_serving()
-    assert cfg.fused_attn_block and cfg.fused_mlp_block and cfg.int8_matmuls
+    assert cfg.fused_layer_block and cfg.int8_matmuls
     # same architecture as the parity config — only execution strategy flags
     from image_retrieval_tpu.config import ModelConfig
     import dataclasses
 
     base = ModelConfig()
     for f in dataclasses.fields(ModelConfig):
-        if f.name in ("fused_attn_block", "fused_mlp_block", "int8_matmuls"):
+        if f.name in ("fused_layer_block", "int8_matmuls"):
             continue
         assert getattr(cfg, f.name) == getattr(base, f.name), f.name

@@ -336,3 +336,150 @@ def test_vision_tower_int8_fused_cos_and_grads(rng):
     g = jax.grad(loss)(params)
     gnorm = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_causal_fused_blocks_match_xla(rng):
+    """causal=True attention blocks (text tower) vs their XLA mirrors with
+    an explicit triangular mask, bf16-free f32 check, packed and loop paths."""
+    from image_retrieval_tpu.ops import flash_attention as fa
+
+    w, heads = 64, 4
+    x = jnp.asarray(rng.normal(size=(4, 11, w)).astype(np.float32))
+    args = _block_args(rng, w)
+
+    got = fa.attention_block(x, *args, heads, True)
+    want = fa.xla_attention_block(x, *args, heads=heads, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    got8 = fa.attention_block_int8(x, *args, heads, True)
+    want8 = fa.xla_attention_block_int8(x, *args, heads=heads, causal=True)
+    np.testing.assert_allclose(np.asarray(got8), np.asarray(want8), atol=2e-5)
+
+    # the loop (non-packed) variant must agree too
+    saved = fa._PACKED_BLOCK_ATTN
+    try:
+        fa._PACKED_BLOCK_ATTN = False
+        got_loop = fa.attention_block(x, *args, heads, True)
+        np.testing.assert_allclose(
+            np.asarray(got_loop), np.asarray(want), atol=2e-5
+        )
+    finally:
+        fa._PACKED_BLOCK_ATTN = saved
+
+
+def test_causal_kernel_is_actually_causal(rng):
+    """Perturbing a future token must not change earlier tokens' outputs."""
+    from image_retrieval_tpu.ops import flash_attention as fa
+
+    w, heads, t = 32, 4, 9
+    x = rng.normal(size=(2, t, w)).astype(np.float32)
+    args = _block_args(rng, w)
+    base = np.asarray(fa.attention_block(jnp.asarray(x), *args, heads, True))
+    x2 = x.copy()
+    x2[:, -1] += 3.0  # perturb only the last token
+    pert = np.asarray(fa.attention_block(jnp.asarray(x2), *args, heads, True))
+    np.testing.assert_allclose(base[:, :-1], pert[:, :-1], atol=1e-6)
+    assert np.abs(base[:, -1] - pert[:, -1]).max() > 1e-3
+
+
+def test_text_tower_fused_matches_baseline(rng):
+    """Full CLIP text tower with fused causal blocks (bf16 and int8 paths)
+    vs the unfused baseline: same params tree, cos > 0.999."""
+    from image_retrieval_tpu.config import ModelConfig
+    from image_retrieval_tpu.models.clip import CLIP, init_params
+
+    cfg = ModelConfig(
+        image_size=32, patch_size=8, vision_width=48, vision_layers=2,
+        vision_heads=4, text_width=32, text_layers=2, text_heads=2,
+        vocab_size=1000, context_length=16, embed_dim=24, dtype="float32",
+    )
+    model, params = init_params(cfg, seed=0)
+    toks = jnp.asarray(
+        rng.integers(1, 1000, size=(6, 16)).astype(np.int32)
+    )
+    base = np.asarray(
+        model.apply(params, toks, method=CLIP.encode_text), np.float64
+    )
+    for quant in (False, True):
+        fcfg = dataclasses.replace(
+            cfg, fused_attn_block=True, fused_mlp_block=True,
+            int8_matmuls=quant,
+        )
+        mf = CLIP(fcfg, dtype=jnp.float32)
+        _, pf = init_params(fcfg, seed=0)
+        assert (
+            jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(pf)
+        )
+        fused = np.asarray(
+            mf.apply(params, toks, method=CLIP.encode_text), np.float64
+        )
+        cos = (base * fused).sum(-1) / (
+            np.linalg.norm(base, axis=-1) * np.linalg.norm(fused, axis=-1)
+        )
+        assert cos.min() > 0.999, f"quant={quant}: {cos.min()}"
+
+
+def test_layer_block_int8_matches_mirror_and_tower(rng):
+    """layer_block_int8 (whole-layer mega-kernel) vs the XLA mirror of its
+    exact quantization math, causal and non-causal; then the full vision +
+    text towers under fused_layer_block vs baseline (cos > 0.999, grads
+    finite via the straight-through VJP)."""
+    import math
+
+    from image_retrieval_tpu.ops.flash_attention import (
+        layer_block_int8,
+        xla_layer_block_int8,
+    )
+
+    w, heads = 64, 4
+    x = jnp.asarray(rng.normal(size=(4, 11, w)).astype(np.float32))
+    args = _block_args(rng, w)
+    w1 = jnp.asarray((rng.normal(size=(w, 4 * w)) / math.sqrt(w)).astype(np.float32))
+    b1 = jnp.asarray((0.02 * rng.normal(size=(4 * w,))).astype(np.float32))
+    w2 = jnp.asarray(
+        (rng.normal(size=(4 * w, w)) / math.sqrt(4 * w)).astype(np.float32)
+    )
+    b2 = jnp.asarray((0.02 * rng.normal(size=(w,))).astype(np.float32))
+    ln2 = _block_args(rng, w)[:2]
+    for causal in (False, True):
+        got = layer_block_int8(
+            x, *args, *ln2, w1, b1, w2, b2, heads, causal
+        )
+        want = xla_layer_block_int8(
+            x, *args, *ln2, w1, b1, w2, b2, heads=heads, causal=causal
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=3e-5
+        )
+
+    from image_retrieval_tpu.config import ModelConfig
+    from image_retrieval_tpu.models.clip import CLIP, init_params
+
+    cfg = ModelConfig(
+        image_size=32, patch_size=8, vision_width=48, vision_layers=2,
+        vision_heads=4, text_width=32, text_layers=2, text_heads=2,
+        vocab_size=1000, context_length=16, embed_dim=24, dtype="float32",
+    )
+    model, params = init_params(cfg, seed=0)
+    lcfg = dataclasses.replace(cfg, fused_layer_block=True, int8_matmuls=True)
+    ml = CLIP(lcfg, dtype=jnp.float32)
+    _, pl_ = init_params(lcfg, seed=0)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(pl_)
+
+    px = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    toks = jnp.asarray(rng.integers(1, 1000, size=(4, 16)).astype(np.int32))
+    for method, inp in ((CLIP.encode_image, px), (CLIP.encode_text, toks)):
+        base = np.asarray(model.apply(params, inp, method=method), np.float64)
+        fused = np.asarray(ml.apply(params, inp, method=method), np.float64)
+        cos = (base * fused).sum(-1) / (
+            np.linalg.norm(base, axis=-1) * np.linalg.norm(fused, axis=-1)
+        )
+        assert cos.min() > 0.999, cos.min()
+
+    def loss(p):
+        return jnp.mean(ml.apply(p, px, method=CLIP.encode_image) ** 2)
+
+    g = jax.grad(loss)(params)
+    gnorm = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0
