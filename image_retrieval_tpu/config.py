@@ -92,9 +92,7 @@ def vit_b32_serving() -> "ModelConfig":
     (vs 18.1k). Embedding cosine vs the bf16 tower stays >0.999; use the
     default config where bit-level parity with the training/eval path
     matters."""
-    return dataclasses.replace(
-        ModelConfig(), fused_layer_block=True, int8_matmuls=True
-    )
+    return serving_config(ModelConfig())
 
 
 def vit_b16() -> "ModelConfig":
@@ -108,6 +106,16 @@ def vit_l14() -> "ModelConfig":
         vision_width=1024, vision_layers=24, vision_heads=16,
         text_width=768, text_layers=12, text_heads=12, embed_dim=768,
     )
+
+
+def serving_config(base: "ModelConfig") -> "ModelConfig":
+    """Apply the measured-fastest v5e serving execution strategy (whole-layer
+    int8 mega-kernels, see vit_b32_serving) to ANY architecture preset:
+    `serving_config(vit_b16())`, `serving_config(vit_l14())`. Weight VMEM
+    residency holds for every CLIP family member (largest: L/14 vision,
+    ~13 MB int8 per layer). Numerics: cosine >0.999 vs the bf16 tower on
+    B/32 (bench_results/attn_probe9.json); inference-only."""
+    return dataclasses.replace(base, fused_layer_block=True, int8_matmuls=True)
 
 
 @dataclasses.dataclass

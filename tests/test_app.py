@@ -294,3 +294,18 @@ def test_serving_model_config():
         if f.name in ("fused_layer_block", "int8_matmuls"):
             continue
         assert getattr(cfg, f.name) == getattr(base, f.name), f.name
+
+
+def test_serving_config_applies_to_any_preset():
+    from image_retrieval_tpu.config import (
+        serving_config, vit_b16, vit_b32_serving, vit_l14,
+    )
+
+    for base in (vit_b16(), vit_l14()):
+        cfg = serving_config(base)
+        assert cfg.fused_layer_block and cfg.int8_matmuls
+        assert cfg.patch_size == base.patch_size
+        assert cfg.vision_width == base.vision_width
+    from image_retrieval_tpu.config import ModelConfig
+
+    assert vit_b32_serving() == serving_config(ModelConfig())
