@@ -66,9 +66,10 @@ class ModelConfig:
     # restriction as above.
     fused_mlp_block: bool = False
     # Fuse the WHOLE transformer layer (attention + MLP sub-blocks) into a
-    # single kernel per layer (ops/flash_attention.py layer_block_int8) —
-    # removes the mid-layer activation HBM round-trip. int8-projection
-    # serving path only; requires int8_matmuls.
+    # single kernel per layer — removes the mid-layer activation HBM
+    # round-trip. With int8_matmuls the projections run int8 in-kernel
+    # (layer_block_int8, the vit_b32_serving path); without, the bf16
+    # variant (layer_block) keeps closer numerics.
     fused_layer_block: bool = False
     # Serving-time quantization: run the big projections (QKV/out, MLP) as
     # int8 x int8 -> int32 MXU matmuls with dynamic per-token activation and

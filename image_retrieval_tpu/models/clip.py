@@ -178,14 +178,18 @@ class Block(nn.Module):
     #                            kernel applies the causal mask in-kernel
     #                            instead of needing the `mask` argument
     fused_layer: bool = False  # whole layer (attn + MLP) as ONE kernel
-    #                            (int8 only; ops/flash_attention.py
-    #                            layer_block_int8)
+    #                            (ops/flash_attention.py layer_block /
+    #                            layer_block_int8 per `quant`)
 
     @nn.compact
     def __call__(self, x, mask=None):
-        if (self.fused_layer and self.quant
-                and (mask is None or self.causal)):
-            from image_retrieval_tpu.ops.flash_attention import layer_block_int8
+        if self.fused_layer and (mask is None or self.causal):
+            from image_retrieval_tpu.ops.flash_attention import (
+                layer_block,
+                layer_block_int8,
+            )
+
+            layer_fn = layer_block_int8 if self.quant else layer_block
 
             ln1_s, ln1_b = _LNParams(self.width, name="ln1")()
 
@@ -214,7 +218,7 @@ class Block(nn.Module):
                     return w1, w2
 
             (w1, b1), (w2, b2) = _MLPParams(self.width, name="mlp")()
-            return layer_block_int8(
+            return layer_fn(
                 x.astype(self.dtype), ln1_s, ln1_b, wq, bq, wk, bk, wv, bv,
                 wo, bo, ln2_s, ln2_b, w1, b1, w2, b2, self.heads,
                 self.causal,

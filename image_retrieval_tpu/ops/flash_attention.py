@@ -32,6 +32,20 @@ so the kernel needs no hand-written gradient.
 
 The reference has no analog (torch CLIP, reference app_pipeline.py:113);
 this replaces its L0 PyTorch attention with a TPU-native kernel.
+
+The module grew into the serving kernel family (all measured on v5e,
+bench_results/attn_probe*.json, each stage config-gated in ModelConfig):
+
+  multihead_attention      bare fused attention     11.4k -> 14.2k img/s
+  attention_block/mlp_block + int8 variants: whole sub-blocks, weights
+                           VMEM-resident             -> 18.5k img/s
+  layer_block_int8         ONE kernel per layer (the vit_b32_serving path,
+                           causal in-kernel for text) -> 20.9k img/s,
+                           26.5k texts/s
+
+Every kernel has an XLA mirror defining its exact semantics (used by the
+tests and as the straight-through backward), and a custom VJP so every
+config — including int8 — remains trainable.
 """
 
 from __future__ import annotations
@@ -842,3 +856,111 @@ def xla_layer_block_int8(x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo, bo,
         causal=causal,
     )
     return xla_mlp_block_int8(x1, ln2_s, ln2_b, w1, b1, w2, b2)
+
+
+def _layer_block_kernel(x_ref, ln1s_ref, ln1b_ref, wq_ref, bq_ref, wk_ref,
+                        bk_ref, wv_ref, bv_ref, wo_ref, bo_ref, ln2s_ref,
+                        ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
+                        heads: int, causal: bool = False):
+    """bf16 whole-layer kernel (same fusion as _layer_block_int8_kernel,
+    plain compute-dtype projections — the closer-numerics option)."""
+    bm, t, w = x_ref.shape
+    m = bm * t
+    dt = x_ref.dtype
+    xb = x_ref[:].reshape(m, w)
+    h = _fast_layernorm_f32(
+        xb.astype(jnp.float32), ln1s_ref[0].astype(jnp.float32),
+        ln1b_ref[0].astype(jnp.float32),
+    ).astype(dt)
+    q = (jnp.dot(h, wq_ref[:], preferred_element_type=jnp.float32)
+         + bq_ref[0].astype(jnp.float32)).astype(dt)
+    k = (jnp.dot(h, wk_ref[:], preferred_element_type=jnp.float32)
+         + bk_ref[0].astype(jnp.float32)).astype(dt)
+    v = (jnp.dot(h, wv_ref[:], preferred_element_type=jnp.float32)
+         + bv_ref[0].astype(jnp.float32)).astype(dt)
+    attn = _inkernel_attention(q, k, v, heads, bm, t, causal)
+    x1 = xb + (jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
+               + bo_ref[0].astype(jnp.float32)).astype(dt)
+    h2 = _fast_layernorm_f32(
+        x1.astype(jnp.float32), ln2s_ref[0].astype(jnp.float32),
+        ln2b_ref[0].astype(jnp.float32),
+    ).astype(dt)
+    af = (jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32)
+          + b1_ref[0].astype(jnp.float32))
+    # gelu in f32 (Mosaic rejects bf16 logistic; see _mlp_block_kernel)
+    a = _quick_gelu(af).astype(dt)
+    out = (jnp.dot(a, w2_ref[:], preferred_element_type=jnp.float32)
+           + b2_ref[0].astype(jnp.float32)).astype(dt)
+    o_ref[:] = (x1 + out).reshape(bm, t, w)
+
+
+def _pallas_layer_block(x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo, bo,
+                        ln2_s, ln2_b, w1, b1, w2, b2, heads: int,
+                        bm: int | None = None, causal: bool = False):
+    b, t, w = x.shape
+    hidden = w1.shape[1]
+    dt = x.dtype
+    if bm is None or b % bm != 0:
+        bm = _block_images_fused(b, t)
+    x_spec = pl.BlockSpec((bm, t, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    sq_spec = pl.BlockSpec((w, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    w1_spec = pl.BlockSpec((w, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    w2_spec = pl.BlockSpec((hidden, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    vw = lambda a: a.reshape(1, -1)
+    vw_spec = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_layer_block_kernel, heads=heads, causal=causal),
+        out_shape=jax.ShapeDtypeStruct((b, t, w), dt),
+        grid=(b // bm,),
+        in_specs=[x_spec, vw_spec(w), vw_spec(w),
+                  sq_spec, vw_spec(w), sq_spec, vw_spec(w),
+                  sq_spec, vw_spec(w), sq_spec, vw_spec(w),
+                  vw_spec(w), vw_spec(w),
+                  w1_spec, vw_spec(hidden), w2_spec, vw_spec(w)],
+        out_specs=x_spec,
+        interpret=_interpret(),
+    )(
+        x, vw(ln1_s), vw(ln1_b),
+        wq.astype(dt), vw(bq), wk.astype(dt), vw(bk),
+        wv.astype(dt), vw(bv), wo.astype(dt), vw(bo),
+        vw(ln2_s), vw(ln2_b),
+        w1.astype(dt), vw(b1), w2.astype(dt), vw(b2),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(17, 18))
+def layer_block(x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo, bo,
+                ln2_s, ln2_b, w1, b1, w2, b2, heads: int,
+                causal: bool = False):
+    """Whole transformer layer (bf16 sub-blocks) as ONE kernel; backward
+    recomputes through the XLA mirrors (exact same math)."""
+    return _pallas_layer_block(
+        x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo, bo, ln2_s, ln2_b,
+        w1, b1, w2, b2, heads, causal=causal,
+    )
+
+
+def _layer_fwd(x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo, bo, ln2_s,
+               ln2_b, w1, b1, w2, b2, heads, causal):
+    out = _pallas_layer_block(
+        x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo, bo, ln2_s, ln2_b,
+        w1, b1, w2, b2, heads, causal=causal,
+    )
+    return out, (x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo, bo, ln2_s,
+                 ln2_b, w1, b1, w2, b2)
+
+
+def _layer_bwd(heads, causal, res, g):
+    def ref(x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo, bo, ln2_s, ln2_b,
+            w1, b1, w2, b2):
+        x1 = xla_attention_block(
+            x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo, bo, heads=heads,
+            causal=causal,
+        )
+        return xla_mlp_block(x1, ln2_s, ln2_b, w1, b1, w2, b2)
+
+    _, vjp = jax.vjp(ref, *res)
+    return vjp(g)
+
+
+layer_block.defvjp(_layer_fwd, _layer_bwd)

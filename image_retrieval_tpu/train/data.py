@@ -80,7 +80,7 @@ def finetune_on_color_dataset(
     seed: int = 0,
 ) -> List[float]:
     """Convenience loop: metadata.csv -> shuffled contrastive batches ->
-    trainer.train_step. Returns per-step losses."""
+    pipelined trainer.train_step_async. Returns per-step losses."""
     import pandas as pd
 
     metadata = pd.read_csv(os.path.join(base_dir, "metadata.csv")).to_dict("records")
@@ -97,5 +97,6 @@ def finetune_on_color_dataset(
     for i, (pixels, tokens) in enumerate(batches):
         if i >= steps:
             break
-        losses.append(trainer.train_step(pixels, tokens))
-    return losses
+        # async: device pipelines consecutive steps (one sync at the end)
+        losses.append(trainer.train_step_async(pixels, tokens))
+    return [float(l) for l in losses]

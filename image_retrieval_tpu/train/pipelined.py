@@ -285,10 +285,16 @@ class PipelinedCLIPTrainer:
             return x.sharding.spec
         return P()
 
-    def train_step(self, pixels: np.ndarray, tokens: np.ndarray) -> float:
-        """pixels (B, H, W, 3), tokens (B, T); B must divide over
-        data_shards * num_micro."""
+    def train_step_async(self, pixels, tokens):
+        """One step, loss returned as a device array (no host sync) so
+        consecutive steps pipeline — see CLIPTrainer.train_step_async."""
         self.params, self.opt_state, loss = self._step(
             self.params, self.opt_state, jnp.asarray(pixels), jnp.asarray(tokens)
         )
-        return float(loss)
+        return loss
+
+    def train_step(self, pixels: np.ndarray, tokens: np.ndarray) -> float:
+        """pixels (B, H, W, 3), tokens (B, T); B must divide over
+        data_shards * num_micro. Synchronous; prefer train_step_async for
+        throughput."""
+        return float(self.train_step_async(pixels, tokens))

@@ -483,3 +483,64 @@ def test_layer_block_int8_matches_mirror_and_tower(rng):
     g = jax.grad(loss)(params)
     gnorm = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_layer_block_bf16_matches_mirror_and_tower(rng):
+    """bf16 whole-layer kernel vs composed XLA sub-block mirrors (exact
+    same math) and end-to-end towers under fused_layer_block without
+    int8: tight atol (no quantization in the path)."""
+    import math
+
+    from image_retrieval_tpu.ops.flash_attention import (
+        layer_block,
+        xla_attention_block,
+        xla_mlp_block,
+    )
+
+    w, heads = 64, 4
+    x = jnp.asarray(rng.normal(size=(4, 11, w)).astype(np.float32))
+    args = _block_args(rng, w)
+    w1 = jnp.asarray((rng.normal(size=(w, 4 * w)) / math.sqrt(w)).astype(np.float32))
+    b1 = jnp.asarray((0.02 * rng.normal(size=(4 * w,))).astype(np.float32))
+    w2 = jnp.asarray(
+        (rng.normal(size=(4 * w, w)) / math.sqrt(4 * w)).astype(np.float32)
+    )
+    b2 = jnp.asarray((0.02 * rng.normal(size=(w,))).astype(np.float32))
+    ln2 = _block_args(rng, w)[:2]
+    for causal in (False, True):
+        got = layer_block(x, *args, *ln2, w1, b1, w2, b2, heads, causal)
+        x1 = xla_attention_block(x, *args, heads=heads, causal=causal)
+        want = xla_mlp_block(x1, *ln2, w1, b1, w2, b2)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5
+        )
+
+    from image_retrieval_tpu.config import ModelConfig
+    from image_retrieval_tpu.models.clip import CLIP, init_params
+
+    cfg = ModelConfig(
+        image_size=32, patch_size=8, vision_width=48, vision_layers=2,
+        vision_heads=4, text_width=32, text_layers=2, text_heads=2,
+        vocab_size=1000, context_length=16, embed_dim=24, dtype="float32",
+    )
+    model, params = init_params(cfg, seed=0)
+    lcfg = dataclasses.replace(cfg, fused_layer_block=True)
+    ml = CLIP(lcfg, dtype=jnp.float32)
+    px = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    toks = jnp.asarray(rng.integers(1, 1000, size=(4, 16)).astype(np.int32))
+    for method, inp in ((CLIP.encode_image, px), (CLIP.encode_text, toks)):
+        base = np.asarray(model.apply(params, inp, method=method), np.float64)
+        fused = np.asarray(ml.apply(params, inp, method=method), np.float64)
+        np.testing.assert_allclose(fused, base, rtol=2e-4, atol=2e-4)
+
+    def loss(p):
+        return jnp.mean(ml.apply(p, px, method=CLIP.encode_image) ** 2)
+
+    def loss_base(p):
+        return jnp.mean(model.apply(p, px, method=CLIP.encode_image) ** 2)
+
+    g = jax.grad(loss)(params)
+    gb = jax.grad(loss_base)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=2e-4)

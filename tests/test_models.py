@@ -175,3 +175,31 @@ def test_int8_matmuls_close_to_f32(rng):
     txt32 = model.apply(params, tok, method=CLIP.encode_text)
     txt8 = m8.apply(params, tok, method=CLIP.encode_text)
     assert cos(txt32, txt8).min() > 0.999
+
+
+def test_clip_encoder_sharded_serving_config(rng):
+    """The serving execution strategy (whole-layer int8 Pallas mega-kernels,
+    causal in-kernel text mask) must compose with the data-sharded encoder
+    on a multi-device mesh — this is the multi-chip serving path."""
+    import dataclasses as _dc
+
+    from image_retrieval_tpu.config import serving_config
+
+    base = Config(model=tiny_model_config(), mesh=MeshConfig(data=8, model=1))
+    scfg = _dc.replace(base, model=serving_config(tiny_model_config()))
+    mesh = make_mesh(scfg.mesh)
+    enc_base = CLIPEncoder(config=base, mesh=mesh)
+    enc_srv = CLIPEncoder(config=scfg, mesh=mesh, params=enc_base.params)
+    pixels = rng.normal(size=(13, 32, 32, 3)).astype(np.float32)
+    a = enc_base.encode_pixels(pixels)
+    b = enc_srv.encode_pixels(pixels)
+    cos = (a * b).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+    )
+    assert cos.min() > 0.995, cos.min()
+    ta = enc_base.encode_texts(["a red dog", "blue car", "x"])
+    tb = enc_srv.encode_texts(["a red dog", "blue car", "x"])
+    cost = (ta * tb).sum(-1) / (
+        np.linalg.norm(ta, axis=-1) * np.linalg.norm(tb, axis=-1)
+    )
+    assert cost.min() > 0.995, cost.min()
