@@ -183,7 +183,17 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
-        if self.fused_layer and (mask is None or self.causal):
+        # bf16 whole-layer fusion only fits scoped VMEM up to width ~512
+        # (weights are 24*w^2 bytes; ViT-B's 768 needs 14.2 MB + working
+        # set > the 16 MB budget — measured OOM). int8 halves the weights
+        # and always fits; wide bf16 towers fall back to the two
+        # sub-block kernels, which is the same fusion minus the mid-layer
+        # HBM round-trip.
+        layer_ok = self.fused_layer and (self.quant or self.width <= 512)
+        use_subblocks = self.fused_layer and not layer_ok
+        fused_block = self.fused_block or use_subblocks
+        fused_mlp = self.fused_mlp or use_subblocks
+        if layer_ok and (mask is None or self.causal):
             from image_retrieval_tpu.ops.flash_attention import (
                 layer_block,
                 layer_block_int8,
@@ -223,7 +233,7 @@ class Block(nn.Module):
                 wo, bo, ln2_s, ln2_b, w1, b1, w2, b2, self.heads,
                 self.causal,
             )
-        if self.fused_block and (mask is None or self.causal):
+        if fused_block and (mask is None or self.causal):
             # Fused attention sub-block (ops/flash_attention.py
             # attention_block): LN1 + QKV + attention + out-proj + residual
             # in one kernel, weights VMEM-resident. The parameter tree is
@@ -261,7 +271,7 @@ class Block(nn.Module):
                 self.width, self.heads, self.dtype, self.fused_attn, self.quant,
                 self.pallas_attn, name="attn",
             )(h, mask)
-        if self.fused_mlp:
+        if fused_mlp:
             from image_retrieval_tpu.ops.flash_attention import (
                 mlp_block,
                 mlp_block_int8,

@@ -129,16 +129,22 @@ def _block_images(b: int, t: int) -> int:
     return 1
 
 
-def _block_images_fused(b: int, t: int) -> int:
+def _block_images_fused(b: int, t: int, hidden: int = 3072) -> int:
     """Images per block for the FUSED sub-block kernels (attention_block /
     mlp_block and their int8 variants). Unlike the bare attention kernel,
     these keep the full layer weights VMEM-resident and their cost is
     dominated by the (bm*t, w) projections, so packing more images per grid
     step amortizes the per-step weight traffic: measured at batch 128/192
     on v5e (bench_results/attn_probe7.json) bm=8 16.4k img/s int8 vs bm=1
-    15.0k; bm=8 and bm=4 are within noise, bm=8 slightly ahead at 192."""
+    15.0k; bm=8 and bm=4 are within noise, bm=8 slightly ahead at 192.
+
+    The packed-token cap keeps the per-step working set inside the ~16 MB
+    scoped-VMEM budget: the largest intermediate scales as
+    (bm*t, hidden) f32, and bm*t*hidden <= 1.3M is the measured-feasible
+    envelope (ViT-B/32 bm=8: 400*3072; text bm=8: 616*2048; B/16 lands on
+    bm=2: 394*3072; L/14 on bm=1)."""
     for bm in (8, 4, 2):
-        if b % bm == 0:
+        if b % bm == 0 and bm * t * hidden <= 1_300_000:
             return bm
     return 1
 
@@ -335,7 +341,7 @@ def _pallas_attention_block(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv,
     b, t, w = x.shape
     dt = x.dtype
     if bm is None or b % bm != 0:
-        bm = _block_images_fused(b, t)
+        bm = _block_images_fused(b, t, 4 * w)
     x_spec = pl.BlockSpec((bm, t, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((w, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
     v_spec = pl.BlockSpec((1, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -440,7 +446,7 @@ def _pallas_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2,
     hidden = w1.shape[1]
     dt = x.dtype
     if bm is None or b % bm != 0:
-        bm = _block_images_fused(b, t)
+        bm = _block_images_fused(b, t, hidden)
     x_spec = pl.BlockSpec((bm, t, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     w1_spec = pl.BlockSpec((w, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM)
     w2_spec = pl.BlockSpec((hidden, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -572,7 +578,7 @@ def _pallas_attention_block_int8(x, ln_scale, ln_bias, wq, bq, wk, bk, wv,
     b, t, w = x.shape
     dt = x.dtype
     if bm is None or b % bm != 0:
-        bm = _block_images_fused(b, t)
+        bm = _block_images_fused(b, t, 4 * w)
     x_spec = pl.BlockSpec((bm, t, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((w, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
     v_spec = pl.BlockSpec((1, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -680,7 +686,7 @@ def _pallas_mlp_block_int8(x, ln_scale, ln_bias, w1, b1, w2, b2,
     hidden = w1.shape[1]
     dt = x.dtype
     if bm is None or b % bm != 0:
-        bm = _block_images_fused(b, t)
+        bm = _block_images_fused(b, t, hidden)
     x_spec = pl.BlockSpec((bm, t, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     w1_spec = pl.BlockSpec((w, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM)
     w2_spec = pl.BlockSpec((hidden, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -728,9 +734,8 @@ mlp_block_int8.defvjp(_mlp8_fwd, _mlp8_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _layer_block_int8_kernel(x_ref, ln1s_ref, ln1b_ref, wqq_ref, wqs_ref,
-                             bq_ref, wkq_ref, wks_ref, bk_ref, wvq_ref,
-                             wvs_ref, bv_ref, woq_ref, wos_ref, bo_ref,
+def _layer_block_int8_kernel(x_ref, ln1s_ref, ln1b_ref, wqkvq_ref,
+                             wqkvs_ref, bqkv_ref, woq_ref, wos_ref, bo_ref,
                              ln2s_ref, ln2b_ref, w1q_ref, w1s_ref, b1_ref,
                              w2q_ref, w2s_ref, b2_ref, o_ref, *, heads: int,
                              causal: bool = False):
@@ -744,9 +749,11 @@ def _layer_block_int8_kernel(x_ref, ln1s_ref, ln1b_ref, wqq_ref, wqs_ref,
         ln1b_ref[0].astype(jnp.float32),
     )
     hq, hs = _rowquant(hf)
-    q = _int8_proj(hq, hs, wqq_ref, wqs_ref, bq_ref, dt)
-    k = _int8_proj(hq, hs, wkq_ref, wks_ref, bk_ref, dt)
-    v = _int8_proj(hq, hs, wvq_ref, wvs_ref, bv_ref, dt)
+    # QKV as ONE (m, w) x (w, 3w) int8 matmul: per-output-channel scales
+    # make this bit-identical to three separate projections, with one MXU
+    # dispatch and one pass over hq.
+    qkv = _int8_proj(hq, hs, wqkvq_ref, wqkvs_ref, bqkv_ref, dt)
+    q, k, v = qkv[:, :w], qkv[:, w:2 * w], qkv[:, 2 * w:]
     attn = _inkernel_attention(q, k, v, heads, bm, t, causal)
     aq, as_ = _rowquant(attn.astype(jnp.float32))
     x1 = xb + _int8_proj(aq, as_, woq_ref, wos_ref, bo_ref, dt)
@@ -769,14 +776,18 @@ def _pallas_layer_block_int8(x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo,
     hidden = w1.shape[1]
     dt = x.dtype
     if bm is None or b % bm != 0:
-        bm = _block_images_fused(b, t)
+        bm = _block_images_fused(b, t, hidden)
     x_spec = pl.BlockSpec((bm, t, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     sq_spec = pl.BlockSpec((w, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
     w1_spec = pl.BlockSpec((w, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM)
     w2_spec = pl.BlockSpec((hidden, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    qkv_spec = pl.BlockSpec((w, 3 * w), lambda i: (0, 0), memory_space=pltpu.VMEM)
     vw = lambda a: a.reshape(1, -1)
     vw_spec = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    qs = [_quantize_weight(m_) for m_ in (wq, wk, wv, wo)]
+    wqkv = jnp.concatenate([wq, wk, wv], axis=1)
+    bqkv = jnp.concatenate([bq, bk, bv], axis=0)
+    wqkvq, wqkvs = _quantize_weight(wqkv)
+    woq, wos = _quantize_weight(wo)
     w1q, w1s = _quantize_weight(w1)
     w2q, w2s = _quantize_weight(w2)
     return pl.pallas_call(
@@ -785,9 +796,7 @@ def _pallas_layer_block_int8(x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo,
         out_shape=jax.ShapeDtypeStruct((b, t, w), dt),
         grid=(b // bm,),
         in_specs=[x_spec, vw_spec(w), vw_spec(w),
-                  sq_spec, vw_spec(w), vw_spec(w),
-                  sq_spec, vw_spec(w), vw_spec(w),
-                  sq_spec, vw_spec(w), vw_spec(w),
+                  qkv_spec, vw_spec(3 * w), vw_spec(3 * w),
                   sq_spec, vw_spec(w), vw_spec(w),
                   vw_spec(w), vw_spec(w),
                   w1_spec, vw_spec(hidden), vw_spec(hidden),
@@ -796,10 +805,8 @@ def _pallas_layer_block_int8(x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo,
         interpret=_interpret(),
     )(
         x, vw(ln1_s), vw(ln1_b),
-        qs[0][0], qs[0][1], vw(bq),
-        qs[1][0], qs[1][1], vw(bk),
-        qs[2][0], qs[2][1], vw(bv),
-        qs[3][0], qs[3][1], vw(bo),
+        wqkvq, wqkvs, vw(bqkv),
+        woq, wos, vw(bo),
         vw(ln2_s), vw(ln2_b),
         w1q, w1s, vw(b1), w2q, w2s, vw(b2),
     )
@@ -901,7 +908,7 @@ def _pallas_layer_block(x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo, bo,
     hidden = w1.shape[1]
     dt = x.dtype
     if bm is None or b % bm != 0:
-        bm = _block_images_fused(b, t)
+        bm = _block_images_fused(b, t, hidden)
     x_spec = pl.BlockSpec((bm, t, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     sq_spec = pl.BlockSpec((w, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
     w1_spec = pl.BlockSpec((w, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM)

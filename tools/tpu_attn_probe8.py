@@ -43,7 +43,7 @@ def main():
     saved_packed = fa._PACKED_BLOCK_ATTN
     try:
         for bm in (8, 16):
-            fa._block_images_fused = lambda b, t, _bm=bm: (
+            fa._block_images_fused = lambda b, t, *a, _bm=bm: (
                 _bm if b % _bm == 0 else 1
             )
             for packed in (True, False) if bm == 8 else (True,):
@@ -53,7 +53,7 @@ def main():
                     tower(f"all8_bm{bm}_{tag}_b{batch}", cfg8, batch,
                           fetch_s, out)
         fa._PACKED_BLOCK_ATTN = True
-        fa._block_images_fused = lambda b, t: 8 if b % 8 == 0 else 1
+        fa._block_images_fused = lambda b, t, *a: 8 if b % 8 == 0 else 1
         numerics_check(out, cfg8, "all8_bm8_packed_cos")
     finally:
         fa._block_images_fused = saved_block

@@ -82,10 +82,10 @@ def main():
 
     saved_block = fa._block_images_fused
     try:
-        fa._block_images_fused = lambda b, t: 8 if b % 8 == 0 else 1
+        fa._block_images_fused = lambda b, t, *a: 8 if b % 8 == 0 else 1
         tower("layer8_bm8_b192", cfg_layer, 192, fetch_s, out)
         tower("layer8_bm8_b256", cfg_layer, 256, fetch_s, out)
-        fa._block_images_fused = lambda b, t: 16 if b % 16 == 0 else 1
+        fa._block_images_fused = lambda b, t, *a: 16 if b % 16 == 0 else 1
         tower("layer8_bm16_b256", cfg_layer, 256, fetch_s, out)
         tower("all8_bm16_loop_b256", cfg_two, 256, fetch_s, out)
         fa._block_images_fused = saved_block
