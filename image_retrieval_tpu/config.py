@@ -112,10 +112,12 @@ def vit_l14() -> "ModelConfig":
 def serving_config(base: "ModelConfig") -> "ModelConfig":
     """Apply the measured-fastest v5e serving execution strategy (whole-layer
     int8 mega-kernels, see vit_b32_serving) to ANY architecture preset:
-    `serving_config(vit_b16())`, `serving_config(vit_l14())`. Weight VMEM
-    residency holds for every CLIP family member (largest: L/14 vision,
-    ~13 MB int8 per layer). Numerics: cosine >0.999 vs the bf16 tower on
-    B/32 (bench_results/attn_probe9.json); inference-only."""
+    `serving_config(vit_b16())`, `serving_config(vit_l14())`. Towers whose
+    layer weights exceed the scoped-VMEM budget (width > 768 int8, e.g.
+    L/14's 1024) automatically fall back to the per-sub-block fused
+    kernels (models/clip.py Block). Measured: B/32 20.9k img/s, B/16 6.0k
+    (bench_results/attn_probe9/10.json); cosine >0.999 vs the bf16 tower;
+    inference-only numerics."""
     return dataclasses.replace(base, fused_layer_block=True, int8_matmuls=True)
 
 

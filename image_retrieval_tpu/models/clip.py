@@ -165,6 +165,32 @@ class _DenseParams(nn.Module):
         return k, b
 
 
+class _AttnParams(nn.Module):
+    """Attention projection parameter holder (tree matches the unfused
+    Attention module: attn/{q,k,v,out}_proj/{kernel,bias})."""
+
+    width: int
+
+    @nn.compact
+    def __call__(self):
+        return [
+            _DenseParams(self.width, self.width, name=nm)()
+            for nm in ("q_proj", "k_proj", "v_proj", "out_proj")
+        ]
+
+
+class _MLPParams(nn.Module):
+    """MLP parameter holder (tree matches MLP: mlp/{fc1,fc2})."""
+
+    width: int
+
+    @nn.compact
+    def __call__(self):
+        w1 = _DenseParams(self.width, self.width * 4, name="fc1")()
+        w2 = _DenseParams(self.width * 4, self.width, name="fc2")()
+        return w1, w2
+
+
 class Block(nn.Module):
     width: int
     heads: int
@@ -183,17 +209,24 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
-        # bf16 whole-layer fusion only fits scoped VMEM up to width ~512
-        # (weights are 24*w^2 bytes; ViT-B's 768 needs 14.2 MB + working
-        # set > the 16 MB budget — measured OOM). int8 halves the weights
-        # and always fits; wide bf16 towers fall back to the two
-        # sub-block kernels, which is the same fusion minus the mid-layer
-        # HBM round-trip.
-        layer_ok = self.fused_layer and (self.quant or self.width <= 512)
+        # Whole-layer fusion must keep the full layer's weights + working
+        # set inside the ~16 MB scoped-VMEM budget: weights are 12*w^2
+        # bytes int8 / 24*w^2 bf16, so the layer kernel fits up to
+        # width 768 int8 (ViT-B, 7.1 MB — measured) and width 512 bf16
+        # (text tower; 768 bf16 = 14.2 MB measured OOM). Wider towers
+        # (e.g. L/14's 1024) and non-causal-masked inputs (vision_seq_pad)
+        # fall back to the two sub-block kernels — same fusion minus the
+        # mid-layer HBM round-trip, and the MLP kernel still applies even
+        # when the attention sub-block must honor a mask.
+        layer_fits = (self.quant and self.width <= 768) or (
+            not self.quant and self.width <= 512
+        )
+        layer_ok = (self.fused_layer and layer_fits
+                    and (mask is None or self.causal))
         use_subblocks = self.fused_layer and not layer_ok
         fused_block = self.fused_block or use_subblocks
         fused_mlp = self.fused_mlp or use_subblocks
-        if layer_ok and (mask is None or self.causal):
+        if layer_ok:
             from image_retrieval_tpu.ops.flash_attention import (
                 layer_block,
                 layer_block_int8,
@@ -203,29 +236,10 @@ class Block(nn.Module):
 
             ln1_s, ln1_b = _LNParams(self.width, name="ln1")()
 
-            class _AttnParams(nn.Module):
-                width: int
-
-                @nn.compact
-                def __call__(self):
-                    return [
-                        _DenseParams(self.width, self.width, name=nm)()
-                        for nm in ("q_proj", "k_proj", "v_proj", "out_proj")
-                    ]
-
             (wq, bq), (wk, bk), (wv, bv), (wo, bo) = _AttnParams(
                 self.width, name="attn"
             )()
             ln2_s, ln2_b = _LNParams(self.width, name="ln2")()
-
-            class _MLPParams(nn.Module):
-                width: int
-
-                @nn.compact
-                def __call__(self):
-                    w1 = _DenseParams(self.width, self.width * 4, name="fc1")()
-                    w2 = _DenseParams(self.width * 4, self.width, name="fc2")()
-                    return w1, w2
 
             (w1, b1), (w2, b2) = _MLPParams(self.width, name="mlp")()
             return layer_fn(
@@ -248,16 +262,6 @@ class Block(nn.Module):
             kernel_fn = attention_block_int8 if self.quant else attention_block
             ln_s, ln_b = _LNParams(self.width, name="ln1")()
 
-            class _AttnParams(nn.Module):
-                width: int
-
-                @nn.compact
-                def __call__(self):
-                    return [
-                        _DenseParams(self.width, self.width, name=nm)()
-                        for nm in ("q_proj", "k_proj", "v_proj", "out_proj")
-                    ]
-
             (wq, bq), (wk, bk), (wv, bv), (wo, bo) = _AttnParams(
                 self.width, name="attn"
             )()
@@ -279,15 +283,6 @@ class Block(nn.Module):
 
             mlp_fn = mlp_block_int8 if self.quant else mlp_block
             ln_s, ln_b = _LNParams(self.width, name="ln2")()
-
-            class _MLPParams(nn.Module):
-                width: int
-
-                @nn.compact
-                def __call__(self):
-                    w1 = _DenseParams(self.width, self.width * 4, name="fc1")()
-                    w2 = _DenseParams(self.width * 4, self.width, name="fc2")()
-                    return w1, w2
 
             (w1, b1), (w2, b2) = _MLPParams(self.width, name="mlp")()
             return mlp_fn(x.astype(self.dtype), ln_s, ln_b, w1, b1, w2, b2)
@@ -412,7 +407,9 @@ class CLIPTextTower(nn.Module):
             "position_embedding", nn.initializers.normal(0.01), (c.context_length, c.text_width)
         )
         x = tok + pos.astype(self.dtype)[None, :t]
-        mask = jnp.triu(jnp.full((t, t), -jnp.inf, jnp.float32), k=1)[None, None]
+        from image_retrieval_tpu.ops.flash_attention import _causal_bias
+
+        mask = _causal_bias(t)
         block_cls = nn.remat(Block) if c.remat else Block
         for i in range(c.text_layers):
             x = block_cls(

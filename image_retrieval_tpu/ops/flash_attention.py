@@ -412,9 +412,12 @@ def xla_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2):
         x.astype(jnp.float32), ln_scale.astype(jnp.float32),
         ln_bias.astype(jnp.float32),
     ).astype(dt)
-    a = (jnp.dot(h, w1.astype(dt), preferred_element_type=jnp.float32)
-         + b1.astype(jnp.float32)).astype(dt)
-    a = _quick_gelu(a)
+    af = (jnp.dot(h, w1.astype(dt), preferred_element_type=jnp.float32)
+          + b1.astype(jnp.float32))
+    # gelu in f32, matching the kernel (_mlp_block_kernel) exactly — a
+    # bf16 pre-gelu cast here would make the mirror (and the VJP
+    # recompute) diverge from the forward by up to ~0.03 in bf16 towers.
+    a = _quick_gelu(af).astype(dt)
     out = (jnp.dot(a, w2.astype(dt), preferred_element_type=jnp.float32)
            + b2.astype(jnp.float32)).astype(dt)
     return x + out
@@ -667,10 +670,11 @@ def xla_mlp_block_int8(x, ln_scale, ln_bias, w1, b1, w2, b2):
     acc = jax.lax.dot_general(
         hq, w1q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
+    # f32 gelu straight into requantization, matching _mlp_block_int8_kernel
     a = _quick_gelu(
-        (acc.astype(jnp.float32) * hs * w1s + b1.astype(jnp.float32)).astype(dt)
+        acc.astype(jnp.float32) * hs * w1s + b1.astype(jnp.float32)
     )
-    aq, as_ = _rowquant(a.astype(jnp.float32))
+    aq, as_ = _rowquant(a)
     w2q, w2s = _quantize_weight(w2)
     acc2 = jax.lax.dot_general(
         aq, w2q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32

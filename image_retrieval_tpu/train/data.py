@@ -14,6 +14,7 @@ import os
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
+import jax
 
 logger = logging.getLogger(__name__)
 
@@ -97,6 +98,9 @@ def finetune_on_color_dataset(
     for i, (pixels, tokens) in enumerate(batches):
         if i >= steps:
             break
-        # async: device pipelines consecutive steps (one sync at the end)
+        # async: device pipelines consecutive steps; sync every few steps
+        # so in-flight input batches stay bounded (see CLIPTrainer.fit)
         losses.append(trainer.train_step_async(pixels, tokens))
-    return [float(l) for l in losses]
+        if len(losses) % 8 == 0:
+            _ = jax.device_get(losses[-1])
+    return [float(v) for v in jax.device_get(losses)]

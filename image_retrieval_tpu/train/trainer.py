@@ -142,14 +142,21 @@ class CLIPTrainer:
         train_step_async() for throughput."""
         return float(self.train_step_async(pixels, tokens))
 
-    def fit(self, batches, steps: Optional[int] = None) -> list:
+    def fit(self, batches, steps: Optional[int] = None,
+            max_in_flight: int = 8) -> list:
+        """Pipelined training loop: steps are dispatched asynchronously,
+        synced every `max_in_flight` steps (unbounded dispatch would queue
+        one full input batch of device memory per step — ~150 MB at batch
+        256 — and OOM if the host loop outruns the device), and losses are
+        drained in one batched transfer at the end."""
         losses = []
         for i, (pixels, tokens) in enumerate(batches):
             if steps is not None and i >= steps:
                 break
             losses.append(self.train_step_async(pixels, tokens))
-        # one host sync at the end instead of one per step
-        return [float(l) for l in losses]
+            if len(losses) % max_in_flight == 0:
+                _ = jax.device_get(losses[-1])  # bound in-flight steps
+        return [float(v) for v in jax.device_get(losses)]
 
     # -- checkpoint / resume (orbax) ------------------------------------------
     # The reference's only "checkpointing" is npz artifact caching

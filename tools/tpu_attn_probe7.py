@@ -54,19 +54,24 @@ def main():
     cfg_all = dataclasses.replace(base, fused_attn_block=True, fused_mlp_block=True)
     cfg_all8 = dataclasses.replace(cfg_all, int8_matmuls=True)
 
-    saved_block = fa._block_images
+    # NOTE: since the _block_images_fused split (commit 9c11239) the fused
+    # sub-block kernels read fa._block_images_fused, so that is what the
+    # sweep must patch (patching fa._block_images here would be a no-op).
+    saved_block = fa._block_images_fused
     try:
         for bm in (8, 4):
-            fa._block_images = lambda b, t, _bm=bm: _bm if b % _bm == 0 else 1
+            fa._block_images_fused = (
+                lambda b, t, *a, _bm=bm: _bm if b % _bm == 0 else 1
+            )
             tower(f"fused_all_bm{bm}", cfg_all, 128, fetch_s, out)
             tower(f"fused_all8_bm{bm}", cfg_all8, 128, fetch_s, out)
-        fa._block_images = lambda b, t: 8 if b % 8 == 0 else 1
+        fa._block_images_fused = lambda b, t, *a: 8 if b % 8 == 0 else 1
         tower("fused_all_bm8_b192", cfg_all, 192, fetch_s, out)
         tower("fused_all8_bm8_b192", cfg_all8, 192, fetch_s, out)
         numerics_check(out, cfg_all, "fused_all_cos")
         numerics_check(out, cfg_all8, "fused_all8_cos")
     finally:
-        fa._block_images = saved_block
+        fa._block_images_fused = saved_block
 
     res = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

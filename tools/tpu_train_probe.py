@@ -40,22 +40,25 @@ def measure(name, cfg, batch, out, steps_per_unit=4, repeats=3):
     )(jax.random.PRNGKey(1))
     _ = jax.device_get(px[0, 0, 0, 0]); _ = jax.device_get(toks[0, 0])
 
-    def unit():
-        # async steps chain through donated state; ONE fetch at the end is
-        # the only barrier, so the difference timing cancels it exactly
+    def chain(n):
+        # async steps chain through donated state; ONE fetch at the very
+        # end is the only barrier. Timing chain(1) vs chain(2) and taking
+        # the difference cancels that fetch (and dispatch overhead)
+        # exactly — a fetch inside each unit would leave +RTT/steps of
+        # bias in every recorded step time.
         loss = None
-        for _ in range(steps_per_unit):
+        for _ in range(n * steps_per_unit):
             loss = tr.train_step_async(px, toks)
         return jax.device_get(loss)
 
     t0 = time.perf_counter()
-    unit()
+    chain(1)
     compile_s = time.perf_counter() - t0
 
     ts = []
     for _r in range(repeats):
-        t0 = time.perf_counter(); unit(); t1 = time.perf_counter()
-        unit(); unit(); t2 = time.perf_counter()
+        t0 = time.perf_counter(); chain(1); t1 = time.perf_counter()
+        chain(2); t2 = time.perf_counter()
         ts.append(max((t2 - t1) - (t1 - t0), 1e-9) / steps_per_unit)
     step_ms = float(np.median(ts) * 1e3)
     rec = {
