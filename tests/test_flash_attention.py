@@ -593,3 +593,52 @@ def test_bf16_kernels_match_mirrors():
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             atol=atol,
         )
+
+
+@pytest.mark.parametrize(
+    "b,t,w,heads,causal",
+    [
+        (3, 50, 64, 4, False),    # odd batch -> bm=1 fallback
+        (8, 197, 64, 4, False),   # B/16-like t: bm capped by packed tokens
+        (6, 77, 64, 4, True),     # text-like causal, bm from the cap
+        (1, 5, 32, 2, True),      # single sequence, tiny t
+        (5, 13, 96, 12, False),   # odd everything
+    ],
+)
+def test_fused_kernels_shape_sweep(rng, b, t, w, heads, causal):
+    """Every fused kernel must stay correct across geometries: odd batches
+    (bm=1 fallback), long sequences (VMEM bm cap), causal and not."""
+    import math
+
+    from image_retrieval_tpu.ops import flash_attention as fa
+
+    x = jnp.asarray(rng.normal(size=(b, t, w)).astype(np.float32))
+    args = _block_args(rng, w)
+    w1 = jnp.asarray((rng.normal(size=(w, 4 * w)) / math.sqrt(w)).astype(np.float32))
+    b1 = jnp.asarray((0.02 * rng.normal(size=(4 * w,))).astype(np.float32))
+    w2 = jnp.asarray(
+        (rng.normal(size=(4 * w, w)) / math.sqrt(4 * w)).astype(np.float32)
+    )
+    b2 = jnp.asarray((0.02 * rng.normal(size=(w,))).astype(np.float32))
+    ln2 = _block_args(rng, w)[:2]
+
+    want_attn = fa.xla_attention_block(x, *args, heads=heads, causal=causal)
+    got_attn = fa.attention_block(x, *args, heads, causal)
+    np.testing.assert_allclose(
+        np.asarray(got_attn), np.asarray(want_attn), atol=3e-5
+    )
+    # int8 variants: the kernel's attention reductions associate
+    # differently than the mirror's einsum; a sub-ulp f32 difference at a
+    # _rowquant boundary flips one int8 level (~1e-3 after the out-proj
+    # scale), so int8 tolerances allow one quantization step.
+    got8 = fa.attention_block_int8(x, *args, heads, causal)
+    want8 = fa.xla_attention_block_int8(x, *args, heads=heads, causal=causal)
+    np.testing.assert_allclose(np.asarray(got8), np.asarray(want8), atol=2e-3)
+
+    got_l = fa.layer_block_int8(x, *args, *ln2, w1, b1, w2, b2, heads, causal)
+    want_l = fa.xla_layer_block_int8(
+        x, *args, *ln2, w1, b1, w2, b2, heads=heads, causal=causal
+    )
+    # two chained quantizers (attention out + MLP in) compound a single
+    # boundary flip to ~2e-2 on <0.1% of elements
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l), atol=2.5e-2)
