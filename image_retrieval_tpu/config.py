@@ -71,6 +71,15 @@ class ModelConfig:
     # (layer_block_int8, the vit_b32_serving path); without, the bf16
     # variant (layer_block) keeps closer numerics.
     fused_layer_block: bool = False
+    # Training-oriented VJP for the fused attention sub-block: the forward
+    # kernel saves q/k/v/attn/probs and the backward is hand-written XLA
+    # over them (no forward recompute). Gradient-parity-tested, but
+    # MEASURED SLOWER than baseline XLA training (1.9k vs 2.3k img/s at
+    # batch 128, bench_results/train_fusedtrain.json — the extra
+    # activation writes and halved kernel block outweigh the recompute
+    # saving, since XLA's own backward never recomputes). Kept as the
+    # measured record; leave off for training throughput.
+    fused_train_vjp: bool = False
     # Serving-time quantization: run the big projections (QKV/out, MLP) as
     # int8 x int8 -> int32 MXU matmuls with dynamic per-token activation and
     # per-channel weight scales. v5e int8 peak is 2x bf16; embedding cosine

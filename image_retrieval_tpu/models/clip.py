@@ -206,6 +206,9 @@ class Block(nn.Module):
     fused_layer: bool = False  # whole layer (attn + MLP) as ONE kernel
     #                            (ops/flash_attention.py layer_block /
     #                            layer_block_int8 per `quant`)
+    train_vjp: bool = False    # fused attention sub-block saves its
+    #                            intermediates and uses the hand-written
+    #                            no-recompute backward (training path)
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -257,9 +260,15 @@ class Block(nn.Module):
             from image_retrieval_tpu.ops.flash_attention import (
                 attention_block,
                 attention_block_int8,
+                attention_block_train,
             )
 
-            kernel_fn = attention_block_int8 if self.quant else attention_block
+            if self.quant:
+                kernel_fn = attention_block_int8
+            elif self.train_vjp:
+                kernel_fn = attention_block_train
+            else:
+                kernel_fn = attention_block
             ln_s, ln_b = _LNParams(self.width, name="ln1")()
 
             (wq, bq), (wk, bk), (wv, bv), (wo, bo) = _AttnParams(
@@ -376,7 +385,8 @@ class CLIPVisionTower(nn.Module):
                 c.vision_width, c.vision_heads, self.dtype,
                 c.fused_attention, c.int8_matmuls, c.pallas_attention,
                 c.fused_attn_block, c.fused_mlp_block,
-                fused_layer=c.fused_layer_block, name=f"block_{i}",
+                fused_layer=c.fused_layer_block,
+                train_vjp=c.fused_train_vjp, name=f"block_{i}",
             )(x, mask)
         pooled = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="post_ln")(x[:, 0])
         proj = self.param(
@@ -416,7 +426,8 @@ class CLIPTextTower(nn.Module):
                 c.text_width, c.text_heads, self.dtype,
                 c.fused_attention, c.int8_matmuls, c.pallas_attention,
                 c.fused_attn_block, c.fused_mlp_block, causal=True,
-                fused_layer=c.fused_layer_block, name=f"block_{i}",
+                fused_layer=c.fused_layer_block,
+                train_vjp=c.fused_train_vjp, name=f"block_{i}",
             )(x, mask)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_ln")(x)
         eot = jnp.argmax(token_ids, axis=-1)

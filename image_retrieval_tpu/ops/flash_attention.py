@@ -975,3 +975,208 @@ def _layer_bwd(heads, causal, res, g):
 
 
 layer_block.defvjp(_layer_fwd, _layer_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Training-grade backward for the attention sub-block: the forward kernel
+# ALSO writes q, k, v, attn and the per-head softmax probabilities, and the
+# backward is hand-written XLA over those saved tensors — no forward
+# recompute (the default custom-VJP re-runs the whole sub-block, i.e. the
+# exact choreography the kernel exists to avoid). Gradient formulas follow
+# the mirror exactly; parity vs jax.vjp(xla_attention_block) is pinned by
+# tests/test_flash_attention.py.
+# ---------------------------------------------------------------------------
+
+
+def _attn_block_saved_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref,
+                             wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+                             o_ref, q_ref, k_ref, v_ref, attn_ref, p_ref,
+                             *, heads: int, causal: bool = False):
+    bm, t, w = x_ref.shape
+    hd = w // heads
+    m = bm * t
+    dt = x_ref.dtype
+    xb = x_ref[:].reshape(m, w)
+    h = _fast_layernorm_f32(
+        xb.astype(jnp.float32), lns_ref[0].astype(jnp.float32),
+        lnb_ref[0].astype(jnp.float32),
+    ).astype(dt)
+    q = (jnp.dot(h, wq_ref[:], preferred_element_type=jnp.float32)
+         + bq_ref[0].astype(jnp.float32)).astype(dt)
+    k = (jnp.dot(h, wk_ref[:], preferred_element_type=jnp.float32)
+         + bk_ref[0].astype(jnp.float32)).astype(dt)
+    v = (jnp.dot(h, wv_ref[:], preferred_element_type=jnp.float32)
+         + bv_ref[0].astype(jnp.float32)).astype(dt)
+    scale = hd ** -0.5
+    if causal:
+        rr = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+        cmask = jnp.where(cc <= rr, 0.0, -jnp.inf).astype(jnp.float32)
+    attn_rows = []
+    for i in range(bm):
+        sl = slice(i * t, (i + 1) * t)
+        outs = []
+        for hh in range(heads):
+            cs = slice(hh * hd, (hh + 1) * hd)
+            s = jax.lax.dot_general(
+                q[sl, cs], k[sl, cs], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if causal:
+                s = s + cmask
+            s = s - jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=1, keepdims=True)
+            p_ref[i, hh] = p
+            pd = p.astype(dt)
+            outs.append(
+                jax.lax.dot_general(
+                    pd, v[sl, cs], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dt)
+            )
+        attn_rows.append(jnp.concatenate(outs, axis=1))
+    attn = jnp.concatenate(attn_rows, axis=0) if bm > 1 else attn_rows[0]
+    out = (jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
+           + bo_ref[0].astype(jnp.float32)).astype(dt)
+    o_ref[:] = (xb + out).reshape(bm, t, w)
+    q_ref[:] = q.reshape(bm, t, w)
+    k_ref[:] = k.reshape(bm, t, w)
+    v_ref[:] = v.reshape(bm, t, w)
+    attn_ref[:] = attn.reshape(bm, t, w)
+
+
+def _pallas_attention_block_saved(x, ln_scale, ln_bias, wq, bq, wk, bk, wv,
+                                  bv, wo, bo, heads: int,
+                                  causal: bool = False):
+    b, t, w = x.shape
+    dt = x.dtype
+    # tighter block budget than the plain kernel: the five extra (bm,t,w)
+    # outputs + (bm,heads,t,t) probs add ~4 MB at bm=8 and blow the 16 MB
+    # scoped-VMEM limit (measured); 8*w halves bm vs the plain kernel
+    bm = _block_images_fused(b, t, 8 * w)
+    x_spec = pl.BlockSpec((bm, t, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    p_spec = pl.BlockSpec(
+        (bm, heads, t, t), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    w_spec = pl.BlockSpec((w, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    vec = lambda a: a.reshape(1, w)
+    return pl.pallas_call(
+        functools.partial(_attn_block_saved_kernel, heads=heads,
+                          causal=causal),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t, w), dt),              # o
+            jax.ShapeDtypeStruct((b, t, w), dt),              # q
+            jax.ShapeDtypeStruct((b, t, w), dt),              # k
+            jax.ShapeDtypeStruct((b, t, w), dt),              # v
+            jax.ShapeDtypeStruct((b, t, w), dt),              # attn
+            jax.ShapeDtypeStruct((b, heads, t, t), jnp.float32),  # probs
+        ],
+        grid=(b // bm,),
+        in_specs=[x_spec, v_spec, v_spec, w_spec, v_spec, w_spec, v_spec,
+                  w_spec, v_spec, w_spec, v_spec],
+        out_specs=[x_spec, x_spec, x_spec, x_spec, x_spec, p_spec],
+        interpret=_interpret(),
+    )(
+        x, vec(ln_scale), vec(ln_bias), wq.astype(dt), vec(bq),
+        wk.astype(dt), vec(bk), wv.astype(dt), vec(bv), wo.astype(dt),
+        vec(bo),
+    )
+
+
+def _ln_bwd_f32(dh, x32, ln_scale, eps=1e-5):
+    """VJP of _fast_layernorm_f32 wrt its input and (scale, bias)."""
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    ms = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    var = jnp.maximum(ms - mu * mu, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (x32 - mu) * rstd
+    dxhat = dh * ln_scale.astype(jnp.float32)
+    dx = rstd * (
+        dxhat - jnp.mean(dxhat, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    )
+    dls = jnp.sum(dh * xhat, axis=tuple(range(dh.ndim - 1)))
+    dlb = jnp.sum(dh, axis=tuple(range(dh.ndim - 1)))
+    return dx, dls, dlb
+
+
+def _attn_block_saved_bwd(heads, causal, res, g):
+    """Hand-written backward over the saved tensors (no fwd recompute
+    except the cheap LayerNorm). Math mirrors xla_attention_block."""
+    x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, q, k, v, attn, \
+        probs = res
+    b, t, w = x.shape
+    hd = w // heads
+    scale = hd ** -0.5
+    f32 = jnp.float32
+    g32 = g.astype(f32)
+    x32 = x.astype(f32)
+    dt = x.dtype
+
+    # out projection + residual: out = attn @ wo + bo ; y = x + out
+    g2 = g32.reshape(b * t, w)
+    attn2 = attn.astype(f32).reshape(b * t, w)
+    dwo = attn2.T @ g2
+    dbo = jnp.sum(g2, axis=0)
+    dattn = (g2 @ wo.astype(f32).T).reshape(b, t, heads, hd)
+
+    # attention: per-head softmax(q scale @ k^T) @ v, probs saved in f32
+    qh = q.astype(f32).reshape(b, t, heads, hd)
+    kh = k.astype(f32).reshape(b, t, heads, hd)
+    vh = v.astype(f32).reshape(b, t, heads, hd)
+    dv_h = jnp.einsum("bhqk,bqhd->bkhd", probs, dattn)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", dattn, vh)
+    ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+    dq_h = jnp.einsum("bhqk,bkhd->bqhd", ds, kh) * scale
+    dk_h = jnp.einsum("bhqk,bqhd->bkhd", ds, qh) * scale
+
+    # projections: q = h @ wq + bq (h = LN(x) cast to compute dtype)
+    h32 = _fast_layernorm_f32(
+        x32, ln_scale.astype(f32), ln_bias.astype(f32)
+    ).astype(dt).astype(f32)
+    h2 = h32.reshape(b * t, w)
+    dq2 = dq_h.reshape(b * t, w)
+    dk2 = dk_h.reshape(b * t, w)
+    dv2 = dv_h.reshape(b * t, w)
+    dwq, dwk, dwv = h2.T @ dq2, h2.T @ dk2, h2.T @ dv2
+    dbq = jnp.sum(dq2, axis=0)
+    dbk = jnp.sum(dk2, axis=0)
+    dbv = jnp.sum(dv2, axis=0)
+    dh = (dq2 @ wq.astype(f32).T + dk2 @ wk.astype(f32).T
+          + dv2 @ wv.astype(f32).T).reshape(b, t, w)
+
+    dx_ln, dls, dlb = _ln_bwd_f32(dh, x32, ln_scale)
+    dx = (g32 + dx_ln).astype(x.dtype)
+    cast = lambda grad, prim: grad.astype(prim.dtype)
+    return (dx, cast(dls, ln_scale), cast(dlb, ln_bias), cast(dwq, wq),
+            cast(dbq, bq), cast(dwk, wk), cast(dbk, bk), cast(dwv, wv),
+            cast(dbv, bv), cast(dwo, wo), cast(dbo, bo))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def attention_block_train(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo,
+                          bo, heads: int, causal: bool = False):
+    """attention_block with a no-recompute backward: the forward kernel
+    saves q/k/v/attn/probs, the backward is hand-written XLA over them.
+    Same gradient as the recompute VJP; trades ~(5 + heads·t/w) extra
+    activation memory per token for skipping the attention sub-block's
+    entire forward recompute in the backward pass."""
+    return _pallas_attention_block(
+        x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, heads,
+        causal=causal,
+    )
+
+
+def _blk_saved_fwd(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
+                   heads, causal):
+    o, q, k, v, attn, probs = _pallas_attention_block_saved(
+        x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, heads,
+        causal=causal,
+    )
+    return o, (x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
+               q, k, v, attn, probs)
+
+
+attention_block_train.defvjp(_blk_saved_fwd, _attn_block_saved_bwd)

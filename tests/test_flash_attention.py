@@ -642,3 +642,75 @@ def test_fused_kernels_shape_sweep(rng, b, t, w, heads, causal):
     # two chained quantizers (attention out + MLP in) compound a single
     # boundary flip to ~2e-2 on <0.1% of elements
     np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l), atol=2.5e-2)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_attention_block_train_gradients_match_xla(rng, causal):
+    """attention_block_train's hand-written backward (saved q/k/v/probs,
+    no forward recompute) must produce the same gradients as jax.vjp of
+    the XLA mirror, for inputs AND all parameters."""
+    from image_retrieval_tpu.ops.flash_attention import (
+        attention_block_train,
+        xla_attention_block,
+    )
+
+    w, heads = 32, 4
+    x = jnp.asarray(rng.normal(size=(3, 7, w)).astype(np.float32))
+    args = _block_args(rng, w)
+
+    def lk(x, *a):
+        return jnp.mean(attention_block_train(x, *a, heads, causal) ** 2)
+
+    def lr(x, *a):
+        return jnp.mean(
+            xla_attention_block(x, *a, heads=heads, causal=causal) ** 2
+        )
+
+    # forward parity first
+    np.testing.assert_allclose(
+        np.asarray(attention_block_train(x, *args, heads, causal)),
+        np.asarray(xla_attention_block(x, *args, heads=heads, causal=causal)),
+        atol=2e-5,
+    )
+    gk = jax.grad(lk, argnums=tuple(range(11)))(x, *args)
+    gr = jax.grad(lr, argnums=tuple(range(11)))(x, *args)
+    for i, (a, b_) in enumerate(zip(gk, gr)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-5, err_msg=f"arg {i}"
+        )
+
+
+def test_train_config_tower_gradients_match_baseline(rng):
+    """Full CLIP towers under the training kernel config (fused attention
+    sub-block with the saved-intermediates backward + fused MLP block)
+    must produce the same gradients as the unfused baseline (f32)."""
+    from image_retrieval_tpu.config import ModelConfig
+    from image_retrieval_tpu.models.clip import CLIP, init_params
+
+    cfg = ModelConfig(
+        image_size=32, patch_size=8, vision_width=48, vision_layers=2,
+        vision_heads=4, text_width=32, text_layers=2, text_heads=2,
+        vocab_size=1000, context_length=16, embed_dim=24, dtype="float32",
+    )
+    model, params = init_params(cfg, seed=0)
+    tcfg = dataclasses.replace(
+        cfg, fused_attn_block=True, fused_mlp_block=True,
+        fused_train_vjp=True,
+    )
+    mt = CLIP(tcfg, dtype=jnp.float32)
+    px = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    toks = jnp.asarray(rng.integers(1, 1000, size=(4, 16)).astype(np.int32))
+
+    def loss(m):
+        def f(p):
+            img = m.apply(p, px, method=CLIP.encode_image)
+            txt = m.apply(p, toks, method=CLIP.encode_text)
+            return jnp.mean(img ** 2) + jnp.mean(txt ** 2)
+        return f
+
+    gb = jax.grad(loss(model))(params)
+    gt = jax.grad(loss(mt))(params)
+    for a, b_ in zip(jax.tree_util.tree_leaves(gb), jax.tree_util.tree_leaves(gt)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5
+        )

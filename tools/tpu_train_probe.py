@@ -80,12 +80,19 @@ def main():
     remat = dataclasses.replace(base, remat=True)
     pallas = dataclasses.replace(base, pallas_attention=True)
 
+    fused_train = dataclasses.replace(
+        base, fused_attn_block=True, fused_mlp_block=True,
+        fused_train_vjp=True,
+    )
+
     measure("base_b64", base, 64, out)
     measure("base_b128", base, 128, out)
     measure("base_b256", base, 256, out)
     measure("remat_b256", remat, 256, out)
     measure("remat_b512", remat, 512, out)
     measure("pallas_b256", pallas, 256, out)
+    measure("fusedtrain_b128", fused_train, 128, out)
+    measure("fusedtrain_b256", fused_train, 256, out)
 
     res = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
