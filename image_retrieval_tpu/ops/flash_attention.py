@@ -248,6 +248,12 @@ def xla_attention_block(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
 # Module-level so probes can flip it.
 _PACKED_BLOCK_ATTN = False
 
+# Third strategy: all heads in ONE 3D batched dot_general per block
+# (scores (heads, m, m) in a single MXU dispatch instead of a per-head
+# loop). An earlier formulation failed to lower in Mosaic
+# (attn_probe4.json "pallas_bh3d"); kept behind a flag for probing.
+_BH3D_BLOCK_ATTN = False
+
 
 def _inkernel_attention(q, k, v, heads: int, bm: int, t: int,
                         causal: bool = False):
@@ -259,6 +265,31 @@ def _inkernel_attention(q, k, v, heads: int, bm: int, t: int,
     hd = w // heads
     dt = q.dtype
     scale = hd ** -0.5
+    if _BH3D_BLOCK_ATTN:
+        # (m, heads*hd) -> (heads, m, hd); scores/softmax/mix batched
+        # over the head dim in single 3D dot_generals.
+        q3 = q.reshape(m, heads, hd).transpose(1, 0, 2)
+        k3 = k.reshape(m, heads, hd).transpose(1, 0, 2)
+        v3 = v.reshape(m, heads, hd).transpose(1, 0, 2)
+        s3 = jax.lax.dot_general(
+            q3, k3, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        row = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+        ok = (row // t) == (col // t)
+        if causal:
+            ok = ok & ((col % t) <= (row % t))
+        if bm > 1 or causal:
+            s3 = s3 + jnp.where(ok, 0.0, -jnp.inf).astype(jnp.float32)[None]
+        s3 = s3 - jnp.max(s3, axis=2, keepdims=True)
+        p3 = jnp.exp(s3)
+        p3 = (p3 / jnp.sum(p3, axis=2, keepdims=True)).astype(dt)
+        o3 = jax.lax.dot_general(
+            p3, v3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(dt)
+        return o3.transpose(1, 0, 2).reshape(m, w)
     if (_PACKED_BLOCK_ATTN and bm > 1) or (causal and bm == 1):
         row = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)

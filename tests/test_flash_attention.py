@@ -714,3 +714,25 @@ def test_train_config_tower_gradients_match_baseline(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5
         )
+
+
+def test_bh3d_attention_variant_matches_xla(rng):
+    """The 3D batched-heads in-kernel attention (flagged off: Mosaic
+    crashes on it on-hardware, attn_probe11) stays numerically correct in
+    interpret mode so it can be re-probed on newer toolchains."""
+    from image_retrieval_tpu.ops import flash_attention as fa
+
+    w, heads = 64, 4
+    x = jnp.asarray(rng.normal(size=(4, 10, w)).astype(np.float32))
+    args = _block_args(rng, w)
+    saved = fa._BH3D_BLOCK_ATTN
+    try:
+        fa._BH3D_BLOCK_ATTN = True
+        for causal in (False, True):
+            got = fa.attention_block(x, *args, heads, causal)
+            want = fa.xla_attention_block(x, *args, heads=heads, causal=causal)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-5
+            )
+    finally:
+        fa._BH3D_BLOCK_ATTN = saved
