@@ -356,12 +356,22 @@ class ImageSearchApp:
         index = self._ensure_index()
         q = self._get_query_embedding(query)
         paths = index.paths
+        # scores() includes tombstoned rows; mask them out (the live_mask
+        # contract search_images already follows)
+        live = index.live_mask()
         cos = index.scores(q, metric="cosine_similarity")
         l1 = index.scores(q, metric="l1_distance")
         l2 = index.scores(q, metric="l2_distance")
 
         def top_entries(scores, key, negate):
-            order = np.argsort(-(-scores if negate else scores), kind="stable")[:top_k]
+            masked = np.where(
+                live, scores, -np.inf if not negate else np.inf
+            )
+            order = np.argsort(
+                -(-masked if negate else masked), kind="stable"
+            )[:top_k]
+            order = [i for i in order if live[int(i)]]
+            scores = masked
             return [
                 {"path": paths[int(i)], key: float(scores[i]),
                  "score": float(-scores[i] if negate else scores[i])}

@@ -23,11 +23,12 @@ import queue
 import threading
 import time
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Sequence, Dict, List, Optional
 
 import numpy as np
 
 from image_retrieval_tpu.index import ShardedVectorIndex
+from image_retrieval_tpu.index.vector_index import _WEIGHT_KEYS
 from image_retrieval_tpu.models.encoder import Encoder
 
 logger = logging.getLogger(__name__)
@@ -89,6 +90,18 @@ class SearchServer:
         if self._thread is not None:
             self._thread.join(timeout=5)
             self._thread = None
+        # fail fast for requests still queued (enqueued after the loop's
+        # last collect): without this their callers block for the full
+        # request timeout before seeing an error
+        import queue as _q
+
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except _q.Empty:
+                break
+            req.error = RuntimeError("server stopped")
+            req.done.set()
 
     def __enter__(self):
         self.start()
@@ -154,7 +167,7 @@ class SearchServer:
         wt = None
         if weights is not None:
             wt = tuple(float(weights.get(k, 1.0 if k == "w_angle" else 0.0))
-                       for k in ("w_angle", "w_l1", "w_l2", "w_inf", "w_mag"))
+                       for k in _WEIGHT_KEYS)
         req = _Request(query=query, top_k=top_k, metric=metric, weights=wt)
         self._queue.put(req)
         if not req.done.wait(timeout):
@@ -162,6 +175,38 @@ class SearchServer:
         if req.error is not None:
             raise req.error
         return req.result
+
+    def search_many(
+        self,
+        queries: Sequence[str],
+        top_k: int = 10,
+        timeout: float = 30.0,
+        metric: str = "cosine_similarity",
+        weights: Optional[dict] = None,
+    ) -> List[List[dict]]:
+        """Enqueue ALL queries before waiting, so they coalesce into shared
+        micro-batches (one encode + one gallery sweep per batch) instead of
+        paying a sequential round-trip — and the batching delay — per
+        query. Results are in input order; per-request errors re-raise."""
+        wt = None
+        if weights is not None:
+            wt = tuple(float(weights.get(k, 1.0 if k == "w_angle" else 0.0))
+                       for k in _WEIGHT_KEYS)
+        reqs = [
+            _Request(query=q, top_k=top_k, metric=metric, weights=wt)
+            for q in queries
+        ]
+        for r in reqs:
+            self._queue.put(r)
+        deadline = time.perf_counter() + timeout
+        out = []
+        for r in reqs:
+            if not r.done.wait(max(deadline - time.perf_counter(), 0.0)):
+                raise TimeoutError(f"batch search timed out after {timeout}s")
+            if r.error is not None:
+                raise r.error
+            out.append(r.result)
+        return out
 
     # -- batching loop ---------------------------------------------------------
 
@@ -203,8 +248,7 @@ class SearchServer:
                         q_in = (embs[rows] if metric == "optimized_similarity"
                                 else qn[rows])
                         params = (
-                            dict(zip(("w_angle", "w_l1", "w_l2", "w_inf",
-                                      "w_mag"), weights))
+                            dict(zip(_WEIGHT_KEYS, weights))
                             if weights is not None else None
                         )
                         if self.ann is not None and metric in (

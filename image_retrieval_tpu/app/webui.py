@@ -121,7 +121,10 @@ class _Handler(BaseHTTPRequestHandler):
         except (ValueError, TypeError):
             self._send(400, b"bad request", "text/plain")
             return
-        out = [ctx["server"].search(q, top_k=k) for q in queries]
+        # enqueue all queries before waiting: they coalesce into shared
+        # micro-batches (one encode + one sweep) instead of sequential
+        # per-query round-trips
+        out = ctx["server"].search_many(queries, top_k=k)
         self._send(200, json.dumps(out).encode(), "application/json")
 
 
@@ -161,6 +164,10 @@ def main(argv=None):
     paths = app.scan_folders(args.folder)
     app.process_images(paths)
     index = app._ensure_index()
+    if index is None or len(index) == 0:
+        raise SystemExit(
+            f"no images found under {args.folder!r} — nothing to serve"
+        )
     with SearchServer(app._get_encoder(), index, ann=app._ensure_ann(index),
                       overfetch=app.config.search.overfetch) as srv:
         httpd = serve(srv, index.paths, args.host, args.port)

@@ -131,6 +131,18 @@ def sharded_ivf_search(
 
     ndev = mesh.shape[axis]
     nlist = centroids.shape[0]
+    if nlist % ndev != 0:
+        # The ownership math below AND the caller's row sharding of the
+        # (nlist*lmax, D) packed array both assume cluster boundaries align
+        # with shard boundaries; a non-divisible nlist makes trailing
+        # clusters unreachable and mis-addresses every shard >= 1 —
+        # silently wrong results. Pad nlist (empty clusters, ids=-1) to a
+        # multiple of the axis size before sharding, or pick a divisible
+        # nlist in IVFIndex.build.
+        raise ValueError(
+            f"sharded_ivf_search requires nlist ({nlist}) divisible by the "
+            f"'{axis}' mesh axis size ({ndev})"
+        )
     clusters_per_dev = nlist // ndev
 
     def local(q, c, pf, idf):
@@ -356,7 +368,11 @@ class IVFIndex:
         # traffic with mixed micro-batch sizes / top_k values reuses a few
         # executables instead of compiling per signature (remote compiles
         # cost minutes; same rationale as ShardedVectorIndex._Q_BUCKETS)
-        qb = next((b for b in (1, 8, 32, 64, 128, 256) if nq <= b), nq)
+        from image_retrieval_tpu.index.vector_index import ShardedVectorIndex
+
+        qb = next(
+            (b for b in ShardedVectorIndex._Q_BUCKETS if nq <= b), nq
+        )
         if qb > nq:
             q = np.concatenate([q, np.zeros((qb - nq, q.shape[1]), np.float32)])
         np_ = min(nprobe or self.nprobe, self.nlist)

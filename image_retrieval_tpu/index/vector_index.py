@@ -139,6 +139,12 @@ class ShardedVectorIndex:
         if emb.ndim == 1:
             emb = emb[None]
         assert emb.shape[1] == self.dim, (emb.shape, self.dim)
+        if len(paths) != emb.shape[0]:
+            raise ValueError(
+                f"insert(): {len(paths)} paths for {emb.shape[0]} embedding "
+                "rows — path/row alignment would silently corrupt every "
+                "subsequent search result"
+            )
         if magnitudes is None:
             mags = np.linalg.norm(emb, axis=1)
             safe = np.where(mags > 0, mags, 1.0)
@@ -395,16 +401,23 @@ class ShardedVectorIndex:
 
     def query(self, limit: int = 1000, with_magnitude: bool = False):
         """Return stored (path, unit_embedding[, magnitude]) tuples
-        (reference ImageEmbeddingSystem.py:147-202)."""
-        n = min(limit, self.count)
-        g = self._host_gallery[:n].astype(np.float32)
-        if self._quantized:
-            g = g * self._host_scales[:n, None]
-        if with_magnitude:
-            return [
-                (self.paths[i], g[i], float(self._host_mags[i])) for i in range(n)
-            ]
-        return [(self.paths[i], g[i]) for i in range(n)]
+        (reference ImageEmbeddingSystem.py:147-202). Tombstoned (deleted)
+        rows are excluded — Milvus query() never returns deleted
+        entities, and delete() promises that parity."""
+        g_all = self._host_gallery[: self.count].astype(np.float32)
+        if self._quantized and self.count:
+            g_all = g_all * self._host_scales[: self.count, None]
+        out = []
+        for i in range(self.count):
+            if len(out) >= limit:
+                break
+            if self._host_valid is not None and not self._host_valid[i]:
+                continue
+            if with_magnitude:
+                out.append((self.paths[i], g_all[i], float(self._host_mags[i])))
+            else:
+                out.append((self.paths[i], g_all[i]))
+        return out
 
     def reconstruct_original_embeddings(self, limit: int = 1000):
         """(path, unit*magnitude) round-trip (ImageEmbeddingSystem.py:204-215)."""
@@ -427,13 +440,17 @@ class ShardedVectorIndex:
         m = (self._host_mags[: self.count].astype(np.float32)
              if self.count else np.zeros((0,), np.float32))
         np.savez(path, embeddings=g, magnitudes=m)
-        with open(path + ".paths.json", "w") as f:
+        # np.savez appends .npz when absent; key the sidecar off the FINAL
+        # npz filename so save('gallery') / load_from('gallery') round-trip
+        npz_path = path if path.endswith(".npz") else path + ".npz"
+        with open(npz_path + ".paths.json", "w") as f:
             json.dump(self.paths, f)
 
     @classmethod
     def load_from(cls, path: str, mesh: Optional[Mesh] = None) -> "ShardedVectorIndex":
-        data = np.load(path if path.endswith(".npz") else path + ".npz")
-        with open((path if path.endswith(".npz") else path + ".npz") + ".paths.json") as f:
+        npz_path = path if path.endswith(".npz") else path + ".npz"
+        data = np.load(npz_path)
+        with open(npz_path + ".paths.json") as f:
             paths = json.load(f)
         emb = data["embeddings"]
         idx = cls(dim=emb.shape[1] if emb.size else 512, mesh=mesh)

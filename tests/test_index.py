@@ -347,3 +347,36 @@ def test_make_mesh_rejects_zero_data_axis():
     mesh (data = n // model == 0 used to slip past validation)."""
     with pytest.raises(ValueError, match="needs"):
         make_mesh(MeshConfig(data=-1, model=1024))
+
+
+def test_save_load_roundtrip_without_npz_suffix(tmp_path):
+    """save('gallery') / load_from('gallery') must round-trip even though
+    np.savez appends .npz (the sidecar is keyed off the final filename)."""
+    idx = ShardedVectorIndex(dim=16, config=IndexConfig(capacity_step=8))
+    emb = np.random.default_rng(0).normal(size=(5, 16)).astype(np.float32)
+    idx.insert([f"p{i}" for i in range(5)], emb)
+    base = str(tmp_path / "gallery")  # no .npz suffix
+    idx.save(base)
+    idx2 = ShardedVectorIndex.load_from(base)
+    assert idx2.paths == idx.paths
+    assert len(idx2) == 5
+
+
+def test_query_excludes_tombstones():
+    """Milvus parity: query() never returns deleted entities."""
+    idx = ShardedVectorIndex(dim=8, config=IndexConfig(capacity_step=8))
+    emb = np.eye(8, dtype=np.float32)[:4]
+    idx.insert([f"p{i}" for i in range(4)], emb)
+    idx.delete(["p1"])
+    got = [p for p, _ in idx.query(limit=100)]
+    assert got == ["p0", "p2", "p3"]
+    gotm = [p for p, _, _ in idx.query(limit=100, with_magnitude=True)]
+    assert gotm == ["p0", "p2", "p3"]
+    rec = [p for p, _ in idx.reconstruct_original_embeddings(limit=100)]
+    assert rec == ["p0", "p2", "p3"]
+
+
+def test_insert_path_row_mismatch_raises():
+    idx = ShardedVectorIndex(dim=8, config=IndexConfig(capacity_step=8))
+    with np.testing.assert_raises(ValueError):
+        idx.insert(["only-one"], np.zeros((2, 8), np.float32))
