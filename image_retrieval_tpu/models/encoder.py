@@ -150,7 +150,9 @@ class CLIPEncoder(Encoder):
         pending, outs = [], []
         for i in range(0, len(paths), bs):
             chunk = list(paths[i : i + bs])
-            pixels = preprocess_batch(chunk).astype(np.float32)
+            pixels = preprocess_batch(
+                chunk, size=self.config.model.image_size
+            ).astype(np.float32)
             nb = self._batch_sizes(pixels.shape[0])
             padded = _pad_to(pixels, nb)
             pending.append(

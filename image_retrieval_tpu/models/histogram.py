@@ -71,12 +71,20 @@ class HistogramEncoder(Encoder):
     _BUCKETS = (8, 32, 128, 256)
 
     def encode_pixels(self, pixels: np.ndarray) -> np.ndarray:
-        x01 = np.clip(
-            np.asarray(pixels, np.float32) * CLIP_STD + CLIP_MEAN, 0.0, 1.0
-        )
-        n = x01.shape[0]
+        pixels = np.asarray(pixels, np.float32)
+        n = pixels.shape[0]
         if n == 0:
             return np.zeros((0, self.dim), np.float32)
+        top = self._BUCKETS[-1]
+        if n > top:
+            # chunk oversize batches at the largest bucket: every distinct
+            # n would otherwise be a fresh jit signature (minutes through
+            # the remote compiler) and one giant device batch
+            return np.concatenate(
+                [self.encode_pixels(pixels[i : i + top])
+                 for i in range(0, n, top)]
+            )
+        x01 = np.clip(pixels * CLIP_STD + CLIP_MEAN, 0.0, 1.0)
         nb = next((b for b in self._BUCKETS if n <= b), n)
         if nb > n:
             x01 = np.concatenate(

@@ -39,8 +39,14 @@ def preprocess_host(image: Union[str, np.ndarray, Image.Image], size: int = 224)
     else:
         im = image.convert("RGB")
     w, h = im.size
-    short = min(w, h)
-    nw, nh = round(w * size / short), round(h * size / short)
+    # HF get_resize_output_image_size: short edge pinned to `size`, long
+    # edge TRUNCATED with int() (not rounded) — 480x640 resizes to
+    # 224x298, not 224x299; round() here deviated from CLIPProcessor for
+    # non-square images (verified against the installed transformers).
+    if w <= h:
+        nw, nh = size, int(size * h / w)
+    else:
+        nw, nh = int(size * w / h), size
     im = im.resize((nw, nh), Image.Resampling.BICUBIC)
     left = (nw - size) // 2
     top = (nh - size) // 2

@@ -152,10 +152,11 @@ class CLIPBPETokenizer:
         self.pad_id = PAD
         self.vocab_size = len(self.encoder)
         # literal special tokens in the text pass through unsplit
-        self._cache: Dict[str, List[str]] = {
+        self._seed_cache: Dict[str, List[str]] = {
             "<|startoftext|>": ["<|startoftext|>"],
             "<|endoftext|>": ["<|endoftext|>"],
         }
+        self._cache: Dict[str, List[str]] = dict(self._seed_cache)
 
     # -- BPE core ---------------------------------------------------------
 
@@ -188,12 +189,20 @@ class CLIPBPETokenizer:
             symbols = out
         return symbols
 
+    # Cap the per-word BPE cache: the tokenizer lives in a persistent
+    # serving process and arbitrary user queries would otherwise grow it
+    # without bound. 64k distinct words is far beyond any realistic hot
+    # set; on overflow, drop back to the seed entries and rebuild.
+    _CACHE_CAP = 65536
+
     def _bpe(self, token: str) -> List[str]:
         cached = self._cache.get(token)
         if cached is not None:
             return cached
         symbols = list(token[:-1]) + [token[-1] + "</w>"]
         pieces = self._merge_word(symbols)
+        if len(self._cache) >= self._CACHE_CAP:
+            self._cache = dict(self._seed_cache)
         self._cache[token] = pieces
         return pieces
 

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from image_retrieval_tpu.parallel.mesh import row_spec
+
 
 def stack_layer_params(layer_params_list):
     """[params_layer_0, ...] -> single tree with leading (L, ...) axis."""
@@ -32,8 +34,7 @@ def stack_layer_params(layer_params_list):
 def shard_stages(stacked, mesh: Mesh, axis: str = "pipe"):
     """Place stacked layer params with the layer axis sharded over `axis`."""
     def put(x):
-        spec = P(axis, *([None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, row_spec(x.ndim, axis)))
 
     return jax.tree.map(put, stacked)
 
@@ -119,7 +120,7 @@ def gpipe_apply(
         )
 
     in_specs = (
-        jax.tree.map(lambda x: P(axis, *([None] * (x.ndim - 1))), stacked_params),
+        jax.tree.map(lambda x: row_spec(x.ndim, axis), stacked_params),
         P(),
     )
     fn = shard_map(

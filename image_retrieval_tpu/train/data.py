@@ -94,12 +94,14 @@ def finetune_on_color_dataset(
         seed=seed,
         base_dir=base_dir,
     )
+    if hasattr(trainer, "fit"):
+        return trainer.fit(batches, steps=steps)
+    # trainers without fit() (e.g. PipelinedCLIPTrainer): same pipelined
+    # loop — async dispatch, bounded in-flight, one batched loss drain
     losses = []
     for i, (pixels, tokens) in enumerate(batches):
         if i >= steps:
             break
-        # async: device pipelines consecutive steps; sync every few steps
-        # so in-flight input batches stay bounded (see CLIPTrainer.fit)
         losses.append(trainer.train_step_async(pixels, tokens))
         if len(losses) % 8 == 0:
             _ = jax.device_get(losses[-1])

@@ -152,6 +152,13 @@ class PipelinedCLIPTrainer:
         optimizer=None,
     ):
         self.cfg = cfg or ModelConfig()
+        if self.cfg.int8_matmuls and not (
+            self.cfg.fused_attn_block or self.cfg.fused_layer_block
+        ):
+            raise ValueError(
+                "int8_matmuls without fused kernels is inference-only "
+                "(non-differentiable QuantDense) - see CLIPTrainer"
+            )
         assert mesh is not None and "pipe" in mesh.axis_names and "data" in mesh.axis_names
         self.mesh = mesh
         stages = mesh.shape["pipe"]

@@ -80,6 +80,20 @@ class CLIPTrainer:
         optimizer=None,
     ):
         self.cfg = cfg or ModelConfig()
+        if self.cfg.int8_matmuls and not (
+            self.cfg.fused_attn_block or self.cfg.fused_layer_block
+        ):
+            # QuantDense (the unfused int8 path) has no gradient through
+            # round()/astype(int8) — training would silently update weights
+            # through only the per-channel scale terms. The fused kernels'
+            # straight-through VJPs do train; everything else is
+            # inference-only (config.py int8_matmuls docstring).
+            raise ValueError(
+                "int8_matmuls without fused kernels is inference-only: the "
+                "unfused QuantDense path is non-differentiable. Train with "
+                "the default config, or use the fused-kernel STE path "
+                "(fused_attn_block/fused_layer_block) deliberately."
+            )
         self.mesh = mesh if mesh is not None else make_mesh()
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
         self.model = CLIP(self.cfg, dtype=dtype)

@@ -203,3 +203,25 @@ def test_clip_encoder_sharded_serving_config(rng):
         np.linalg.norm(ta, axis=-1) * np.linalg.norm(tb, axis=-1)
     )
     assert cost.min() > 0.995, cost.min()
+
+
+def test_preprocess_matches_hf_clip_processor_nonsquare():
+    """preprocess_host must match transformers' CLIPImageProcessor on
+    NON-square images (short edge pinned, long edge int-truncated; the
+    old round() deviated, e.g. 480x640 -> 299 instead of 298)."""
+    transformers = pytest.importorskip("transformers")
+    from PIL import Image
+
+    from image_retrieval_tpu.models.preprocess import preprocess_host
+
+    proc = transformers.CLIPImageProcessor(
+        size={"shortest_edge": 224}, crop_size={"height": 224, "width": 224}
+    )
+    rng = np.random.default_rng(0)
+    for w, h in [(640, 480), (480, 640), (500, 333), (224, 224)]:
+        arr = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        im = Image.fromarray(arr)
+        ours = preprocess_host(im)
+        hf = proc(images=im, return_tensors="np")["pixel_values"][0]
+        hf = np.transpose(hf, (1, 2, 0))  # CHW -> HWC
+        np.testing.assert_allclose(ours, hf, atol=1e-4), (w, h)
