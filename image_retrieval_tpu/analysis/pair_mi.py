@@ -69,9 +69,10 @@ class PairMIAnalysis:
 
     # -- sampling ------------------------------------------------------------
 
-    def _sample_index_pairs(self) -> List[Tuple[int, int]]:
-        """Seeded sampled (i<j) pairs; same RNG call sequence as the
-        reference's loop (mi_analysis.py:63-75), set-based dedup."""
+    def _sample_index_pairs(self) -> Tuple[List[Tuple[int, int]], "random.Random"]:
+        """(sampled (i<j) index pairs, the seeded Random instance) — same
+        RNG call sequence as the reference's loop (mi_analysis.py:63-75),
+        set-based dedup; callers reuse the Random for later draws."""
         rnd = random.Random()
         rnd.seed(self.seed)
         n = len(self.embeddings)
@@ -214,7 +215,17 @@ class EnhancedPairMIAnalysis(PairMIAnalysis):
         """(A, B, A_orig, B_orig, keep) for pairs present in the embedding
         dict, order-preserving (indexed lookup, not linear scan). `keep`
         holds the kept PAIR indices — labels must be selected with it, not
-        truncated, or a dropped pair mid-list misaligns every later row."""
+        truncated, or a dropped pair mid-list misaligns every later row.
+
+        Memoized per pairs-list identity: compute_mi_for_all_metrics,
+        compute_mi_for_optimized_similarity, and find_optimal_parameters
+        all consume the same matrices, and the O(pairs) Python loop is
+        expensive on a single-core host (same fix as color_mi's
+        _color_table)."""
+        token = (id(self.pairs), len(self.pairs))
+        cached = getattr(self, "_pair_matrices_cache", None)
+        if cached is not None and cached[0] == token:
+            return cached[1]
         a, b, ao, bo, keep = [], [], [], [], []
         for idx, (p1, p2) in enumerate(self.pairs):
             e1 = self._emb_by_path.get(p1)
@@ -235,7 +246,9 @@ class EnhancedPairMIAnalysis(PairMIAnalysis):
         B = np.stack(b) if b else np.zeros((0, 1))
         AO = np.stack(ao) if ao else A
         BO = np.stack(bo) if bo else B
-        return A, B, AO, BO, np.array(keep, dtype=int)
+        out = (A, B, AO, BO, np.array(keep, dtype=int))
+        self._pair_matrices_cache = (token, out)
+        return out
 
     def compute_mi_for_all_metrics(self) -> Dict[str, float]:
         """Angle on normalized inputs; L1/L2/Linf/magnitude on unnormalized

@@ -2,9 +2,11 @@
 
 Same artifact names and content as reference mi_analysis.py:560-1147
 (angle_distribution.png, color_metrics_comparison.png, <metric>_density.png,
-precision_recall_curves.png, bin_sensitivity.png, summary.png), with all
-P/R and MI math vectorized (analysis/color_mi.py) instead of per-threshold
-Python loops.
+precision_recall_curves.png, summary.png), with all P/R and MI math
+vectorized (analysis/color_mi.py) instead of per-threshold Python loops.
+visualize_bin_sensitivity exists but make_all does not call it — matching
+the reference, whose run_full_analysis has the call commented out
+(mi_analysis.py:1230-1232), so no bin_sensitivity.png is produced.
 """
 
 from __future__ import annotations

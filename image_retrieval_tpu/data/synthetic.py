@@ -82,7 +82,12 @@ def synth_image(
     category_idx: int, color_name: str, variant: int, size: int = 224
 ) -> Image.Image:
     """Deterministic synthetic example (seeded jitter per variant)."""
-    rng = np.random.default_rng(hash((category_idx, color_name, variant)) % (2**31))
+    import zlib
+
+    # hash() is salted per process (PYTHONHASHSEED), which silently made
+    # every run's "deterministic" jitter different; crc32 is stable
+    seed = zlib.crc32(f"{category_idx}/{color_name}/{variant}".encode())
+    rng = np.random.default_rng(seed)
     im = Image.new("RGB", (size, size), _BACKGROUND)
     draw = ImageDraw.Draw(im)
     base = np.array(COLOR_RGB[color_name], int)

@@ -1157,7 +1157,13 @@ def _attn_block_saved_bwd(heads, causal, res, g):
     qh = q.astype(f32).reshape(b, t, heads, hd)
     kh = k.astype(f32).reshape(b, t, heads, hd)
     vh = v.astype(f32).reshape(b, t, heads, hd)
-    dv_h = jnp.einsum("bhqk,bqhd->bkhd", probs, dattn)
+    # the forward mixes with probs CAST to the compute dtype (pd = p.astype
+    # (dt); oh = pd @ v), so the true vjp for dv uses the cast probs — in
+    # bf16 towers using the raw f32 probs here would drop the ~2^-8 prob
+    # rounding from every dv term. ds (softmax bwd) stays in f32: the
+    # softmax itself ran in f32 and the cast node's vjp is pass-through.
+    probs_mix = probs.astype(dt).astype(f32)
+    dv_h = jnp.einsum("bhqk,bqhd->bkhd", probs_mix, dattn)
     dp = jnp.einsum("bqhd,bkhd->bhqk", dattn, vh)
     ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
     dq_h = jnp.einsum("bhqk,bkhd->bqhd", ds, kh) * scale

@@ -85,7 +85,7 @@ def fused_all_metrics(
 
     Args:
         queries: (Q, D) f32, unnormalized.
-        gallery_unit: (N, D) f32 unit rows (N % block_n == 0; caller pads).
+        gallery_unit: (N, D) f32 unit rows (padding to a block_n multiple is handled internally; outputs are sliced back to N).
         magnitudes: (N,) f32 stored norms.
 
     Returns:
