@@ -142,10 +142,14 @@ def main():
             return None, jax.lax.top_k(scores, k)
         return jax.lax.scan(step, None, qss)[1]
 
+    _make_qbatches = jax.jit(
+        lambda kk: jax.random.normal(kk, (n_qbatches, nq, 1, d), jnp.float32)
+    )
+
     def make_qbatches(key):
-        return jax.jit(
-            lambda kk: jax.random.normal(kk, (n_qbatches, nq, 1, d), jnp.float32)
-        )(key)
+        # one hoisted jit: wrapping a fresh jit per call would trace/compile
+        # the identical program for every pool element
+        return _make_qbatches(key)
 
     qss_pool = [make_qbatches(jax.random.PRNGKey(300 + i)) for i in range(16)]
     _ = jax.device_get(qss_pool[-1][0, 0, 0, 0])
@@ -158,11 +162,14 @@ def main():
     extra["batched_qps_min"] = round(float(qps.min()), 1)
     extra["batched_qps_max"] = round(float(qps.max()), 1)
 
+    # the reference's published optimal weights; used by the fused, int8,
+    # and Pallas sections below (defined OUTSIDE the try so one section's
+    # import failure doesn't NameError the other two)
+    weights = (1.0, 1.0, 1.0, 0.0, 0.5)
+
     # --- fused multi-metric (optimized similarity) search --------------------
     try:
         from image_retrieval_tpu.ops.metrics import fused_optimized_scores_xla
-
-        weights = (1.0, 1.0, 1.0, 0.0, 0.5)
 
         @jax.jit
         def fused_scan(g, m, qs):

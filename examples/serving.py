@@ -43,10 +43,12 @@ def main():
     index.insert([f"img_{i:05d}.jpg" for i in range(n)], emb)
     print(f"[1] indexed {len(index)} vectors (int8 storage)")
 
-    # Warm the search executable once — the first jit compile can exceed a
-    # serving timeout on slow/remote compilers (fast afterwards; query-batch
-    # bucketing means subsequent batch sizes reuse this executable)
-    index.search(emb[0], top_k=3)
+    # Warm the search executables for the buckets the server will hit —
+    # queries snap to the bucket ladder (1, 8, 32, ...), so warming only a
+    # single query compiles just the bucket-1 executable and the server's
+    # first micro-batch would still sit through a fresh remote compile
+    index.search(emb[0], top_k=3)           # bucket 1 (interactive)
+    index.search(emb[:8], top_k=3)          # bucket 8 (micro-batches)
 
     # Micro-batching server: concurrent callers share gallery sweeps
     with SearchServer(enc, index, max_batch=32) as server:

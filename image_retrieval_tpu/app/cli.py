@@ -171,11 +171,17 @@ def cmd_geometric(args) -> int:
             numeric = np.array(
                 [analyzer.label_map.get(l, -1) for l in analyzer.labels]
             )
+            # distance_measures covers only the KEPT pairs; select labels
+            # by the kept indices (truncation misaligns every label after
+            # a dropped pair — pair_mi._pair_matrices docstring)
+            kept = analyzer._pair_matrices()[4]
             ci = {}
             for metric, vals in analyzer.distance_measures.items():
                 v = np.array(vals)
+                labels_v = (numeric[kept[: len(v)]] if len(kept) >= len(v)
+                            else numeric[: len(v)])
                 ci[metric] = mi_confidence_interval(
-                    v, numeric[: len(v)], n_bins=args.num_bins
+                    v, labels_v, n_bins=args.num_bins
                 )
         mi_bar_chart(results, args.plot, ci=ci,
                      title="Geometric MI Analysis (bootstrap 95% CI)" if ci
@@ -219,6 +225,9 @@ def cmd_serve(args) -> int:
 
     app = _build_app(args)
     index = app._ensure_index()
+    if index is None or len(index) == 0:
+        print("No images produced any embeddings - nothing to serve.")
+        return 1
     ann = app._ensure_ann(index)
     with SearchServer(
         app._get_encoder(), index, max_batch=args.max_batch, ann=ann,

@@ -168,8 +168,9 @@ void run_pool(int n_items, int threads, const std::function<void(int)>& work) {
     try {
       work(i);
     } catch (...) {
-      // work() marks status on failure paths it controls; an escaping
-      // exception simply leaves that item marked failed / zeroed.
+      // work() pre-marks every item failed/zeroed before doing anything
+      // that can throw, so an escaping exception leaves a correctly
+      // failed item rather than uninitialized output.
     }
   };
   if (threads <= 1) {
@@ -202,6 +203,13 @@ void ir_decode_preprocess_batch(const char** paths, int n, int size, float* out,
                                 int32_t* status, int threads) {
   const size_t stride = size_t(size) * size * 3;
   run_pool(n, threads, [&](int i) {
+    // Pre-mark failed + zero the slot FIRST: if an exception escapes
+    // below (e.g. bad_alloc from a corrupt header claiming 65k x 65k),
+    // run_pool's catch leaves whatever is here — and the Python caller
+    // allocates status/out with np.empty, so uninitialized memory would
+    // otherwise read as "ok" and index garbage pixels.
+    status[i] = 0;
+    std::memset(out + i * stride, 0, stride * sizeof(float));
     ImageU8 img = decode_file(paths[i]);
     if (!img.ok || img.w <= 0 || img.h <= 0) {
       std::memset(out + i * stride, 0, stride * sizeof(float));
@@ -220,6 +228,8 @@ void ir_decode_thumbnail_batch(const char** paths, int n, int size, uint8_t* out
                                int32_t* status, int threads) {
   const size_t stride = size_t(size) * size * 3;
   run_pool(n, threads, [&](int i) {
+    status[i] = 0;  // see ir_decode_preprocess_batch: escaping exceptions
+    std::memset(out + i * stride, 0, stride);
     ImageU8 img = decode_file(paths[i]);
     if (!img.ok) {
       std::memset(out + i * stride, 0, stride);
