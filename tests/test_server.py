@@ -92,3 +92,71 @@ def test_bad_metric_fails_only_its_request(serving_stack):
         for t in ts: t.join()
     assert out["bad"] == "raised"
     assert len(out["good"]) == 2  # unaffected
+
+
+def test_search_many_coalesces_and_orders(serving_stack):
+    """search_many enqueues all queries before waiting: results come back
+    in input order and the batch shares micro-batches (batches counter
+    grows by far fewer than len(queries))."""
+    enc, idx = serving_stack
+    with SearchServer(enc, idx, max_batch=32, max_wait_ms=50) as server:
+        before = server.stats["batches"]
+        queries = [f"object number {i}" for i in range(12)]
+        outs = server.search_many(queries, top_k=2)
+        used = server.stats["batches"] - before
+    assert len(outs) == 12
+    assert all(len(o) == 2 for o in outs)
+    assert used < 12  # coalesced, not one sweep per query
+    # order preserved: same result as the equivalent single search
+    with SearchServer(enc, idx, max_wait_ms=10) as server2:
+        solo = server2.search(queries[5], top_k=2)
+    assert [r["path"] for r in outs[5]] == [r["path"] for r in solo]
+
+
+def test_stop_fails_queued_requests_fast(serving_stack):
+    """Requests still in the queue when the server stops get a fast error
+    instead of hanging until their timeout."""
+    import queue as q
+
+    enc, idx = serving_stack
+    server = SearchServer(enc, idx)
+    server.start()
+    server._stop.set()           # stop the loop
+    server._thread.join(timeout=5)
+    server._thread = None
+    from image_retrieval_tpu.app.server import _Request
+
+    req = _Request(query="late", top_k=1)
+    server._queue.put(req)       # enqueued after the loop exited
+    server.stop()                # must drain and fail it
+    assert req.done.is_set()
+    assert isinstance(req.error, RuntimeError)
+
+
+def test_trainer_rejects_unfused_int8_config():
+    import pytest as _pytest
+
+    from image_retrieval_tpu.config import vit_b32_serving, ModelConfig
+    import dataclasses
+
+    from image_retrieval_tpu.train.trainer import CLIPTrainer
+
+    bad = dataclasses.replace(ModelConfig(), int8_matmuls=True)
+    with _pytest.raises(ValueError):
+        CLIPTrainer(cfg=bad)
+
+
+def test_histogram_encoder_chunks_oversize_batches():
+    import numpy as np
+
+    from image_retrieval_tpu.models.histogram import HistogramEncoder
+
+    enc = HistogramEncoder(bins_per_channel=4)
+    rng = np.random.default_rng(0)
+    px = rng.normal(size=(300, 8, 8, 3)).astype(np.float32)
+    big = enc.encode_pixels(px)               # > largest bucket: chunks
+    small = np.concatenate(
+        [enc.encode_pixels(px[:256]), enc.encode_pixels(px[256:])]
+    )
+    assert big.shape == (300, 64)
+    np.testing.assert_allclose(big, small, atol=1e-6)
