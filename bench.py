@@ -106,10 +106,16 @@ def main():
             ts.append(max((t3 - t2) - (t1 - t0), 1e-9))
         return np.array(ts)
 
+    def tags_needed(repeats):
+        """Distinct input tags device_seconds(enqueue, repeats) consumes:
+        1 warm + 3 per repeat. Single source of truth for pool sizing —
+        bumping repeats anywhere can no longer under-size a pool."""
+        return 3 * repeats + 1
+
     def timed_per_query(fn, repeats=5):
         """fn(queries) -> small output. Returns per-query device-seconds."""
         qs_pool = [make_queries(jax.random.PRNGKey(100 + i))
-                   for i in range(3 * repeats + 1)]
+                   for i in range(tags_needed(repeats))]
         _ = jax.device_get(qs_pool[-1][0, 0, 0])  # sync generation
         return device_seconds(lambda i: fn(qs_pool[i]), repeats) / nq
 
@@ -151,7 +157,8 @@ def main():
         # the identical program for every pool element
         return _make_qbatches(key)
 
-    qss_pool = [make_qbatches(jax.random.PRNGKey(300 + i)) for i in range(16)]
+    qss_pool = [make_qbatches(jax.random.PRNGKey(300 + i))
+                for i in range(tags_needed(5))]
     _ = jax.device_get(qss_pool[-1][0, 0, 0, 0])
     tb = device_seconds(
         lambda i: cosine_batch_scan(gallery, qss_pool[i]), repeats=5

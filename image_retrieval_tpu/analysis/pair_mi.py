@@ -66,6 +66,15 @@ class PairMIAnalysis:
         self.label_map = dict(LABEL_MAP)
         self.label_names = ["Same Object", "Same Category", "Different Categories"]
         self._emb_by_path = {p: e for p, e in embeddings}
+        # monotonically bumped by invalidate_pairs_cache(); memo key for
+        # _pair_matrices (object identity alone can recycle ids — ADVICE r2)
+        self._pairs_gen = 0
+
+    def invalidate_pairs_cache(self) -> None:
+        """Call after (re)assigning self.pairs / self.embeddings /
+        self._emb_by_path externally; pair-generating methods call it."""
+        self._pairs_gen += 1
+        self._pair_matrices_cache = None
 
     # -- sampling ------------------------------------------------------------
 
@@ -123,6 +132,7 @@ class PairMIAnalysis:
                 self.pairs.append((p1, p2))
                 self.angles.append(self.compute_angle(e1, e2))
                 self.labels.append(label)
+        self.invalidate_pairs_cache()
         logger.info(f"Generated {len(self.pairs)} pairs for MI analysis")
 
     def generate_pairs(self) -> None:
@@ -207,6 +217,7 @@ class EnhancedPairMIAnalysis(PairMIAnalysis):
                 self.pairs.append((p1, p2))
                 self.angles.append(self.compute_angle(e1, e2))
                 self.labels.append(label)
+        self.invalidate_pairs_cache()
         logger.info(f"Generated {len(self.pairs)} pairs for MI analysis")
 
     # -- batched metric computation ------------------------------------------
@@ -217,12 +228,13 @@ class EnhancedPairMIAnalysis(PairMIAnalysis):
         holds the kept PAIR indices — labels must be selected with it, not
         truncated, or a dropped pair mid-list misaligns every later row.
 
-        Memoized per pairs-list identity: compute_mi_for_all_metrics,
+        Memoized per pairs GENERATION (bumped by invalidate_pairs_cache,
+        called by every pair-generating method): compute_mi_for_all_metrics,
         compute_mi_for_optimized_similarity, and find_optimal_parameters
         all consume the same matrices, and the O(pairs) Python loop is
         expensive on a single-core host (same fix as color_mi's
         _color_table)."""
-        token = (id(self.pairs), len(self.pairs))
+        token = (self._pairs_gen, len(self.pairs))
         cached = getattr(self, "_pair_matrices_cache", None)
         if cached is not None and cached[0] == token:
             return cached[1]

@@ -86,6 +86,8 @@ class SearchServer:
         self._thread.start()
 
     def stop(self) -> None:
+        # order matters: _stop first, so _enqueue fails fast from here on
+        # and the drain below can't race a later put (ADVICE r2)
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=5)
@@ -100,6 +102,17 @@ class SearchServer:
                 req = self._queue.get_nowait()
             except _q.Empty:
                 break
+            req.error = RuntimeError("server stopped")
+            req.done.set()
+
+    def _enqueue(self, req: _Request) -> None:
+        if self._stop.is_set():
+            raise RuntimeError("server stopped")
+        self._queue.put(req)
+        if self._stop.is_set() and not req.done.is_set():
+            # stop() may have drained between the check and the put; make
+            # sure this request fails fast either way (double done.set from
+            # a concurrent drain is harmless)
             req.error = RuntimeError("server stopped")
             req.done.set()
 
@@ -169,7 +182,7 @@ class SearchServer:
             wt = tuple(float(weights.get(k, 1.0 if k == "w_angle" else 0.0))
                        for k in _WEIGHT_KEYS)
         req = _Request(query=query, top_k=top_k, metric=metric, weights=wt)
-        self._queue.put(req)
+        self._enqueue(req)
         if not req.done.wait(timeout):
             raise TimeoutError(f"search timed out after {timeout}s")
         if req.error is not None:
@@ -197,7 +210,7 @@ class SearchServer:
             for q in queries
         ]
         for r in reqs:
-            self._queue.put(r)
+            self._enqueue(r)
         deadline = time.perf_counter() + timeout
         out = []
         for r in reqs:

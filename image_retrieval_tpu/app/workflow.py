@@ -38,12 +38,20 @@ def run_workflow(
     batch_size: int = 100,
     native_decode: bool = False,
     config=None,
+    dataset_dir: Optional[str] = None,
 ) -> Optional[dict]:
+    """`dataset_dir`: use an existing prepared color dataset at this exact
+    path (implies skip_dataset) instead of <output_dir>/color_dataset —
+    pairs.json/metadata paths then resolve against the caller's directory,
+    not a copy (tools/validate_pretrained.py --dataset-dir)."""
     from image_retrieval_tpu.data.dataset import prepare_color_dataset
     from image_retrieval_tpu.models.encoder import get_encoder
 
     os.makedirs(output_dir, exist_ok=True)
-    dataset_dir = os.path.join(output_dir, "color_dataset")
+    if dataset_dir is not None:
+        skip_dataset = True
+    else:
+        dataset_dir = os.path.join(output_dir, "color_dataset")
 
     # Step 1: dataset
     if skip_dataset and os.path.exists(dataset_dir):

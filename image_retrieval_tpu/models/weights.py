@@ -71,6 +71,34 @@ def _block(sd, prefix):
     }
 
 
+def model_config_from_hf(path: str) -> ModelConfig:
+    """Build a ModelConfig from an HF checkpoint dir's config.json (CLIPConfig
+    layout: text_config/vision_config/projection_dim). Missing keys fall back
+    to the HF CLIPText/VisionConfig defaults, so both the real
+    openai/clip-vit-base-patch32 export and the tiny CI checkpoint resolve
+    correctly."""
+    import json
+
+    with open(os.path.join(path, "config.json"), encoding="utf-8") as f:
+        c = json.load(f)
+    t = c.get("text_config", {})
+    v = c.get("vision_config", {})
+    return ModelConfig(
+        image_size=v.get("image_size", 224),
+        patch_size=v.get("patch_size", 32),
+        vision_width=v.get("hidden_size", 768),
+        vision_layers=v.get("num_hidden_layers", 12),
+        vision_heads=v.get("num_attention_heads", 12),
+        text_width=t.get("hidden_size", 512),
+        text_layers=t.get("num_hidden_layers", 12),
+        text_heads=t.get("num_attention_heads", 8),
+        vocab_size=t.get("vocab_size", 49408),
+        context_length=t.get("max_position_embeddings", 77),
+        embed_dim=c.get("projection_dim", 512),
+        dtype="float32",
+    )
+
+
 def load_hf_clip_params(path: str, cfg: ModelConfig):
     """Return a Flax param dict for models.clip.CLIP from an HF checkpoint."""
     return params_from_state_dict(_load_state_dict(path), cfg)

@@ -272,3 +272,28 @@ def test_quantile_strategy_matches_oracle(color_dataset):
                     all_y.append(i)
         want = oracle_mi(all_d, all_y, n_bins=10, strategy="quantile")
         assert got[metric] == pytest.approx(want, abs=1e-10), metric
+
+
+def test_pair_matrices_cache_invalidates_on_regeneration():
+    """Replacing the pairs list (same length, possibly recycled id) must not
+    serve stale matrices: the memo keys on a generation counter bumped by
+    every pair-generating method / invalidate_pairs_cache (ADVICE r2)."""
+    rng = np.random.default_rng(11)
+    embs = [(f"p{i}.jpg", rng.normal(size=8)) for i in range(30)]
+    an = EnhancedPairMIAnalysis(embs, num_pairs=30, num_bins=5,
+                               max_comparisons=200)
+    an.generate_pairs()
+    A1, *_ = an._pair_matrices()
+    # externally replace pairs with a same-length list of different pairs
+    new_pairs = [("p0.jpg", f"p{(i % 29) + 1}.jpg")
+                 for i in range(len(an.pairs))]
+    an.pairs = new_pairs
+    an.invalidate_pairs_cache()
+    A2, B2, *_ , keep2 = an._pair_matrices()
+    assert len(keep2) == len(new_pairs)
+    assert np.allclose(A2, np.stack([embs[0][1]] * len(new_pairs)))
+    # and generate_coco_pairs self-invalidates (no manual call needed)
+    an.pairs, an.angles, an.labels = [], [], []
+    an.generate_coco_pairs()
+    A3, *_ = an._pair_matrices()
+    assert A3.shape[0] == len(an.pairs)

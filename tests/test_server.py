@@ -160,3 +160,17 @@ def test_histogram_encoder_chunks_oversize_batches():
     )
     assert big.shape == (300, 64)
     np.testing.assert_allclose(big, small, atol=1e-6)
+
+
+def test_enqueue_after_stop_fails_fast(serving_stack):
+    enc, idx = serving_stack
+    server = SearchServer(enc, idx)
+    server.start()
+    server.stop()
+    import time
+    t0 = time.perf_counter()
+    with pytest.raises(RuntimeError, match="server stopped"):
+        server.search("anything", top_k=3, timeout=30.0)
+    assert time.perf_counter() - t0 < 5.0  # fail fast, not timeout
+    with pytest.raises(RuntimeError, match="server stopped"):
+        server.search_many(["a", "b"], top_k=3, timeout=30.0)
