@@ -59,6 +59,35 @@ def _top_r_centroids(rows: jnp.ndarray, centroids: jnp.ndarray, r: int):
     return jax.lax.top_k(sims, r)[1]
 
 
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _kmeans_chunked(rows3: jnp.ndarray, centroids: jnp.ndarray, iters: int):
+    """Spherical k-means Lloyd iterations with CHUNKED accumulation.
+
+    rows3: (nchunks, chunk, D) training rows; centroids: (C, D) init.
+    The full (N, C) one-hot never materializes — each chunk contributes a
+    (C, D) partial sum, bounding transient memory to chunk*C f32. This is
+    what makes 8M-row builds possible (the unchunked formulation needs
+    N*C*4 bytes: 8M x 8192 = 256 GB)."""
+    nlist = centroids.shape[0]
+
+    def step(c, _):
+        def chunk_step(sums, rc):
+            sims = jnp.dot(rc, c.T, preferred_element_type=jnp.float32)
+            oh = jax.nn.one_hot(jnp.argmax(sims, axis=1), nlist,
+                                dtype=jnp.float32)
+            return sums + jnp.dot(oh.T, rc,
+                                  preferred_element_type=jnp.float32), None
+
+        sums, _ = jax.lax.scan(
+            chunk_step, jnp.zeros((nlist, rows3.shape[-1]), jnp.float32), rows3
+        )
+        norms = jnp.linalg.norm(sums, axis=1, keepdims=True)
+        return jnp.where(norms > 1e-9, sums / jnp.maximum(norms, 1e-9), c), None
+
+    centroids, _ = jax.lax.scan(step, centroids, None, length=iters)
+    return centroids
+
+
 @functools.partial(jax.jit, static_argnames=("lmax", "nprobe", "k"))
 def _ivf_search(
     queries: jnp.ndarray,      # (Q, D)
@@ -247,7 +276,8 @@ class IVFIndex:
 
     def build(self, embeddings: np.ndarray, paths: Optional[Sequence[str]] = None,
               iters: int = 10, balance: Optional[float] = 1.5,
-              replicas: int = 1) -> "IVFIndex":
+              replicas: int = 1, train_size: Optional[int] = None,
+              assign_chunk: int = 131072) -> "IVFIndex":
         """balance: cluster-size cap as a multiple of the mean (None = raw
         k-means assignment). Capping bounds Lmax — memory is
         nlist * Lmax * D, and every probe pays Lmax — at a small recall
@@ -261,17 +291,45 @@ class IVFIndex:
         0.35 -> 0.52 with replicas=2; at EQUAL HBM work (lmax doubles, so
         compare single-assignment nprobe=20: 0.50) the gain is ~2 points
         plus half the probe-loop steps per query. Search dedups
-        multi-assigned rows."""
+        multi-assigned rows.
+
+        train_size: k-means trains on a random subsample of this many rows
+        (chunked Lloyd accumulation, _kmeans_chunked) and assignment runs
+        chunked over the full set — required above a few million rows,
+        where the full-set formulation exceeds HBM (the FAISS train/add
+        split, matching the reference's Milvus IVF_FLAT which also trains
+        server-side on the inserted data; ImageEmbeddingSystem.py:56-61)."""
         emb = np.asarray(embeddings, np.float32)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         unit = emb / np.where(norms > 0, norms, 1.0)
         n, d = unit.shape
         nlist = min(self.nlist, n)
         replicas = max(1, min(replicas, nlist))
-        centroids, assign = _kmeans_unit(
-            jnp.asarray(unit), jnp.asarray([self.seed], jnp.uint32), nlist, iters
-        )
-        assign = np.asarray(assign)
+        if train_size is not None and train_size < n:
+            rng = np.random.default_rng(self.seed)
+            sel = np.sort(rng.choice(n, size=train_size, replace=False))
+            chunk = min(32768, train_size)
+            nchunks = max(train_size // chunk, 1)
+            train = unit[sel][: nchunks * chunk].reshape(nchunks, chunk, d)
+            init = train.reshape(-1, d)[
+                rng.choice(nchunks * chunk, size=nlist, replace=False)
+            ]
+            centroids = _kmeans_chunked(
+                jnp.asarray(train), jnp.asarray(init), iters
+            )
+            assign = np.empty(n, np.int32)
+            for i in range(0, n, assign_chunk):
+                assign[i : i + assign_chunk] = np.asarray(
+                    _top_r_centroids(
+                        jnp.asarray(unit[i : i + assign_chunk]), centroids, 1
+                    )
+                )[:, 0]
+        else:
+            centroids, assign = _kmeans_unit(
+                jnp.asarray(unit), jnp.asarray([self.seed], jnp.uint32),
+                nlist, iters,
+            )
+            assign = np.asarray(assign)
         if replicas > 1:
             # memberships = each row's top-`replicas` centroids, computed in
             # row chunks on device (the full (N, C) sims never materialize)

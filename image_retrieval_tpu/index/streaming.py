@@ -1,0 +1,166 @@
+"""Beyond-HBM exact search: chunked host-RAM -> device streaming sweep.
+
+One v5e chip holds ~27M int8 512-d rows in HBM (13.5 GB usable); past that
+the gallery must live in host RAM and stream through the chip. This engine
+keeps the gallery as int8 rows (+ per-row norm-preserving scales) in host
+memory, sweeps it in fixed-size chunks with a double-buffered transfer
+window, and maintains the running top-k entirely on device so the whole
+sweep is one async dispatch chain with a single host fetch at the end.
+
+Scale story this completes (reference C13: Milvus scales server-side,
+ImageEmbeddingSystem.py:56-61): HBM-resident sharded exact search
+(vector_index.py) -> int8 HBM-resident (4x rows) -> THIS (host-RAM bound,
+~64x rows at 32 GB) -> multi-chip mesh sharding (parallel/collectives.py).
+
+Design notes:
+  * per-chunk work is top_k over (Q, chunk_rows) scores from one bf16 MXU
+    matmul — identical math to the int8 path in vector_index/bench.py, so
+    streamed results match the resident int8 sweep exactly.
+  * the running merge is top_k over (Q, 2k) — negligible.
+  * transfers overlap compute only as much as the runtime allows; the
+    bench tool (tools/tpu_streaming_probe.py) measures the achieved
+    overlap and the host->device bandwidth separately, and documents the
+    resident-vs-streamed crossover.
+  * queries are swept per chunk (gallery pass amortized over the whole
+    query batch) — streaming is a throughput configuration; single-query
+    latency is chunk-transfer bound by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_rows_int8(rows: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Norm-preserving symmetric int8 quantization (same scheme as the
+    resident int8 index): per-row absmax grid, scales set so the QUANTIZED
+    row has unit norm — cosine against unit queries needs no extra
+    correction beyond the per-row scale multiply."""
+    rows = np.asarray(rows, np.float32)
+    grid = np.maximum(np.abs(rows).max(axis=1), 1e-12) / 127.0
+    q8 = np.clip(np.rint(rows / grid[:, None]), -127, 127).astype(np.int8)
+    qn = np.linalg.norm(q8.astype(np.float32), axis=1)
+    scales = (1.0 / np.where(qn > 0, qn, 1.0)).astype(np.float32)
+    return q8, scales
+
+
+class StreamingGallerySearch:
+    """Exact cosine top-k over a host-resident int8 gallery, streamed in
+    chunks through the device.
+
+    rows_int8: (N, D) int8, scales: (N,) f32 (see quantize_rows_int8).
+    chunk_rows: rows per transfer; device working set is ~2 chunks
+    (double buffer) x D bytes plus the (Q, chunk_rows) score tile.
+    """
+
+    def __init__(
+        self,
+        rows_int8: np.ndarray,
+        scales: np.ndarray,
+        chunk_rows: int = 2_097_152,
+        device=None,
+    ):
+        assert rows_int8.dtype == np.int8 and rows_int8.ndim == 2
+        self.n, self.dim = rows_int8.shape
+        assert scales.shape == (self.n,)
+        self.chunk_rows = int(min(chunk_rows, self.n))
+        self.device = device or jax.devices()[0]
+        # pre-chunk views (no copy); the final partial chunk is padded at
+        # search time with scale=0 rows, masked to -inf below
+        self._chunks = []
+        for s in range(0, self.n, self.chunk_rows):
+            e = min(s + self.chunk_rows, self.n)
+            self._chunks.append((s, rows_int8[s:e], scales[s:e]))
+
+        @jax.jit
+        def _sweep_chunk(state_vals, state_idx, g8, sc, qn16, offset, n_valid):
+            """One chunk: score + chunk top-k + merge into running state."""
+            k = state_vals.shape[1]
+            dots = jax.lax.dot_general(
+                qn16, g8.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            scores = dots * sc[None, :]
+            # pad rows (row >= n_valid) must lose every comparison
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(col < n_valid, scores, -jnp.inf)
+            # a chunk can contribute at most chunk_rows candidates (k may
+            # exceed the chunk when chunks are tiny); the merge still fills
+            # all k state slots from the accumulated candidates
+            cv, ci = jax.lax.top_k(scores, min(k, scores.shape[1]))
+            cand_vals = jnp.concatenate([state_vals, cv], axis=1)
+            cand_idx = jnp.concatenate(
+                [state_idx, ci.astype(jnp.int32) + offset], axis=1
+            )
+            mv, mi = jax.lax.top_k(cand_vals, k)
+            return mv, jnp.take_along_axis(cand_idx, mi, axis=1)
+
+        self._sweep_chunk = _sweep_chunk
+
+    # -- search ---------------------------------------------------------------
+
+    def search(
+        self, queries_unit: np.ndarray, top_k: int = 10
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """queries_unit: (Q, D) L2-normalized f32. Returns (vals, idx) each
+        (Q, top_k), exact over all N rows."""
+        q = np.asarray(queries_unit, np.float32)
+        if q.ndim == 1:
+            q = q[None]
+        qn16 = jax.device_put(q.astype(jnp.bfloat16), self.device)
+        k = int(min(top_k, self.n))
+        vals = jnp.full((q.shape[0], k), -jnp.inf, jnp.float32)
+        idx = jnp.full((q.shape[0], k), -1, jnp.int32)
+        vals = jax.device_put(vals, self.device)
+        idx = jax.device_put(idx, self.device)
+
+        pad_to = self.chunk_rows
+        window: list = [None, None]  # double buffer: keep <=2 chunks on device
+
+        def stage(ci):
+            s, g8, sc = self._chunks[ci]
+            nv = g8.shape[0]
+            if nv < pad_to:
+                g8 = np.concatenate(
+                    [g8, np.zeros((pad_to - nv, self.dim), np.int8)], 0
+                )
+                sc = np.concatenate([sc, np.zeros(pad_to - nv, np.float32)])
+            dg = jax.device_put(g8, self.device)
+            dsc = jax.device_put(sc, self.device)
+            return (s, nv, dg, dsc)
+
+        if self._chunks:
+            window[0] = stage(0)
+        for ci in range(len(self._chunks)):
+            # stage the NEXT chunk before consuming this one: its transfer
+            # overlaps this chunk's matmul in the async dispatch stream
+            if ci + 1 < len(self._chunks):
+                window[(ci + 1) % 2] = stage(ci + 1)
+            s, nv, dg, dsc = window[ci % 2]
+            vals, idx = self._sweep_chunk(
+                vals, idx, dg, dsc, qn16, jnp.int32(s), jnp.int32(nv)
+            )
+            window[ci % 2] = None  # release this chunk's device buffers
+        return np.asarray(vals), np.asarray(idx)
+
+    # -- introspection --------------------------------------------------------
+
+    @property
+    def bytes_per_sweep(self) -> int:
+        """Host->device bytes one full gallery pass moves."""
+        return self.n * self.dim + self.n * 4
+
+    def expected_sweep_seconds(
+        self, transfer_gbps: float, compute_s_per_chunk: float
+    ) -> float:
+        """Analytic sweep-time model: max(transfer, compute) per chunk when
+        overlapped (the probe reports achieved overlap vs this bound)."""
+        per_chunk_bytes = self.chunk_rows * (self.dim + 4)
+        t_xfer = per_chunk_bytes / (transfer_gbps * 1e9)
+        return len(self._chunks) * max(t_xfer, compute_s_per_chunk)

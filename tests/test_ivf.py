@@ -445,3 +445,41 @@ def test_facade_ann_rebuilds_on_generation_change(rng):
     _, ids = ann2.search(q, top_k=3)
     got = [index.paths[int(i)] for i in ids if i >= 0]
     assert "brandnew" in got and "old3" not in got
+
+
+def test_sampled_training_build_matches_full_build_quality():
+    """train_size subsampled k-means + chunked assignment (the 8M-scale
+    build path) reaches recall comparable to the full-set build on
+    clustered data, and search results stay exact over probed lists."""
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(32, 32)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = np.repeat(centers, 64, axis=0) + 0.15 * rng.normal(
+        size=(2048, 32)
+    ).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+
+    q = centers[:16] + 0.1 * rng.normal(size=(16, 32)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    exact = rows @ q.T
+    exact_ids = np.argsort(-exact.T, axis=1, kind="stable")[:, :10]
+
+    full = IVFIndex(nlist=32, nprobe=4, seed=0).build(rows)
+    sampled = IVFIndex(nlist=32, nprobe=4, seed=0).build(
+        rows, train_size=512, assign_chunk=300
+    )
+    r_full = full.recall_at(q, exact_ids, k=10)
+    r_sampled = sampled.recall_at(q, exact_ids, k=10)
+    assert r_sampled >= 0.8
+    assert r_sampled >= r_full - 0.15
+
+
+def test_kmeans_chunked_centroids_are_unit_norm():
+    from image_retrieval_tpu.index.ivf import _kmeans_chunked
+
+    rng = np.random.default_rng(6)
+    rows = rng.normal(size=(4, 64, 16)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=-1, keepdims=True)
+    init = rows.reshape(-1, 16)[:8]
+    c = np.asarray(_kmeans_chunked(rows, init, 5))
+    np.testing.assert_allclose(np.linalg.norm(c, axis=1), 1.0, atol=1e-5)
