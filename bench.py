@@ -425,6 +425,42 @@ def main():
     except Exception as e:  # pragma: no cover
         extra["e2e_query_error"] = str(e)[:200]
 
+    # --- end-to-end ingest: JPEG on disk -> decode pool -> batched encode ->
+    # indexed row (reference ImageEmbeddingSystem.py:100-137; VERDICT r2
+    # item 2). This host has ONE core, so e2e is decode-bound by
+    # construction — the extra records the per-core decode rate and the
+    # n-core projection alongside the measured e2e number.
+    try:
+        if not on_tpu:
+            raise RuntimeError("ingest e2e bench: TPU-only (encode leg)")
+        sys_path = os.path.dirname(os.path.abspath(__file__))
+        import sys as _sys
+
+        if sys_path not in _sys.path:
+            _sys.path.insert(0, sys_path)
+        from tools.ingest_bench import run_ingest_bench
+
+        from image_retrieval_tpu.config import Config as _Cfg
+        from image_retrieval_tpu.models.encoder import get_encoder as _ge
+
+        _enc = _ge(config=_Cfg(model=vit_b32_serving()))
+        ing = run_ingest_bench(
+            _enc,
+            corpus_dir=os.path.join(sys_path, ".ingest_corpus"),
+            n_images=512,
+            batch_size=256,
+            device_rate_hint=extra.get("embed_serving_img_per_s", 0.0),
+        )
+        extra["ingest_img_per_s_e2e"] = ing["e2e_img_per_s"]
+        extra["ingest_decode_img_per_s_core"] = ing["decode_img_per_s_core"]
+        extra["ingest_overlap_efficiency"] = ing["overlap_efficiency"]
+        extra["ingest_cores_to_saturate"] = ing["cores_to_saturate_device"]
+        extra["ingest_projected_img_per_s_32cores"] = ing[
+            "projected_img_per_s_32cores"
+        ]
+    except Exception as e:  # pragma: no cover
+        extra["ingest_error"] = str(e)[:200]
+
     target_ms = 5.0
     print(
         json.dumps(

@@ -14,21 +14,25 @@ ImageEmbeddingSystem.py:56-61): HBM-resident sharded exact search
 
 Design notes:
   * per-chunk work is top_k over (Q, chunk_rows) scores from one bf16 MXU
-    matmul — identical math to the int8 path in vector_index/bench.py, so
-    streamed results match the resident int8 sweep exactly.
+    matmul — identical math to the resident int8 path, so streamed results
+    match the resident int8 sweep exactly.
+  * ALL per-row scales ship once, up front (0.8% of gallery bytes): per-
+    chunk transfers are then a single device_put each, which matters when
+    each transfer pays a round-trip (measured: the dev tunnel's put path
+    is RTT-dominated below ~256 MB blocks).
   * the running merge is top_k over (Q, 2k) — negligible.
   * transfers overlap compute only as much as the runtime allows; the
-    bench tool (tools/tpu_streaming_probe.py) measures the achieved
-    overlap and the host->device bandwidth separately, and documents the
-    resident-vs-streamed crossover.
-  * queries are swept per chunk (gallery pass amortized over the whole
-    query batch) — streaming is a throughput configuration; single-query
+    bench tool (tools/tpu_streaming_probe.py) measures achieved bandwidth
+    and overlap efficiency, and documents the resident-vs-streamed
+    crossover for production-host transfer rates.
+  * queries sweep per chunk (gallery pass amortized over the whole query
+    batch) — streaming is a throughput configuration; single-query
     latency is chunk-transfer bound by construction.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
@@ -62,7 +66,7 @@ class StreamingGallerySearch:
         self,
         rows_int8: np.ndarray,
         scales: np.ndarray,
-        chunk_rows: int = 2_097_152,
+        chunk_rows: int = 4_194_304,
         device=None,
     ):
         assert rows_int8.dtype == np.int8 and rows_int8.ndim == 2
@@ -70,17 +74,28 @@ class StreamingGallerySearch:
         assert scales.shape == (self.n,)
         self.chunk_rows = int(min(chunk_rows, self.n))
         self.device = device or jax.devices()[0]
-        # pre-chunk views (no copy); the final partial chunk is padded at
-        # search time with scale=0 rows, masked to -inf below
+        # chunk views (no copy); the final partial chunk is padded at search
+        # time with zero rows whose scores are masked to -inf below
         self._chunks = []
         for s in range(0, self.n, self.chunk_rows):
             e = min(s + self.chunk_rows, self.n)
-            self._chunks.append((s, rows_int8[s:e], scales[s:e]))
+            self._chunks.append((s, rows_int8[s:e]))
+        # scales: padded to whole chunks, resident on device for the whole
+        # engine lifetime (N*4 bytes) — saves one put + round-trip per chunk
+        n_pad = len(self._chunks) * self.chunk_rows
+        sc = scales if n_pad == self.n else np.concatenate(
+            [scales, np.zeros(n_pad - self.n, np.float32)]
+        )
+        self._scales_dev = jax.device_put(sc, self.device)
+
+        cr = self.chunk_rows
 
         @jax.jit
-        def _sweep_chunk(state_vals, state_idx, g8, sc, qn16, offset, n_valid):
+        def _sweep_chunk(state_vals, state_idx, g8, all_scales, qn16,
+                         offset, n_valid):
             """One chunk: score + chunk top-k + merge into running state."""
             k = state_vals.shape[1]
+            sc = jax.lax.dynamic_slice_in_dim(all_scales, offset, cr, 0)
             dots = jax.lax.dot_general(
                 qn16, g8.astype(jnp.bfloat16),
                 (((1,), (1,)), ((), ())),
@@ -115,25 +130,24 @@ class StreamingGallerySearch:
             q = q[None]
         qn16 = jax.device_put(q.astype(jnp.bfloat16), self.device)
         k = int(min(top_k, self.n))
-        vals = jnp.full((q.shape[0], k), -jnp.inf, jnp.float32)
-        idx = jnp.full((q.shape[0], k), -1, jnp.int32)
-        vals = jax.device_put(vals, self.device)
-        idx = jax.device_put(idx, self.device)
+        vals = jax.device_put(
+            jnp.full((q.shape[0], k), -jnp.inf, jnp.float32), self.device
+        )
+        idx = jax.device_put(
+            jnp.full((q.shape[0], k), -1, jnp.int32), self.device
+        )
 
         pad_to = self.chunk_rows
-        window: list = [None, None]  # double buffer: keep <=2 chunks on device
+        window: list = [None, None]  # double buffer: <=2 chunks on device
 
         def stage(ci):
-            s, g8, sc = self._chunks[ci]
+            s, g8 = self._chunks[ci]
             nv = g8.shape[0]
             if nv < pad_to:
                 g8 = np.concatenate(
                     [g8, np.zeros((pad_to - nv, self.dim), np.int8)], 0
                 )
-                sc = np.concatenate([sc, np.zeros(pad_to - nv, np.float32)])
-            dg = jax.device_put(g8, self.device)
-            dsc = jax.device_put(sc, self.device)
-            return (s, nv, dg, dsc)
+            return (s, nv, jax.device_put(g8, self.device))
 
         if self._chunks:
             window[0] = stage(0)
@@ -142,25 +156,27 @@ class StreamingGallerySearch:
             # overlaps this chunk's matmul in the async dispatch stream
             if ci + 1 < len(self._chunks):
                 window[(ci + 1) % 2] = stage(ci + 1)
-            s, nv, dg, dsc = window[ci % 2]
+            s, nv, dg = window[ci % 2]
             vals, idx = self._sweep_chunk(
-                vals, idx, dg, dsc, qn16, jnp.int32(s), jnp.int32(nv)
+                vals, idx, dg, self._scales_dev, qn16,
+                jnp.int32(s), jnp.int32(nv),
             )
-            window[ci % 2] = None  # release this chunk's device buffers
+            window[ci % 2] = None  # release this chunk's device buffer
         return np.asarray(vals), np.asarray(idx)
 
     # -- introspection --------------------------------------------------------
 
     @property
     def bytes_per_sweep(self) -> int:
-        """Host->device bytes one full gallery pass moves."""
-        return self.n * self.dim + self.n * 4
+        """Host->device bytes one full gallery pass moves (scales are
+        resident, not re-streamed)."""
+        return self.n * self.dim
 
     def expected_sweep_seconds(
         self, transfer_gbps: float, compute_s_per_chunk: float
     ) -> float:
         """Analytic sweep-time model: max(transfer, compute) per chunk when
         overlapped (the probe reports achieved overlap vs this bound)."""
-        per_chunk_bytes = self.chunk_rows * (self.dim + 4)
+        per_chunk_bytes = self.chunk_rows * self.dim
         t_xfer = per_chunk_bytes / (transfer_gbps * 1e9)
         return len(self._chunks) * max(t_xfer, compute_s_per_chunk)

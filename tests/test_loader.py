@@ -90,3 +90,24 @@ def test_abandoned_iterator_does_not_leak_producer(tmp_path, rng):
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_ingest_bench_full_chain(tmp_path):
+    """tools/ingest_bench.py runs the measured chain end to end (small
+    corpus, fake encoder) and reports every bound-decomposition field."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    try:
+        from ingest_bench import run_ingest_bench
+    finally:
+        sys.path.pop(0)
+    from image_retrieval_tpu.models.encoder import FakeEncoder
+
+    res = run_ingest_bench(
+        FakeEncoder(dim=64), str(tmp_path / "corpus"), n_images=24,
+        batch_size=8,
+    )
+    for key in ("decode_img_per_s_core", "encode_img_per_s", "e2e_img_per_s",
+                "overlap_efficiency", "cores_to_saturate_device"):
+        assert key in res and res[key] >= 0, key
+    assert res["n_images"] == 24

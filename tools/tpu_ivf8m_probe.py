@@ -1,0 +1,210 @@
+"""IVF at the scale it exists for: 8M x 512 int8 (VERDICT r2 item 1).
+
+Reference semantics to beat: Milvus IVF_FLAT nlist=1024 / nprobe=10 / COSINE
+(/root/reference/src/ImageEmbeddingSystem.py:56-61). Our exact int8 sweep at
+8M is ~5.8 ms/query (r2); the question is whether an IVF configuration
+(nlist 2-8k, replicas 1-2) beats that with recall@10 >= 0.9.
+
+Data model matters and is reported per-curve:
+  * clustered  — 16k unit centers, rows = normalize(center + sigma*noise),
+    sigma=0.35: the regime real CLIP image corpora live in (IVF's habitat).
+  * unclustered — i.i.d. normal rows: the adversarial worst case the r2
+    1M curve measured (recall 0.35 @ nprobe=10).
+Queries are fresh draws from the same model (clustered: new noise around
+held-out-ish centers). Ground truth = the resident int8 exact sweep on the
+SAME quantized rows, so recall isolates IVF's candidate loss from
+quantization effects.
+
+Run:  python tools/tpu_ivf8m_probe.py [--rows 8] [--quick]
+Writes bench_results/ivf8m_probe.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tools.tpu_embed_probe import _enable_cache
+
+D = 512
+K = 10
+NQ = 256
+
+
+def rec(out, path, **kw):
+    out.append(kw)
+    print(json.dumps(kw), flush=True)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+
+
+def make_rows(n, clustered, rng, centers=None):
+    if not clustered:
+        g = np.empty((n, D), np.float32)
+        step = 2 << 20
+        for s in range(0, n, step):
+            e = min(s + step, n)
+            g[s:e] = rng.normal(size=(e - s, D)).astype(np.float32)
+        g /= np.linalg.norm(g, axis=1, keepdims=True)
+        return g, None
+    ncenters = 16384
+    if centers is None:
+        centers = rng.normal(size=(ncenters, D)).astype(np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    g = np.empty((n, D), np.float32)
+    step = 1 << 20
+    for s in range(0, n, step):
+        e = min(s + step, n)
+        cid = rng.integers(0, len(centers), e - s)
+        g[s:e] = centers[cid] + 0.35 * rng.normal(size=(e - s, D)).astype(
+            np.float32
+        )
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    return g, centers
+
+
+def exact_gt(g, queries):
+    """Resident int8 exact top-K ids + per-query device ms (one-vs-two)."""
+    absmax = np.maximum(np.abs(g).max(axis=1), 1e-12)
+    sc_grid = (absmax / 127.0).astype(np.float32)
+    g8 = np.clip(np.rint(g / sc_grid[:, None]), -127, 127).astype(np.int8)
+    qn8 = np.linalg.norm(g8.astype(np.float32), axis=1)
+    sc = (1.0 / np.where(qn8 > 0, qn8, 1.0)).astype(np.float32)
+    dg = jax.device_put(g8)
+    dsc = jax.device_put(sc)
+    _ = jax.device_get(dg[0, 0])
+
+    @jax.jit
+    def sweep(gg, ss, qs):
+        dots = jax.lax.dot_general(
+            qs.astype(jnp.bfloat16), gg.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        return jax.lax.top_k(dots * ss[None, :], K)
+
+    qd = jnp.asarray(queries)
+    vals, ids = sweep(dg, dsc, qd)
+    ids = np.asarray(ids)
+    # timing: 64-query batches, one-vs-two dispatch difference
+    qs64 = [jnp.asarray(queries[i * 64 : (i + 1) * 64]) for i in range(4)]
+    _ = jax.device_get(sweep(dg, dsc, qs64[0])[0])
+    ts = []
+    for r in range(3):
+        a = sweep(dg, dsc, qs64[(r) % 4])
+        t0 = time.perf_counter(); _ = jax.device_get(a[0]); t1 = time.perf_counter()
+        b = sweep(dg, dsc, qs64[(r + 1) % 4])
+        c = sweep(dg, dsc, qs64[(r + 2) % 4])
+        t2 = time.perf_counter(); _ = jax.device_get(c[0]); t3 = time.perf_counter()
+        del b
+        ts.append(max((t3 - t2) - (t1 - t0), 1e-9))
+    sweep_ms = float(np.median(ts)) * 1e3
+    del dg, dsc
+    return ids, sweep_ms, g8, sc
+
+
+def probe_config(out, respath, g, gt_ids, queries, nlist, replicas, nprobes,
+                 train_size, tag):
+    from image_retrieval_tpu.index.ivf import IVFIndex, _ivf_search
+
+    t0 = time.time()
+    ivf = IVFIndex(nlist=nlist, nprobe=10, seed=0, dtype="int8")
+    ivf.build(g, balance=None, replicas=replicas, train_size=train_size)
+    build_s = time.time() - t0
+    lmax = ivf._lmax
+    slots = ivf.nlist * lmax
+    rec(out, respath, name=f"build_{tag}", nlist=ivf.nlist, replicas=replicas,
+        lmax=lmax, slots=slots, packed_mb=round(slots * D / 1e6),
+        fill=round(ivf.count * replicas / slots, 3), build_s=round(build_s, 1))
+
+    for npb in nprobes:
+        # recall on all NQ queries through the public API
+        r = ivf.recall_at(queries, gt_ids, k=K, nprobe=npb)
+        # latency: call the jitted kernel directly, 64-query batches
+        kf = min(
+            next((b for b in (16, 32, 64, 128, 256) if K * replicas <= b),
+                 K * replicas), npb * lmax, ivf.count)
+        qs64 = [jnp.asarray(queries[i * 64: (i + 1) * 64]) for i in range(4)]
+
+        def run(i):
+            return _ivf_search(qs64[i % 4], ivf._centroids, ivf._packed,
+                               ivf._row_ids, lmax, npb, kf, ivf._scales)[0]
+
+        _ = jax.device_get(run(0))
+        ts = []
+        for rr in range(3):
+            a = run(rr)
+            t0 = time.perf_counter(); _ = jax.device_get(a); t1 = time.perf_counter()
+            b = run(rr + 1)
+            c = run(rr + 2)
+            t2 = time.perf_counter(); _ = jax.device_get(c); t3 = time.perf_counter()
+            del b
+            ts.append(max((t3 - t2) - (t1 - t0), 1e-9))
+        ms64 = float(np.median(ts)) * 1e3
+        rec(out, respath, name=f"search_{tag}_np{npb}", nlist=ivf.nlist,
+            replicas=replicas, nprobe=npb, recall_at_10=round(float(r), 4),
+            batch64_ms=round(ms64, 3), ms_per_query=round(ms64 / 64, 4),
+            scanned_frac=round(npb * lmax / ivf.count, 4))
+    del ivf
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=float, default=8, help="Mrows")
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    _enable_cache()
+    print(f"devices: {jax.devices()}", flush=True)
+    out = []
+    respath = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench_results", "ivf8m_probe.json")
+
+    n = int((0.5 if args.quick else args.rows) * (1 << 20))
+    rng = np.random.default_rng(0)
+
+    for clustered in (True, False):
+        tag_d = "clu" if clustered else "unc"
+        g, centers = make_rows(n, clustered, rng)
+        if clustered:
+            qidx = rng.integers(0, len(centers), NQ)
+            queries = centers[qidx] + 0.35 * rng.normal(size=(NQ, D)).astype(
+                np.float32)
+        else:
+            queries = rng.normal(size=(NQ, D)).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+        gt_ids, exact_ms64, _, _ = exact_gt(g, queries)
+        rec(out, respath, name=f"exact_int8_{tag_d}", rows=n,
+            batch64_ms=round(exact_ms64, 3),
+            ms_per_query=round(exact_ms64 / 64, 4))
+
+        if args.quick:
+            configs = [(1024, 1)]
+            nprobes = [8, 32]
+            train = 128 << 10
+        else:
+            configs = [(4096, 1), (4096, 2), (8192, 1)]
+            nprobes = [8, 16, 32, 64]
+            train = 512 << 10
+        for nlist, replicas in configs:
+            probe_config(out, respath, g, gt_ids, queries, nlist, replicas,
+                         nprobes, train, f"{tag_d}_n{nlist}_r{replicas}")
+        del g
+        if not clustered and args.quick:
+            break
+
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -42,7 +42,7 @@ def rec(out, **kw):
     print(json.dumps(kw), flush=True)
 
 
-def measure_put_bandwidth(out, mb=256, repeats=3):
+def measure_put_bandwidth(out, mb=512, repeats=3):
     """device_put wall bandwidth, barriered by fetching one element."""
     arr = np.random.default_rng(0).integers(-127, 127, (mb << 20,), np.int8)
     # warm (allocator + any lazy session setup)
@@ -63,15 +63,16 @@ def measure_put_bandwidth(out, mb=256, repeats=3):
 
 def make_host_gallery(n_rows):
     """int8 rows + norm-preserving scales, generated chunkwise (1-core
-    host: integers() is the cheap generator)."""
+    host; the f32 upcast for norms never exceeds one chunk)."""
     rng = np.random.default_rng(1)
     g8 = np.empty((n_rows, D), np.int8)
+    scales = np.empty(n_rows, np.float32)
     step = 4 << 20
     for s in range(0, n_rows, step):
         e = min(s + step, n_rows)
         g8[s:e] = rng.integers(-127, 128, (e - s, D), np.int8)
-    qn = np.linalg.norm(g8.astype(np.float32), axis=1)
-    scales = (1.0 / np.where(qn > 0, qn, 1.0)).astype(np.float32)
+        qn = np.linalg.norm(g8[s:e].astype(np.float32), axis=1)
+        scales[s:e] = 1.0 / np.where(qn > 0, qn, 1.0)
     return g8, scales
 
 
@@ -149,7 +150,7 @@ def main():
     _enable_cache()
     print(f"devices: {jax.devices()}", flush=True)
     out = []
-    put_gbps = measure_put_bandwidth(out, mb=64 if args.quick else 256)
+    put_gbps = measure_put_bandwidth(out, mb=64 if args.quick else 512)
 
     if args.quick:
         resident_rows = [1 << 20]
@@ -159,7 +160,7 @@ def main():
         resident_rows = [8 << 20, 16 << 20]
         streamed_rows = [int(float(m)) << 20
                          for m in args.rows_streamed.split(",")]
-        chunk = 2 << 20
+        chunk = 4 << 20
 
     for n in resident_rows:
         g8, sc = make_host_gallery(n)
