@@ -244,23 +244,31 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
-        # Whole-layer fusion must keep the full layer's weights + working
-        # set inside the ~16 MB scoped-VMEM budget: weights are 12*w^2
-        # bytes int8 / 24*w^2 bf16, so the layer kernel fits up to
-        # width 768 int8 (ViT-B, 7.1 MB — measured) and width 512 bf16
-        # (text tower; 768 bf16 = 14.2 MB measured OOM). Wider towers
+        # Kernel feasibility comes from the on-hardware compile-shape sweep
+        # (bench_results/mosaic_shapes.json via ops/shape_support.py) when
+        # a point was swept, else the measured VMEM envelope: layer-kernel
+        # weights are 12*w^2 bytes int8 / 24*w^2 bf16 against ~16 MB scoped
+        # VMEM, so int8 fits through width 768 (ViT-B, 7.1 MB) and bf16
+        # through width 512 (768 bf16 = 14.2 MB measured OOM). Wider towers
         # (e.g. L/14's 1024) and non-causal-masked inputs (vision_seq_pad)
         # fall back to the two sub-block kernels — same fusion minus the
         # mid-layer HBM round-trip, and the MLP kernel still applies even
-        # when the attention sub-block must honor a mask.
-        layer_fits = (self.quant and self.width <= 768) or (
-            not self.quant and self.width <= 512
+        # when the attention sub-block must honor a mask. Sub-block points
+        # the sweep REJECTED (bf16 lane-unaligned t) fall all the way back
+        # to the unfused XLA path instead of crashing the remote compiler.
+        from image_retrieval_tpu.ops.shape_support import (
+            layer_kernel_fits,
+            subblock_kernel_fits,
         )
+
+        t_len = x.shape[1]
+        layer_fits = layer_kernel_fits(self.quant, self.width, t_len)
         layer_ok = (self.fused_layer and layer_fits
                     and (mask is None or self.causal))
-        use_subblocks = self.fused_layer and not layer_ok
-        fused_block = self.fused_block or use_subblocks
-        fused_mlp = self.fused_mlp or use_subblocks
+        subblocks_fit = subblock_kernel_fits(self.quant, self.width, t_len)
+        use_subblocks = self.fused_layer and not layer_ok and subblocks_fit
+        fused_block = (self.fused_block and subblocks_fit) or use_subblocks
+        fused_mlp = (self.fused_mlp and subblocks_fit) or use_subblocks
         if layer_ok:
             from image_retrieval_tpu.ops.flash_attention import (
                 layer_block,

@@ -83,16 +83,19 @@ class CLIPTrainer:
         if self.cfg.int8_matmuls and not (
             self.cfg.fused_attn_block or self.cfg.fused_layer_block
         ):
-            # QuantDense (the unfused int8 path) has no gradient through
-            # round()/astype(int8) — training would silently update weights
-            # through only the per-channel scale terms. The fused kernels'
-            # straight-through VJPs do train; everything else is
-            # inference-only (config.py int8_matmuls docstring).
+            # QuantDense now carries its own straight-through VJP
+            # (models/clip.py _quant_matmul, ADVICE r2), so direct jax.grad
+            # over the unfused int8 path is no longer silently wrong — but
+            # training through it quantizes EVERY projection's forward with
+            # none of the fused kernels' speed, the worst of both. Keep the
+            # trainer opinionated: int8 training goes through the fused-
+            # kernel STE path.
             raise ValueError(
-                "int8_matmuls without fused kernels is inference-only: the "
-                "unfused QuantDense path is non-differentiable. Train with "
-                "the default config, or use the fused-kernel STE path "
-                "(fused_attn_block/fused_layer_block) deliberately."
+                "int8_matmuls without fused kernels: use the fused-kernel "
+                "STE path (fused_attn_block/fused_layer_block) for int8 "
+                "training, or the default config for bf16/f32 training. "
+                "(Direct jax.grad over unfused QuantDense does work — "
+                "straight-through — but is never the fast configuration.)"
             )
         self.mesh = mesh if mesh is not None else make_mesh()
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
