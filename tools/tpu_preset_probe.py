@@ -78,31 +78,54 @@ def main():
     if args.quick:
         return
 
-    # --- L/14: parity, serving (sub-block fallback), forced layer kernel ----
-    l14 = vit_l14()
-    l14_srv = serving_config(l14)
-    guarded(out, "l14_parity_b64",
-            lambda: tower("l14_parity_b64", l14, 64, fetch_s, out))
-    guarded(out, "l14_serving_subblock_b64",
-            lambda: tower("l14_serving_subblock_b64", l14_srv, 64, fetch_s, out))
-    guarded(out, "l14_serving_subblock_b128",
-            lambda: tower("l14_serving_subblock_b128", l14_srv, 128, fetch_s,
-                          out))
-
-    # forced whole-layer int8 at width 1024, bm=1: record compile/VMEM
-    # outcome either way (the shape_support guard normally rejects it)
+    # --- L/14: parity, serving with each kernel path PINNED (the r3 Mosaic
+    # sweep showed the w1024 layer kernel compiles, so the table would
+    # otherwise pick it silently for both runs) --------------------------
     from image_retrieval_tpu.ops import shape_support
 
+    l14 = vit_l14()
+    l14_srv = serving_config(l14)
     orig_fits = shape_support.layer_kernel_fits
+    guarded(out, "l14_parity_b64",
+            lambda: tower("l14_parity_b64", l14, 64, fetch_s, out))
+
+    shape_support.layer_kernel_fits = lambda quant, width, t: False
+    try:
+        guarded(out, "l14_serving_subblock_b64",
+                lambda: tower("l14_serving_subblock_b64", l14_srv, 64,
+                              fetch_s, out))
+        guarded(out, "l14_serving_subblock_b128",
+                lambda: tower("l14_serving_subblock_b128", l14_srv, 128,
+                              fetch_s, out))
+    finally:
+        shape_support.layer_kernel_fits = orig_fits
+
+    # whole-layer int8 at width 1024 (compiles per mosaic_shapes.json;
+    # _block_images_fused lands on bm=1 at t=257)
     shape_support.layer_kernel_fits = lambda quant, width, t: True
-    fa._block_images_fused = lambda b, t, hidden=3072: 1
     try:
         guarded(out, "l14_serving_layer_bm1_b64",
                 lambda: tower("l14_serving_layer_bm1_b64", l14_srv, 64,
                               fetch_s, out))
+        guarded(out, "l14_serving_layer_bm1_b128",
+                lambda: tower("l14_serving_layer_bm1_b128", l14_srv, 128,
+                              fetch_s, out))
     finally:
         shape_support.layer_kernel_fits = orig_fits
-        fa._block_images_fused = orig_bm
+
+    # bf16 whole-layer at width 768 also newly compiles (was assumed VMEM-
+    # OOM): measure the bf16 B/32-vision-width layer kernel on the B/16
+    # tower's text side is w512; use a bf16 serving variant of B/32
+    import dataclasses as _dc
+
+    from image_retrieval_tpu.config import ModelConfig
+
+    bf16_layer_b32 = _dc.replace(
+        ModelConfig(), fused_layer_block=True  # bf16 (no int8_matmuls)
+    )
+    guarded(out, "b32_bf16_layer_b256",
+            lambda: tower("b32_bf16_layer_b256", bf16_layer_b32, 256,
+                          fetch_s, out))
 
     print("done", flush=True)
 
