@@ -514,8 +514,17 @@ class CLIP(nn.Module):
 
 
 def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.float32):
-    """Deterministic parameter init (no pretrained weights needed)."""
+    """Deterministic parameter init (no pretrained weights needed).
+
+    The init is JITTED: flax's eager init executes every fused Pallas
+    kernel at batch 1 through the per-op dispatch compile path, which
+    crashes the Mosaic compile helper for the width-1024 whole-layer
+    kernel (L/14) — while the jit compile path accepts the identical
+    program (r3 shape diagnosis, bench_results/shape_diag.json). Jitting
+    also makes repeated inits cheap via the persistent compile cache."""
     model = CLIP(cfg, dtype=dtype)
     pixels = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
     tokens = jnp.zeros((1, cfg.context_length), jnp.int32)
-    return model, model.init(jax.random.PRNGKey(seed), pixels, tokens)
+    return model, jax.jit(model.init)(
+        jax.random.PRNGKey(seed), pixels, tokens
+    )

@@ -117,7 +117,10 @@ def probe_config(out, respath, g, gt_ids, queries, nlist, replicas, nprobes,
 
     t0 = time.time()
     ivf = IVFIndex(nlist=nlist, nprobe=10, seed=0, dtype="int8")
-    ivf.build(g, balance=None, replicas=replicas, train_size=train_size)
+    # balance=1.5 bounds lmax (and so the packed tensor: 1.5 * N * replicas
+    # int8 bytes) — replicas=2 at 8M would otherwise risk HBM OOM on an
+    # unlucky cluster-size tail
+    ivf.build(g, balance=1.5, replicas=replicas, train_size=train_size)
     build_s = time.time() - t0
     lmax = ivf._lmax
     slots = ivf.nlist * lmax
@@ -169,7 +172,9 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "bench_results", "ivf8m_probe.json")
 
-    n = int((0.5 if args.quick else args.rows) * (1 << 20))
+    n = int(args.rows * (1 << 20))
+    if args.quick and args.rows == 8:
+        n = 1 << 19  # --quick default: 0.5M sanity size
     rng = np.random.default_rng(0)
 
     for clustered in (True, False):
@@ -197,8 +202,13 @@ def main():
             nprobes = [8, 16, 32, 64]
             train = 512 << 10
         for nlist, replicas in configs:
-            probe_config(out, respath, g, gt_ids, queries, nlist, replicas,
-                         nprobes, train, f"{tag_d}_n{nlist}_r{replicas}")
+            try:
+                probe_config(out, respath, g, gt_ids, queries, nlist,
+                             replicas, nprobes, train,
+                             f"{tag_d}_n{nlist}_r{replicas}")
+            except Exception as e:
+                rec(out, respath, name=f"config_{tag_d}_n{nlist}_r{replicas}",
+                    error=str(e)[:300])
         del g
         if not clustered and args.quick:
             break
