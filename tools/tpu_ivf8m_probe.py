@@ -6,8 +6,13 @@ Reference semantics to beat: Milvus IVF_FLAT nlist=1024 / nprobe=10 / COSINE
 (nlist 2-8k, replicas 1-2) beats that with recall@10 >= 0.9.
 
 Data model matters and is reported per-curve:
-  * clustered  — 16k unit centers, rows = normalize(center + sigma*noise),
-    sigma=0.35: the regime real CLIP image corpora live in (IVF's habitat).
+  * clustered  — 16k unit centers, rows = normalize(center + n), where the
+    noise VECTOR norm is ~0.5 (per-dim sigma 0.5/sqrt(D)), giving within-
+    cluster cosine ~0.89 — the regime real CLIP image corpora live in
+    (IVF's habitat). NB: sigma must be scaled by 1/sqrt(D): a per-dim
+    sigma of 0.35 in 512-d gives noise norm ~7.9, drowning the center —
+    that "clustered" data is indistinguishable from unclustered (measured:
+    recall 0.0125 @ nprobe=8, the bug this comment fences).
   * unclustered — i.i.d. normal rows: the adversarial worst case the r2
     1M curve measured (recall 0.35 @ nprobe=10).
 Queries are fresh draws from the same model (clustered: new noise around
@@ -57,6 +62,7 @@ def make_rows(n, clustered, rng, centers=None):
         g /= np.linalg.norm(g, axis=1, keepdims=True)
         return g, None
     ncenters = 16384
+    sigma = 0.5 / np.sqrt(D)  # noise NORM ~0.5 -> within-cluster cos ~0.89
     if centers is None:
         centers = rng.normal(size=(ncenters, D)).astype(np.float32)
         centers /= np.linalg.norm(centers, axis=1, keepdims=True)
@@ -65,7 +71,7 @@ def make_rows(n, clustered, rng, centers=None):
     for s in range(0, n, step):
         e = min(s + step, n)
         cid = rng.integers(0, len(centers), e - s)
-        g[s:e] = centers[cid] + 0.35 * rng.normal(size=(e - s, D)).astype(
+        g[s:e] = centers[cid] + sigma * rng.normal(size=(e - s, D)).astype(
             np.float32
         )
     g /= np.linalg.norm(g, axis=1, keepdims=True)
@@ -182,8 +188,8 @@ def main():
         g, centers = make_rows(n, clustered, rng)
         if clustered:
             qidx = rng.integers(0, len(centers), NQ)
-            queries = centers[qidx] + 0.35 * rng.normal(size=(NQ, D)).astype(
-                np.float32)
+            queries = centers[qidx] + (0.5 / np.sqrt(D)) * rng.normal(
+                size=(NQ, D)).astype(np.float32)
         else:
             queries = rng.normal(size=(NQ, D)).astype(np.float32)
         queries /= np.linalg.norm(queries, axis=1, keepdims=True)
@@ -197,9 +203,15 @@ def main():
             configs = [(1024, 1)]
             nprobes = [8, 32]
             train = 128 << 10
-        else:
+        elif clustered:
             configs = [(4096, 1), (4096, 2), (8192, 1)]
             nprobes = [8, 16, 32, 64]
+            train = 512 << 10
+        else:
+            # the unclustered worst case needs one config: the r2 1M curve
+            # already characterizes the family; this row shows 8M scaling
+            configs = [(4096, 1)]
+            nprobes = [8, 32, 64]
             train = 512 << 10
         for nlist, replicas in configs:
             try:
