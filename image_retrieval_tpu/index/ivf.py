@@ -220,22 +220,36 @@ def sharded_ivf_search(
 
 def _rebalance_assign(
     unit: np.ndarray, centroids: np.ndarray, assign: np.ndarray, cap: int,
-    chunk: int = 65536,
+    chunk: int = 65536, rows: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Greedy capacity-capped reassignment: rows of over-full clusters move
     to their best centroid with free capacity, least-confident rows first.
-    Host-side, chunked (the (N, C) similarity matrix never materializes)."""
+    Host-side, chunked — neither the (N, C) similarity matrix NOR any
+    O(N, D) gathered copy ever materializes (at 16M multi-assigned entries
+    the unchunked `unit[rows]` / `centroids[assign]` gathers were 32 GB
+    EACH and OOM-killed the 8M replicas=2 build).
+
+    rows: optional map from assignment entries to `unit` row indices
+    (multi-assignment passes each row once per replica)."""
     nlist = centroids.shape[0]
     counts = np.bincount(assign, minlength=nlist)
     if counts.max() <= cap:
         return assign
     assign = assign.copy()
-    # confidence = similarity to the assigned centroid
-    conf = np.einsum("nd,nd->n", unit, centroids[assign])
+    nm = len(assign)
+    if rows is None:
+        rows = np.arange(nm)
+    # confidence = similarity to the assigned centroid, chunked
+    conf = np.empty(nm, np.float32)
+    for i in range(0, nm, 1 << 20):
+        sl = slice(i, min(i + (1 << 20), nm))
+        conf[sl] = np.einsum(
+            "nd,nd->n", unit[rows[sl]], centroids[assign[sl]]
+        )
     overflow_rows = []
     for c in np.flatnonzero(counts > cap):
-        rows = np.flatnonzero(assign == c)
-        order = rows[np.argsort(conf[rows])]  # least confident first
+        members = np.flatnonzero(assign == c)
+        order = members[np.argsort(conf[members])]  # least confident first
         spill = order[: counts[c] - cap]
         overflow_rows.append(spill)
         assign[spill] = -1
@@ -243,15 +257,31 @@ def _rebalance_assign(
     overflow = np.concatenate(overflow_rows)
     free = cap - counts  # per-cluster remaining capacity
     for i in range(0, len(overflow), chunk):
-        rows = overflow[i : i + chunk]
-        sims = unit[rows] @ centroids.T  # (chunk, C)
-        order = np.argsort(-sims, axis=1)
-        for r, prefs in zip(rows, order):
-            for c in prefs:
+        ent = overflow[i : i + chunk]
+        sims = unit[rows[ent]] @ centroids.T  # (chunk, C)
+        # full argsort of (chunk, C) is the hot host cost; almost every
+        # spilled row lands within its top few centroids, so try a small
+        # partial head first and only argsort the stragglers
+        head = min(8, nlist)
+        prefs_head = np.argpartition(-sims, head - 1, axis=1)[:, :head]
+        hs = np.take_along_axis(sims, prefs_head, axis=1)
+        prefs_head = np.take_along_axis(
+            prefs_head, np.argsort(-hs, axis=1), axis=1
+        )
+        for j, e in enumerate(ent):
+            placed = False
+            for c in prefs_head[j]:
                 if free[c] > 0:
-                    assign[r] = int(c)
+                    assign[e] = int(c)
                     free[c] -= 1
+                    placed = True
                     break
+            if not placed:
+                for c in np.argsort(-sims[j]):
+                    if free[c] > 0:
+                        assign[e] = int(c)
+                        free[c] -= 1
+                        break
     assert (assign >= 0).all()
     return assign
 
@@ -349,40 +379,62 @@ class IVFIndex:
             m_assign = assign.astype(np.int64)
         if balance is not None and nlist > 1:
             m_assign = _rebalance_assign(
-                unit[m_rows], np.asarray(centroids), m_assign.astype(np.int64),
+                unit, np.asarray(centroids), m_assign.astype(np.int64),
                 cap=int(np.ceil(balance * len(m_rows) / nlist)),
+                rows=m_rows,
             )
         nm = len(m_rows)
         counts = np.bincount(m_assign, minlength=nlist)
         lmax = int(counts.max())
         # vectorized packing: stable sort by cluster, slot = rank within
-        # cluster (position minus the cluster's start offset)
+        # cluster (position minus the cluster's start offset). All scatters
+        # run CHUNKED over flat destination indices — and for int8, rows
+        # quantize BEFORE packing: the old pack-f32-then-quantize order
+        # materialized a (slots, D) f32 tensor (51 GB at 8M replicas=2 —
+        # host-OOM) where int8-first peaks at a quarter of that.
         order = np.argsort(m_assign, kind="stable")
         sorted_assign = m_assign[order]
         starts = np.zeros(nlist, np.int64)
         starts[1:] = np.cumsum(counts)[:-1]
-        slots = np.arange(nm) - starts[sorted_assign]
-        packed = np.zeros((nlist, lmax, d), np.float32)
-        row_ids = np.full((nlist, lmax), -1, np.int32)
-        packed[sorted_assign, slots] = unit[m_rows[order]]
-        row_ids[sorted_assign, slots] = m_rows[order].astype(np.int32)
+        dest = (np.arange(nm) - starts[sorted_assign]) + sorted_assign * lmax
+        src = m_rows[order]
         self._replicas = replicas
         self._centroids = jnp.asarray(np.asarray(centroids))
         # canonical device layout is flat + cluster-contiguous (an in-jit
         # reshape of a multi-GB tensor materializes a copy -> HBM OOM)
         self._lmax = lmax
-        flat = packed.reshape(nlist * lmax, d)
+        row_ids = np.full(nlist * lmax, -1, np.int32)
+        row_ids[dest] = src.astype(np.int32)
+        step = 1 << 20
         if self.dtype == "int8":
-            absmax = np.maximum(np.abs(flat).max(axis=1), 1e-12)
-            sc = (absmax / 127.0).astype(np.float32)
-            self._packed = jnp.asarray(
-                np.clip(np.rint(flat / sc[:, None]), -127, 127).astype(np.int8)
-            )
-            self._scales = jnp.asarray(sc)
+            # per-source-row grid scales (identical values to the old
+            # per-packed-slot computation — packing only copies rows)
+            sc_row = np.empty(n, np.float32)
+            q8 = np.empty((n, d), np.int8)
+            for i in range(0, n, step):
+                sl = slice(i, min(i + step, n))
+                am = np.maximum(np.abs(unit[sl]).max(axis=1), 1e-12)
+                sc_row[sl] = am / 127.0
+                q8[sl] = np.clip(
+                    np.rint(unit[sl] / sc_row[sl, None]), -127, 127
+                ).astype(np.int8)
+            flat8 = np.zeros((nlist * lmax, d), np.int8)
+            sc_flat = np.zeros(nlist * lmax, np.float32)
+            for i in range(0, nm, step):
+                sl = slice(i, min(i + step, nm))
+                flat8[dest[sl]] = q8[src[sl]]
+                sc_flat[dest[sl]] = sc_row[src[sl]]
+            del q8
+            self._packed = jnp.asarray(flat8)
+            self._scales = jnp.asarray(sc_flat)
         else:
+            flat = np.zeros((nlist * lmax, d), np.float32)
+            for i in range(0, nm, step):
+                sl = slice(i, min(i + step, nm))
+                flat[dest[sl]] = unit[src[sl]]
             self._packed = jnp.asarray(flat)
             self._scales = None
-        self._row_ids = jnp.asarray(row_ids.reshape(nlist * lmax))
+        self._row_ids = jnp.asarray(row_ids)
         self.paths = list(paths) if paths is not None else [str(i) for i in range(n)]
         self.count = n
         self.nlist = nlist
