@@ -287,10 +287,12 @@ def make_parser() -> argparse.ArgumentParser:
                              "IVF_FLAT analog)")
         sp.add_argument("--nlist", type=int, default=1024,
                         help="IVF cluster count (reference "
-                             "ImageEmbeddingSystem.py:56-61)")
+                             "ImageEmbeddingSystem.py:56-61); 0 = auto "
+                             "(measured operating point for the gallery "
+                             "size, exact below the ~4M-row crossover)")
         sp.add_argument("--nprobe", type=int, default=10,
                         help="IVF clusters probed per query (reference "
-                             "image_search.py:88)")
+                             "image_search.py:88); 0 = auto")
 
     sp = sub.add_parser("search", help="Text search over an image folder")
     common(sp)

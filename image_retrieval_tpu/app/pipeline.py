@@ -175,10 +175,19 @@ class ImageSearchApp:
         # staleness keys on the index's mutation generation — live_count
         # alone misses a delete+insert of equal size
         if self._ann is None or self._ann_gen != index.generation:
-            from image_retrieval_tpu.index.ivf import IVFIndex
+            from image_retrieval_tpu.index.ivf import IVFIndex, recommended_ivf
 
+            nlist, nprobe = sc.nlist, sc.nprobe
+            if nlist == 0 or nprobe == 0:
+                # auto: the measured operating point for this gallery size
+                # (or stay exact below the ~4M-row crossover)
+                rec = recommended_ivf(index.live_count)
+                if rec is None:
+                    return None
+                nlist = nlist or rec[0]
+                nprobe = nprobe or rec[1]
             self._ann = IVFIndex.from_index(
-                index, nlist=min(sc.nlist, index.live_count), nprobe=sc.nprobe
+                index, nlist=min(nlist, index.live_count), nprobe=nprobe
             )
             self._ann_gen = index.generation
         return self._ann

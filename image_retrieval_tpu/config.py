@@ -183,6 +183,11 @@ class SearchConfig:
     # "ivf" (on-device IVF, the Milvus IVF_FLAT analog — reference
     # ImageEmbeddingSystem.py:56-61 nlist=1024, image_search.py:88 nprobe=10).
     ann: str = "exact"
+    # nlist/nprobe = 0 means "auto": pick the measured operating point for
+    # the gallery size (index.ivf.recommended_ivf — nlist ~ 2*sqrt(N) as a
+    # power of two, nprobe=8; 8M clustered measured recall@10 0.958 at 5.1x
+    # the exact sweep's speed), falling back to the exact engine below the
+    # ~4M-row crossover where IVF buys nothing.
     nlist: int = 1024
     nprobe: int = 10
 

@@ -218,6 +218,33 @@ def sharded_ivf_search(
     return fn(queries, centroids, packed_flat, ids_flat)
 
 
+def recommended_ivf(n_rows: int) -> Optional[Tuple[int, int]]:
+    """Measured-curve operating point: (nlist, nprobe), or None for exact.
+
+    Grounded in the captured curves (bench_results/ivf8m_probe.json,
+    bench_results/ivf_curve.json; tables in ARCHITECTURE.md):
+      * below a few million rows the exact int8 sweep is already sub-ms and
+        bit-faithful — IVF buys nothing (1M exact: 0.90 ms single query,
+        ~0.02 ms/query batched);
+      * at 8M clustered rows, nlist=4096 / nprobe=8 measured recall@10 0.958
+        at 0.088 ms/query — 5.1x faster than the exact 8M sweep
+        (0.445 ms/query batched) scanning 0.3% of the gallery;
+      * on UNCLUSTERED (i.i.d.) rows recall collapses (0.35 @ nprobe=10 at
+        1M) — no operating point helps; callers with adversarially
+        unstructured data should stay exact regardless of scale.
+
+    nlist scales as ~2*sqrt(N) floored to a power of two (8M -> 4096,
+    32M -> 8192), keeping mean cluster size — and so per-probe slab cost —
+    growing only as sqrt(N). nprobe=8 is the measured knee: recall plateaus
+    (0.958 -> 0.960 from nprobe 8 -> 64) because the residual loss is
+    balance-cap spill, not probe shortfall.
+    """
+    if n_rows < (4 << 20):
+        return None
+    nlist = 1 << int(np.floor(np.log2(2.0 * np.sqrt(float(n_rows)))))
+    return int(np.clip(nlist, 1024, 16384)), 8
+
+
 def _rebalance_assign(
     unit: np.ndarray, centroids: np.ndarray, assign: np.ndarray, cap: int,
     chunk: int = 65536, rows: Optional[np.ndarray] = None,
@@ -441,18 +468,30 @@ class IVFIndex:
         return self
 
     @classmethod
-    def from_index(cls, index, nlist: int = 1024, nprobe: int = 10, seed: int = 0):
+    def from_index(cls, index, nlist: int = 1024, nprobe: int = 10, seed: int = 0,
+                   dtype: Optional[str] = None, **build_kwargs):
         """Build from a ShardedVectorIndex's stored unit rows.
 
         Tombstoned (deleted) rows are excluded, and returned ids are remapped
         to INDEX row order, so `index.paths[id]` is always correct and the
-        exact and ANN paths agree on deleted content."""
+        exact and ANN paths agree on deleted content.
+
+        dtype: probe-slab storage; defaults to the base index's choice (an
+        int8 exact index gets an int8 IVF — 4x less probe traffic, and the
+        8M capture shows no recall cost vs its own int8 ground truth).
+        build_kwargs forward to build() (replicas, train_size, balance, ...);
+        train_size defaults to a 512k subsample above 1M rows — the measured
+        8M build path (full-set k-means exceeds HBM there)."""
         live = np.flatnonzero(index._host_valid[: index.count])
         rows = index._host_gallery[live].astype(np.float32)
         if index._quantized:
             rows = rows * index._host_scales[live, None]
-        ivf = cls(nlist=nlist, nprobe=nprobe, seed=seed)
-        ivf.build(rows)
+        if dtype is None:
+            dtype = "int8" if index._quantized else "float32"
+        if len(rows) > (1 << 20):
+            build_kwargs.setdefault("train_size", 512 << 10)
+        ivf = cls(nlist=nlist, nprobe=nprobe, seed=seed, dtype=dtype)
+        ivf.build(rows, **build_kwargs)
         # remap packed ids from live-subset order to index row order, and
         # point paths at the FULL index path list so ivf.paths[id] and
         # index.paths[id] agree

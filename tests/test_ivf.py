@@ -483,3 +483,58 @@ def test_kmeans_chunked_centroids_are_unit_norm():
     init = rows.reshape(-1, 16)[:8]
     c = np.asarray(_kmeans_chunked(rows, init, 5))
     np.testing.assert_allclose(np.linalg.norm(c, axis=1), 1.0, atol=1e-5)
+
+
+def test_recommended_ivf_operating_points():
+    """recommended_ivf encodes the measured curves: exact below ~4M, then
+    nlist ~ 2*sqrt(N) as a power of two with nprobe=8 (ivf8m_probe.json)."""
+    from image_retrieval_tpu.index.ivf import recommended_ivf
+
+    assert recommended_ivf(1 << 20) is None
+    assert recommended_ivf((4 << 20) - 1) is None
+    assert recommended_ivf(8 << 20) == (4096, 8)
+    assert recommended_ivf(32 << 20) == (8192, 8)
+    # clamped at both ends
+    assert recommended_ivf(4 << 20)[0] >= 1024
+    assert recommended_ivf(1 << 30)[0] <= 16384
+
+
+def test_facade_ann_auto_stays_exact_below_crossover(rng):
+    """nlist=0 (auto) must fall back to the exact engine on small galleries
+    instead of building a useless IVF."""
+    from image_retrieval_tpu.app.pipeline import ImageSearchApp
+    from image_retrieval_tpu.config import default_config
+
+    cfg = default_config()
+    cfg.search.ann = "ivf"
+    cfg.search.nlist = 0
+    cfg.search.nprobe = 0
+    app = ImageSearchApp(config=cfg)
+    app.embeddings = {
+        f"im{i}.jpg": rng.normal(size=16).astype(np.float32) for i in range(64)
+    }
+    index = app._ensure_index()
+    assert app._ensure_ann(index) is None  # below crossover -> exact path
+    # explicit nlist still builds regardless of size
+    cfg.search.nlist = 8
+    cfg.search.nprobe = 4
+    assert app._ensure_ann(index) is not None
+
+
+def test_from_index_follows_base_dtype(rng):
+    """from_index defaults the IVF slab dtype to the base index's choice:
+    int8 exact index -> int8 IVF (4x less probe traffic, ivf8m capture)."""
+    emb = rng.normal(size=(256, 32)).astype(np.float32)
+    paths = [f"p{i}" for i in range(256)]
+
+    idx8 = ShardedVectorIndex(dim=32, config=IndexConfig(dtype="int8"))
+    idx8.insert(paths, emb)
+    ivf8 = IVFIndex.from_index(idx8, nlist=8, nprobe=8)
+    assert ivf8.dtype == "int8" and ivf8._scales is not None
+
+    idxf = ShardedVectorIndex(dim=32)
+    idxf.insert(paths, emb)
+    ivff = IVFIndex.from_index(idxf, nlist=8, nprobe=8)
+    assert ivff.dtype == "float32" and ivff._scales is None
+    # explicit override wins
+    assert IVFIndex.from_index(idxf, nlist=8, dtype="int8").dtype == "int8"
