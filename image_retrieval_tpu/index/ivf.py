@@ -88,6 +88,31 @@ def _kmeans_chunked(rows3: jnp.ndarray, centroids: jnp.ndarray, iters: int):
     return centroids
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _tail_sweep(queries: jnp.ndarray, tail: jnp.ndarray,
+                scales: jnp.ndarray, valid: jnp.ndarray, k: int):
+    """Exact cosine top-k over the incremental-insert tail buffer.
+
+    The tail is padded to a doubling capacity (one compile per doubling,
+    not per insert); `valid` masks empty slots. int8 tails ride the same
+    bf16-dot + per-row-scale formulation as the packed slabs."""
+    q = queries.astype(jnp.float32)
+    qn = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    qu = jnp.where(qn > 0, q / jnp.where(qn > 0, qn, 1.0), 0.0)
+    if tail.dtype == jnp.int8:
+        s = jax.lax.dot_general(
+            qu.astype(jnp.bfloat16), tail.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ) * scales[None, :]
+    else:
+        s = jax.lax.dot_general(
+            qu, tail, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    s = jnp.where(valid[None, :], s, -jnp.inf)
+    return jax.lax.top_k(s, k)
+
+
 @functools.partial(jax.jit, static_argnames=("lmax", "nprobe", "k"))
 def _ivf_search(
     queries: jnp.ndarray,      # (Q, D)
@@ -330,6 +355,11 @@ class IVFIndex:
         self._scales = None
         self._replicas = 1
         self.count = 0
+        # incremental-insert tail (host mirrors; device buffer padded to a
+        # doubling capacity so compiles are O(log inserts))
+        self._tail_rows = None   # (T, D) host, dtype-matched to packed
+        self._tail_scales = None
+        self._tail_n = 0
 
     def build(self, embeddings: np.ndarray, paths: Optional[Sequence[str]] = None,
               iters: int = 10, balance: Optional[float] = 1.5,
@@ -360,6 +390,10 @@ class IVFIndex:
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         unit = emb / np.where(norms > 0, norms, 1.0)
         n, d = unit.shape
+        # a (re)build defines the full row set; any incremental tail from a
+        # previous generation is superseded (callers pass ALL rows)
+        self._tail_rows = self._tail_scales = None
+        self._tail_n = 0
         nlist = min(self.nlist, n)
         replicas = max(1, min(replicas, nlist))
         if train_size is not None and train_size < n:
@@ -467,6 +501,130 @@ class IVFIndex:
         self.nlist = nlist
         return self
 
+    def add(self, embeddings: np.ndarray,
+            paths: Optional[Sequence[str]] = None) -> int:
+        """Incremental insert WITHOUT a rebuild (the Milvus insert-after-
+        create_index shape, reference ImageEmbeddingSystem.py:136-137).
+
+        New rows land in a tail buffer swept EXACTLY at search time and
+        merged with the probed candidates — recall for tail rows is 1.0,
+        and the added latency is one small masked matmul (the device tail
+        buffer doubles in capacity, so growth costs O(log inserts)
+        compiles). When the tail outgrows ~10% of the packed gallery
+        (`needs_rebuild`), rebuild to restore the nlist/nprobe cost model.
+        Returns ids assigned to the new rows (build-order, contiguous)."""
+        emb = np.asarray(embeddings, np.float32)
+        if emb.ndim == 1:
+            emb = emb[None]
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        unit = emb / np.where(norms > 0, norms, 1.0)
+        n_new, d = unit.shape
+        if self.dtype == "int8":
+            am = np.maximum(np.abs(unit).max(axis=1), 1e-12)
+            sc = (am / 127.0).astype(np.float32)
+            rows = np.clip(np.rint(unit / sc[:, None]), -127, 127).astype(
+                np.int8
+            )
+        else:
+            rows, sc = unit.astype(np.float32), np.ones(n_new, np.float32)
+        if self._tail_rows is None:
+            self._tail_rows = rows
+            self._tail_scales = sc
+        else:
+            self._tail_rows = np.concatenate([self._tail_rows[: self._tail_n],
+                                              rows])
+            self._tail_scales = np.concatenate(
+                [self._tail_scales[: self._tail_n], sc])
+        self._tail_n = len(self._tail_rows)
+        first = self.count
+        self.paths.extend(
+            list(paths) if paths is not None
+            else [str(first + i) for i in range(n_new)]
+        )
+        self.count += n_new
+        return first
+
+    @property
+    def tail_count(self) -> int:
+        return self._tail_n
+
+    @property
+    def needs_rebuild(self) -> bool:
+        """True when the exactly-swept tail exceeds ~10% of the packed rows —
+        past that the tail sweep starts to dominate the probed-slab cost and
+        a rebuild restores the nlist/nprobe model."""
+        packed_rows = self.count - self._tail_n
+        return self._tail_n > max(packed_rows // 10, 1024)
+
+    def _tail_topk(self, q: np.ndarray, k: int):
+        """(vals, ids) over the tail buffer, padded to a doubling capacity."""
+        cap = 1 << max(12, int(np.ceil(np.log2(self._tail_n))))
+        rows = self._tail_rows
+        sc = self._tail_scales
+        if cap > self._tail_n:
+            pad = cap - self._tail_n
+            rows = np.concatenate([rows, np.zeros((pad, rows.shape[1]),
+                                                  rows.dtype)])
+            sc = np.concatenate([sc, np.ones(pad, np.float32)])
+        valid = np.arange(cap) < self._tail_n
+        kk = min(k, self._tail_n)
+        vals, local = _tail_sweep(jnp.asarray(q), jnp.asarray(rows),
+                                  jnp.asarray(sc), jnp.asarray(valid),
+                                  min(k, cap))
+        base = self.count - self._tail_n
+        ids = np.asarray(local) + base
+        return np.asarray(vals)[:, :kk], ids[:, :kk]
+
+    def save(self, path: str) -> None:
+        """Persist the built index (uncompressed npz — an 8M int8 build is
+        ~6.4 GB of slabs and ~35 min of k-means; reloading takes seconds).
+        Paths are stored only when informative (not the default 0..N-1)."""
+        if self._packed is None:
+            raise ValueError("save() before build()")
+        arrays = dict(
+            centroids=np.asarray(self._centroids),
+            packed=np.asarray(self._packed),
+            row_ids=np.asarray(self._row_ids),
+            meta=np.array([self.nlist, self.nprobe, self.seed, self._lmax,
+                           self._replicas, self.count, self._tail_n],
+                          np.int64),
+            dtype=np.array(self.dtype),
+        )
+        if self._scales is not None:
+            arrays["scales"] = np.asarray(self._scales)
+        if self._tail_n:
+            arrays["tail_rows"] = self._tail_rows[: self._tail_n]
+            arrays["tail_scales"] = self._tail_scales[: self._tail_n]
+        if self.paths != [str(i) for i in range(self.count)]:
+            arrays["paths"] = np.array(self.paths)
+        np.savez(path, **arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "IVFIndex":
+        with np.load(path, allow_pickle=False) as z:
+            nlist, nprobe, seed, lmax, replicas, count, tail_n = (
+                int(v) for v in z["meta"]
+            )
+            ivf = cls(nlist=nlist, nprobe=nprobe, seed=seed,
+                      dtype=str(z["dtype"]))
+            ivf._centroids = jnp.asarray(z["centroids"])
+            ivf._packed = jnp.asarray(z["packed"])
+            ivf._row_ids = jnp.asarray(z["row_ids"])
+            ivf._scales = (jnp.asarray(z["scales"])
+                           if "scales" in z.files else None)
+            ivf._lmax = lmax
+            ivf._replicas = replicas
+            ivf.count = count
+            if tail_n:
+                ivf._tail_rows = z["tail_rows"]
+                ivf._tail_scales = z["tail_scales"]
+                ivf._tail_n = tail_n
+            ivf.paths = (
+                [str(p) for p in z["paths"]] if "paths" in z.files
+                else [str(i) for i in range(count)]
+            )
+        return ivf
+
     @classmethod
     def from_index(cls, index, nlist: int = 1024, nprobe: int = 10, seed: int = 0,
                    dtype: Optional[str] = None, **build_kwargs):
@@ -525,15 +683,16 @@ class IVFIndex:
         if qb > nq:
             q = np.concatenate([q, np.zeros((qb - nq, q.shape[1]), np.float32)])
         np_ = min(nprobe or self.nprobe, self.nlist)
+        packed_n = self.count - self._tail_n
         # k can't exceed the probed slot count (nprobe * lmax scores exist
         # per query) — small galleries with tight balance caps would
         # otherwise crash lax.top_k
-        k = min(top_k, self.count, np_ * self._lmax)
+        k = min(top_k, packed_n, np_ * self._lmax)
         # multi-assigned rows can appear once per replica in the raw top-k:
         # overfetch by the replica factor, dedup keep-first, truncate
         kf = min(k * self._replicas, np_ * self._lmax)
         kf = min(next((b for b in (16, 32, 64, 128, 256) if kf <= b), kf),
-                 np_ * self._lmax, self.count)
+                 np_ * self._lmax, packed_n)
         vals, ids = _ivf_search(
             jnp.asarray(q), self._centroids, self._packed, self._row_ids,
             self._lmax, np_, kf, self._scales,
@@ -551,6 +710,16 @@ class IVFIndex:
             vals, ids = dv, di
         else:
             vals, ids = vals[:, :k], ids[:, :k]
+        if self._tail_n:
+            # incremental-insert tail: exact top-k over the tail buffer,
+            # merged with the probed candidates (tail recall is 1.0)
+            tv, ti = self._tail_topk(q, min(top_k, self._tail_n))
+            vals = np.concatenate([vals, tv[:nq]], axis=1)
+            ids = np.concatenate([ids, ti[:nq]], axis=1)
+            order = np.argsort(-vals, axis=1, kind="stable")
+            kk = min(top_k, self.count)
+            vals = np.take_along_axis(vals, order, axis=1)[:, :kk]
+            ids = np.take_along_axis(ids, order, axis=1)[:, :kk]
         return (vals[0], ids[0]) if single else (vals, ids)
 
     def recall_at(self, queries: np.ndarray, exact_ids: np.ndarray, k: int = 10,

@@ -538,3 +538,68 @@ def test_from_index_follows_base_dtype(rng):
     assert ivff.dtype == "float32" and ivff._scales is None
     # explicit override wins
     assert IVFIndex.from_index(idxf, nlist=8, dtype="int8").dtype == "int8"
+
+
+def test_incremental_add_exact_tail_recall(clustered_data):
+    """Rows added after build are served from the exactly-swept tail: a
+    query matching an added row must return it at rank 1 (recall 1.0),
+    no rebuild required (Milvus insert-after-index shape)."""
+    emb, queries = clustered_data
+    ivf = IVFIndex(nlist=32, nprobe=4, seed=0).build(emb)
+    n0 = ivf.count
+    rng = np.random.default_rng(9)
+    new = rng.normal(size=(16, emb.shape[1])).astype(np.float32) * 4.0
+    first = ivf.add(new, paths=[f"new{i}" for i in range(16)])
+    assert first == n0 and ivf.count == n0 + 16
+    assert ivf.tail_count == 16 and not ivf.needs_rebuild
+    for j in (0, 7, 15):
+        vals, ids = ivf.search(new[j], top_k=5)
+        assert int(ids[0]) == n0 + j
+        assert ivf.paths[int(ids[0])] == f"new{j}"
+    # packed rows still found alongside the tail
+    vals, ids = ivf.search(queries, top_k=10)
+    assert (np.asarray(ids) < n0).any()
+
+
+def test_incremental_add_int8_and_rebuild_threshold(rng):
+    emb = rng.normal(size=(512, 32)).astype(np.float32)
+    ivf = IVFIndex(nlist=8, nprobe=8, seed=0, dtype="int8").build(emb)
+    ivf.add(rng.normal(size=(40, 32)).astype(np.float32))
+    # 40 < max(512//10, 1024) -> no rebuild flag yet (small-gallery floor)
+    assert not ivf.needs_rebuild
+    q = emb[3]
+    vals, ids = ivf.search(q, top_k=3)
+    assert int(ids[0]) == 3
+    # rebuild with the union resets the tail
+    ivf.build(np.concatenate([emb, rng.normal(size=(4, 32)).astype(np.float32)]))
+    assert ivf.tail_count == 0 and ivf.count == 516
+
+
+def test_ivf_save_load_roundtrip(tmp_path, clustered_data):
+    emb, queries = clustered_data
+    ivf = IVFIndex(nlist=32, nprobe=8, seed=0, dtype="int8").build(
+        emb, paths=[f"p{i}" for i in range(len(emb))]
+    )
+    ivf.add(queries[:2], paths=["t0", "t1"])
+    p = str(tmp_path / "ivf.npz")
+    ivf.save(p)
+    back = IVFIndex.load(p)
+    assert back.count == ivf.count and back.nlist == ivf.nlist
+    assert back.dtype == "int8" and back.tail_count == 2
+    v1, i1 = ivf.search(queries, top_k=10)
+    v2, i2 = back.search(queries, top_k=10)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+    assert back.paths[:2] == ["p0", "p1"] and back.paths[-2:] == ["t0", "t1"]
+
+
+def test_ivf_save_load_default_paths_compact(tmp_path, rng):
+    """Default 0..N-1 paths are not serialized (8M of them would dominate
+    the file)."""
+    emb = rng.normal(size=(128, 16)).astype(np.float32)
+    ivf = IVFIndex(nlist=4, nprobe=4).build(emb)
+    p = str(tmp_path / "ivf.npz")
+    ivf.save(p)
+    with np.load(p) as z:
+        assert "paths" not in z.files
+    assert IVFIndex.load(p).paths[5] == "5"
