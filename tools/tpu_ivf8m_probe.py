@@ -169,12 +169,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=float, default=8, help="Mrows")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", choices=("clu", "unc"), default=None,
+                    help="run just the clustered or unclustered half "
+                         "(re-run a half the wall-clock timeout cut)")
+    ap.add_argument("--out", default=None, help="result json path override")
     args = ap.parse_args()
 
     _enable_cache()
     print(f"devices: {jax.devices()}", flush=True)
     out = []
-    respath = os.path.join(
+    respath = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "bench_results", "ivf8m_probe.json")
 
@@ -183,7 +187,8 @@ def main():
         n = 1 << 19  # --quick default: 0.5M sanity size
     rng = np.random.default_rng(0)
 
-    for clustered in (True, False):
+    halves = {"clu": (True,), "unc": (False,)}.get(args.only, (True, False))
+    for clustered in halves:
         tag_d = "clu" if clustered else "unc"
         g, centers = make_rows(n, clustered, rng)
         if clustered:
