@@ -154,6 +154,15 @@ class IndexConfig:
     #   bfloat16 : 2x less traffic, ~0.4% relative score error
     #   int8     : 4x less traffic (symmetric per-row scales), ~0.5% error
     dtype: str = "float32"
+    # Beyond-HBM tier: when the (int8) gallery exceeds this many bytes, the
+    # cosine path streams host-RAM chunks through a double-buffered device
+    # window (index/streaming.py) instead of residing on device. None
+    # disables (default). Measured: the streamed sweep runs AT the
+    # host->device transfer bound with overlap efficiency ~1.04 at 16-32M
+    # rows (bench_results/streaming_probe.json); crossover guidance in
+    # ARCHITECTURE.md (resident to ~27M rows/chip on v5e, then mesh
+    # sharding, then streaming).
+    stream_threshold_bytes: Optional[int] = None
 
 
 @dataclasses.dataclass

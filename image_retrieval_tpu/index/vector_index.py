@@ -79,6 +79,11 @@ class ShardedVectorIndex:
         self._valid = None  # (capacity,) bool sharded jax
         self._scales = None  # (capacity,) sharded jax, int8 mode only
         self._device_dirty = True
+        # beyond-HBM tier (config.stream_threshold_bytes): host-resident
+        # int8 gallery streamed through the device per search; None while
+        # the gallery fits on device
+        self._stream = None
+        self._stream_live = None  # live-row id map for streamed results
         # monotone content-generation counter: bumps on every mutation
         # (insert/delete/compact/load); derived structures (IVF) key their
         # staleness on it — live_count alone misses delete+insert of equal size
@@ -229,14 +234,54 @@ class ShardedVectorIndex:
         self.generation += 1
         return reclaimed
 
+    def _stream_active(self) -> bool:
+        thr = self.config.stream_threshold_bytes
+        return (
+            thr is not None
+            and self._host_gallery is not None
+            # stored-row bytes, not buffer capacity: a compacted gallery
+            # that fits again returns to the resident path
+            and self.count * self._host_gallery.itemsize * self.dim > thr
+        )
+
     def _sync_device(self) -> None:
-        if self._device_dirty and self._host_gallery is not None:
-            self._gallery = shard_rows(self._host_gallery, self.mesh, self._row_axes)
-            self._mags = shard_rows(self._host_mags, self.mesh, self._row_axes)
-            self._valid = shard_rows(self._host_valid, self.mesh, self._row_axes)
-            if self._quantized:
-                self._scales = shard_rows(self._host_scales, self.mesh, self._row_axes)
+        if not self._device_dirty or self._host_gallery is None:
+            return
+        if self._stream_active():
+            # Beyond-HBM tier: the gallery stays in host RAM and streams
+            # through a double-buffered device window per search
+            # (index/streaming.py — measured AT the transfer bound). Cosine
+            # only; scale-out for the other metrics is mesh sharding.
+            if not self._quantized:
+                raise ValueError(
+                    "stream_threshold_bytes exceeded with dtype="
+                    f"'{self.config.dtype}': the streamed tier requires "
+                    "int8 storage (IndexConfig(dtype='int8')) — streaming "
+                    "f32 would quadruple the transfer-bound sweep time"
+                )
+            from image_retrieval_tpu.index.streaming import (
+                StreamingGallerySearch,
+            )
+
+            live = np.flatnonzero(self._host_valid[: self.count])
+            rows = self._host_gallery[live]
+            # the stored norm-preserving scales (unit_norm / qnorm) are
+            # exactly the engine's expected form: raw int8 dot * scale ==
+            # cosine against a unit query (streaming.quantize_rows_int8
+            # computes the identical 1/qnorm for unit rows)
+            sc = self._host_scales[live].astype(np.float32)
+            self._stream = StreamingGallerySearch(rows, sc)
+            self._stream_live = live
+            self._gallery = self._mags = self._valid = self._scales = None
             self._device_dirty = False
+            return
+        self._stream = self._stream_live = None
+        self._gallery = shard_rows(self._host_gallery, self.mesh, self._row_axes)
+        self._mags = shard_rows(self._host_mags, self.mesh, self._row_axes)
+        self._valid = shard_rows(self._host_valid, self.mesh, self._row_axes)
+        if self._quantized:
+            self._scales = shard_rows(self._host_scales, self.mesh, self._row_axes)
+        self._device_dirty = False
 
     # Milvus load() now has real work: it stages the gallery onto the mesh
     # (the reference's collection.load() pulls segments into Milvus memory).
@@ -293,6 +338,8 @@ class ShardedVectorIndex:
         if self.count == 0:
             raise ValueError("index is empty")
         self._sync_device()
+        if self._stream is not None:
+            return self._search_streamed(queries, top_k, metric)
         qdev, single, nq = self._prep_queries(queries)
         weights = self._weights_tuple(params) if metric == "optimized_similarity" else None
         if self._multislice:
@@ -327,6 +374,28 @@ class ShardedVectorIndex:
             return vals[0], idx[0]
         return vals, idx
 
+    def _search_streamed(
+        self, queries: np.ndarray, top_k: int, metric: str
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Beyond-HBM cosine via the chunked streaming engine; results are
+        identical to the resident int8 sweep (same bf16-dot math)."""
+        if metric not in ("cosine_similarity", "cosine"):
+            raise ValueError(
+                f"metric '{metric}' is not available in the streamed "
+                "beyond-HBM tier (cosine only); shard the gallery over a "
+                "mesh (parallel/collectives.py) for multi-metric search at "
+                "this scale, or raise stream_threshold_bytes"
+            )
+        q = np.asarray(queries, np.float32)
+        single = q.ndim == 1
+        if single:
+            q = q[None]
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        qu = q / np.where(qn > 0, qn, 1.0)
+        vals, idx = self._stream.search(qu, top_k=min(top_k, self.live_count))
+        idx = np.where(idx >= 0, self._stream_live[np.maximum(idx, 0)], -1)
+        return (vals[0], idx[0]) if single else (vals, idx)
+
     def multi_metric_topk(
         self, queries: np.ndarray, top_k: int = 5
     ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
@@ -335,6 +404,12 @@ class ShardedVectorIndex:
         if self.count == 0:
             raise ValueError("index is empty")
         self._sync_device()
+        if self._stream is not None:
+            raise ValueError(
+                "multi-metric search is not available in the streamed "
+                "beyond-HBM tier; shard over a mesh or raise "
+                "stream_threshold_bytes"
+            )
         from image_retrieval_tpu.parallel.collectives import sharded_multimetric_topk
 
         qdev, single, nq = self._prep_queries(queries)
@@ -376,6 +451,11 @@ class ShardedVectorIndex:
         if self.count == 0:
             raise ValueError("index is empty")
         self._sync_device()
+        if self._stream is not None:
+            raise ValueError(
+                "scores() materializes (Q, count) — not available in the "
+                "streamed beyond-HBM tier (use search()/top-k)"
+            )
         qdev, single, nq = self._prep_queries(queries)
         weights = self._weights_tuple(params) if metric == "optimized_similarity" else None
         s = np.asarray(

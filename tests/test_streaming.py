@@ -97,3 +97,95 @@ def test_matches_resident_int8_index_scheme(gallery):
     eng = StreamingGallerySearch(q8, sc, chunk_rows=1000)
     sv, si = eng.search(q, top_k=5)
     assert (np.asarray(ri)[:, 0] == si[:, 0]).all()
+
+
+def test_index_streamed_tier_matches_resident(gallery):
+    """Crossing stream_threshold_bytes flips the index into the streamed
+    beyond-HBM tier transparently: same cosine results, same API."""
+    from image_retrieval_tpu.config import IndexConfig
+    from image_retrieval_tpu.index import ShardedVectorIndex
+
+    paths = [f"p{i}" for i in range(len(gallery))]
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(5, 64)).astype(np.float32)
+
+    resident = ShardedVectorIndex(
+        dim=64, config=IndexConfig(capacity_step=1024, dtype="int8")
+    )
+    resident.insert(paths, gallery)
+    rv, ri = resident.search(q, top_k=5)
+
+    streamed = ShardedVectorIndex(
+        dim=64, config=IndexConfig(capacity_step=1024, dtype="int8",
+                                   stream_threshold_bytes=1),
+    )
+    streamed.insert(paths, gallery)
+    sv, si = streamed.search(q, top_k=5)
+    assert streamed._stream is not None  # tier actually engaged
+    np.testing.assert_array_equal(np.asarray(ri), np.asarray(si))
+    np.testing.assert_allclose(np.asarray(rv), np.asarray(sv),
+                               rtol=2e-2, atol=2e-3)
+
+
+def test_index_streamed_tier_respects_tombstones(gallery):
+    from image_retrieval_tpu.config import IndexConfig
+    from image_retrieval_tpu.index import ShardedVectorIndex
+
+    paths = [f"p{i}" for i in range(len(gallery))]
+    idx = ShardedVectorIndex(
+        dim=64, config=IndexConfig(capacity_step=1024, dtype="int8",
+                                   stream_threshold_bytes=1),
+    )
+    idx.insert(paths, gallery)
+    target = gallery[7] * 3.0
+    vals, ids = idx.search(target, top_k=3)
+    assert int(ids[0]) == 7
+    idx.delete(["p7"])
+    vals, ids = idx.search(target, top_k=3)
+    assert int(ids[0]) != 7 and 7 not in ids.tolist()
+
+
+def test_index_streamed_tier_guards_unsupported(gallery):
+    from image_retrieval_tpu.config import IndexConfig
+    from image_retrieval_tpu.index import ShardedVectorIndex
+
+    idx = ShardedVectorIndex(
+        dim=64, config=IndexConfig(capacity_step=1024, dtype="int8",
+                                   stream_threshold_bytes=1),
+    )
+    idx.insert([f"p{i}" for i in range(len(gallery))], gallery)
+    q = gallery[0]
+    with pytest.raises(ValueError, match="streamed"):
+        idx.search(q, top_k=3, metric="l2_distance")
+    with pytest.raises(ValueError, match="streamed"):
+        idx.multi_metric_topk(q, top_k=3)
+    with pytest.raises(ValueError, match="streamed"):
+        idx.scores(q)
+    # f32 beyond threshold is a config error, told loudly
+    f32 = ShardedVectorIndex(
+        dim=64, config=IndexConfig(capacity_step=1024,
+                                   stream_threshold_bytes=1),
+    )
+    f32.insert(["a"], gallery[:1])
+    with pytest.raises(ValueError, match="int8"):
+        f32.search(gallery[0], top_k=1)
+
+
+def test_index_streamed_tier_disengages_below_threshold(gallery):
+    """Dropping back under the threshold (deletes + compact) returns the
+    index to the resident path."""
+    from image_retrieval_tpu.config import IndexConfig
+    from image_retrieval_tpu.index import ShardedVectorIndex
+
+    thr = gallery[:64].nbytes // 2  # int8 gallery bytes = N*D
+    idx = ShardedVectorIndex(
+        dim=64, config=IndexConfig(capacity_step=16, dtype="int8",
+                                   stream_threshold_bytes=2048),
+    )
+    idx.insert([f"p{i}" for i in range(64)], gallery[:64])  # 4096 B > thr
+    idx.search(gallery[0], top_k=1)
+    assert idx._stream is not None
+    idx.delete([f"p{i}" for i in range(48)])
+    idx.compact()  # 16 rows = 1024 B < thr
+    vals, ids = idx.search(gallery[50] * 2.0, top_k=1)
+    assert idx._stream is None and idx.paths[int(ids[0])] == "p50"
