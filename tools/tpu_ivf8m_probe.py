@@ -172,6 +172,9 @@ def main():
     ap.add_argument("--only", choices=("clu", "unc"), default=None,
                     help="run just the clustered or unclustered half "
                          "(re-run a half the wall-clock timeout cut)")
+    ap.add_argument("--configs", default=None,
+                    help="override config list, e.g. '8192:1' or "
+                         "'4096:1,4096:2' (nlist:replicas)")
     ap.add_argument("--out", default=None, help="result json path override")
     args = ap.parse_args()
 
@@ -218,6 +221,9 @@ def main():
             configs = [(4096, 1)]
             nprobes = [8, 32, 64]
             train = 512 << 10
+        if args.configs:
+            configs = [tuple(int(x) for x in c.split(":"))
+                       for c in args.configs.split(",")]
         for nlist, replicas in configs:
             try:
                 probe_config(out, respath, g, gt_ids, queries, nlist,
