@@ -388,7 +388,15 @@ class IVFIndex:
         server-side on the inserted data; ImageEmbeddingSystem.py:56-61)."""
         emb = np.asarray(embeddings, np.float32)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
-        unit = emb / np.where(norms > 0, norms, 1.0)
+        if abs(float(norms.max(initial=1.0)) - 1.0) < 1e-5 and (
+            abs(float(norms.min(initial=1.0)) - 1.0) < 1e-5
+        ):
+            # already unit rows (the common case: index-stored galleries) —
+            # skip the division COPY, which at 8M x 512 is 16 GB of host
+            # RAM the big builds can't spare
+            unit = emb
+        else:
+            unit = emb / np.where(norms > 0, norms, 1.0)
         n, d = unit.shape
         # a (re)build defines the full row set; any incremental tail from a
         # previous generation is superseded (callers pass ALL rows)
