@@ -80,11 +80,19 @@ def make_rows(n, clustered, rng, centers=None):
 
 def exact_gt(g, queries):
     """Resident int8 exact top-K ids + per-query device ms (one-vs-two)."""
-    absmax = np.maximum(np.abs(g).max(axis=1), 1e-12)
-    sc_grid = (absmax / 127.0).astype(np.float32)
-    g8 = np.clip(np.rint(g / sc_grid[:, None]), -127, 127).astype(np.int8)
-    qn8 = np.linalg.norm(g8.astype(np.float32), axis=1)
-    sc = (1.0 / np.where(qn8 > 0, qn8, 1.0)).astype(np.float32)
+    # chunked quantization: the one-shot form materializes two extra
+    # full-size f32 temporaries (~32 GB at 8M x 512) on top of g
+    n = len(g)
+    g8 = np.empty(g.shape, np.int8)
+    sc = np.empty(n, np.float32)
+    step = 1 << 20
+    for s in range(0, n, step):
+        sl = slice(s, min(s + step, n))
+        absmax = np.maximum(np.abs(g[sl]).max(axis=1), 1e-12)
+        grid = (absmax / 127.0).astype(np.float32)
+        g8[sl] = np.clip(np.rint(g[sl] / grid[:, None]), -127, 127)
+        qn8 = np.linalg.norm(g8[sl].astype(np.float32), axis=1)
+        sc[sl] = 1.0 / np.where(qn8 > 0, qn8, 1.0)
     dg = jax.device_put(g8)
     dsc = jax.device_put(sc)
     _ = jax.device_get(dg[0, 0])
