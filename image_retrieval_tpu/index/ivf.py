@@ -169,9 +169,11 @@ def sharded_ivf_search(
     lmax: int,
     nprobe: int,
     k: int,
+    scales_flat: Optional[jnp.ndarray] = None,  # (C*Lmax,) sharded; int8 mode
     *,
     mesh,
     axis: str = "data",
+    nlist_real: Optional[int] = None,  # mask padded clusters >= this id
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Multi-chip IVF: clusters sharded over the mesh.
 
@@ -179,7 +181,9 @@ def sharded_ivf_search(
     only the clusters IT owns (masked contiguous slices on its local shard);
     per-device top-k results merge over ICI exactly like the exact index
     (k-sized all_gather). Wall-clock per query is the slowest device's owned
-    probes — ~nprobe/ndev slabs with a balanced assignment."""
+    probes — ~nprobe/ndev slabs with a balanced assignment. int8 slab shards
+    (with their per-slot `scales_flat` sharded alongside) ride the same bf16
+    MXU dot + output-scale formulation as the single-chip `_ivf_search`."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -199,11 +203,17 @@ def sharded_ivf_search(
         )
     clusters_per_dev = nlist // ndev
 
-    def local(q, c, pf, idf):
+    def local(q, c, pf, idf, sf):
         dev = jax.lax.axis_index(axis)
         qn = jnp.linalg.norm(q, axis=-1, keepdims=True)
         qu = jnp.where(qn > 0, q / jnp.where(qn > 0, qn, 1.0), 0.0)
         csims = jnp.dot(qu, c.T, preferred_element_type=jnp.float32)
+        if nlist_real is not None and nlist_real < nlist:
+            # clusters past nlist_real are divisibility padding (empty
+            # slabs, ids=-1): keep the probe budget on real clusters
+            csims = jnp.where(
+                jnp.arange(nlist)[None, :] < nlist_real, csims, -jnp.inf
+            )
         _, probe = jax.lax.top_k(csims, nprobe)  # (Q, nprobe) global ids
 
         def per_query(args):
@@ -215,8 +225,14 @@ def sharded_ivf_search(
                 safe = jnp.clip(local_cid, 0, clusters_per_dev - 1)
                 slab = jax.lax.dynamic_slice_in_dim(pf, safe * lmax, lmax, 0)
                 ids = jax.lax.dynamic_slice_in_dim(idf, safe * lmax, lmax, 0)
-                s = jnp.dot(slab.astype(jnp.float32), qv,
-                            preferred_element_type=jnp.float32)
+                if sf is not None:
+                    sc = jax.lax.dynamic_slice_in_dim(sf, safe * lmax, lmax, 0)
+                    s = jnp.dot(slab.astype(jnp.bfloat16),
+                                qv.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32) * sc
+                else:
+                    s = jnp.dot(slab.astype(jnp.float32), qv,
+                                preferred_element_type=jnp.float32)
                 s = jnp.where(jnp.logical_and(owned, ids >= 0), s, -jnp.inf)
                 return None, (s, ids)
 
@@ -233,14 +249,23 @@ def sharded_ivf_search(
             jnp.take_along_axis(all_ids, order, axis=-1),
         )
 
+    if scales_flat is None:
+        fn = shard_map(
+            lambda q, c, pf, idf: local(q, c, pf, idf, None),
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis, None), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(queries, centroids, packed_flat, ids_flat)
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis, None), P(axis)),
+        in_specs=(P(), P(), P(axis, None), P(axis), P(axis)),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return fn(queries, centroids, packed_flat, ids_flat)
+    return fn(queries, centroids, packed_flat, ids_flat, scales_flat)
 
 
 def recommended_ivf(n_rows: int) -> Optional[Tuple[int, int]]:
@@ -666,6 +691,91 @@ class IVFIndex:
         ivf._row_ids = jnp.asarray(remapped)
         ivf.paths = list(index.paths)
         return ivf
+
+    def sharded(self, mesh, axis: str = "data"):
+        """Shard the built index's cluster slabs over a mesh axis and return
+        a search callable with `search()`'s contract.
+
+        Multi-chip serving shape (the Milvus-cluster replacement past one
+        chip's HBM, reference docker-compose.yml + ImageEmbeddingSystem.py
+        56-61): each device holds nlist/ndev cluster slabs; queries and the
+        (tiny) centroid table are replicated; per-device top-k merges over
+        ICI via a k-sized all_gather (sharded_ivf_search). nlist is padded
+        with empty clusters (ids=-1, probe-masked via nlist_real) to the
+        axis size so shard boundaries stay cluster-aligned. The incremental
+        tail buffer is swept exactly on the default device and merged host-
+        side — it is bounded at ~10% of rows by `needs_rebuild`."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if self._packed is None:
+            raise ValueError("sharded() before build()")
+        ndev = mesh.shape[axis]
+        nlist = self.nlist
+        pad = (-nlist) % ndev
+        packed = np.asarray(self._packed)
+        ids = np.asarray(self._row_ids)
+        scales = None if self._scales is None else np.asarray(self._scales)
+        cent = np.asarray(self._centroids)
+        lmax = self._lmax
+        if pad:
+            d = packed.shape[1]
+            packed = np.concatenate(
+                [packed, np.zeros((pad * lmax, d), packed.dtype)])
+            ids = np.concatenate([ids, np.full(pad * lmax, -1, ids.dtype)])
+            if scales is not None:
+                scales = np.concatenate(
+                    [scales, np.zeros(pad * lmax, np.float32)])
+            cent = np.concatenate([cent, np.zeros((pad, d), cent.dtype)])
+        row_sh = NamedSharding(mesh, P(axis, None))
+        vec_sh = NamedSharding(mesh, P(axis))
+        rep = NamedSharding(mesh, P())
+        d_packed = jax.device_put(packed, row_sh)
+        d_ids = jax.device_put(ids, vec_sh)
+        d_scales = None if scales is None else jax.device_put(scales, vec_sh)
+        d_cent = jax.device_put(cent, rep)
+        nlist_pad = nlist + pad
+
+        def search_fn(queries, top_k: int = 10, nprobe: Optional[int] = None):
+            q = np.asarray(queries, np.float32)
+            single = q.ndim == 1
+            if single:
+                q = q[None]
+            nq = q.shape[0]
+            np_ = min(nprobe or self.nprobe, nlist)
+            packed_n = self.count - self._tail_n
+            k = min(top_k, packed_n, np_ * lmax)
+            kf = min(k * self._replicas, np_ * lmax)
+            kf = min(next((b for b in (16, 32, 64, 128, 256) if kf <= b), kf),
+                     np_ * lmax, packed_n)
+            vals, rids = sharded_ivf_search(
+                jax.device_put(jnp.asarray(q), rep), d_cent, d_packed, d_ids,
+                lmax, np_, kf, d_scales, mesh=mesh, axis=axis,
+                nlist_real=nlist if pad else None,
+            )
+            vals, rids = np.asarray(vals), np.asarray(rids)
+            if self._replicas > 1:
+                dv = np.full((nq, k), -np.inf, vals.dtype)
+                di = np.full((nq, k), -1, rids.dtype)
+                for r in range(nq):
+                    _, first = np.unique(rids[r], return_index=True)
+                    keep = np.sort(first)
+                    keep = keep[rids[r][keep] >= 0][:k]
+                    dv[r, : len(keep)] = vals[r][keep]
+                    di[r, : len(keep)] = rids[r][keep]
+                vals, rids = dv, di
+            else:
+                vals, rids = vals[:, :k], rids[:, :k]
+            if self._tail_n:
+                tv, ti = self._tail_topk(q, min(top_k, self._tail_n))
+                vals = np.concatenate([vals, tv[:nq]], axis=1)
+                rids = np.concatenate([rids, ti[:nq]], axis=1)
+                order = np.argsort(-vals, axis=1, kind="stable")
+                kk = min(top_k, self.count)
+                vals = np.take_along_axis(vals, order, axis=1)[:, :kk]
+                rids = np.take_along_axis(rids, order, axis=1)[:, :kk]
+            return (vals[0], rids[0]) if single else (vals, rids)
+
+        return search_fn
 
     def search(
         self, queries: np.ndarray, top_k: int = 10, nprobe: Optional[int] = None

@@ -124,6 +124,50 @@ def test_sharded_ivf_matches_single_device(clustered_data):
                                np.sort(single_v, axis=-1), rtol=1e-5)
 
 
+def test_sharded_method_int8_padded_replicas_tail(clustered_data):
+    """IVFIndex.sharded(): int8 slabs, non-divisible nlist (padded clusters),
+    replicas dedup, and incremental tail all match single-device search()."""
+    import jax
+    from jax.sharding import Mesh
+
+    emb, queries = clustered_data
+    # nlist=60 does NOT divide 8 devices -> exercises the padding path
+    ivf = IVFIndex(nlist=60, seed=0, dtype="int8").build(emb, replicas=2)
+    ivf.add(queries[:3] * 2.0, paths=["t0", "t1", "t2"])  # tail rows
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    fn = ivf.sharded(mesh)
+    for npb in (4, 16):
+        sv, si = ivf.search(queries, top_k=10, nprobe=npb)
+        mv, mi = fn(queries, top_k=10, nprobe=npb)
+        for a, b in zip(mi, si):
+            assert set(a.tolist()) == set(b.tolist()), (a, b)
+        np.testing.assert_allclose(np.sort(mv, axis=-1),
+                                   np.sort(sv, axis=-1), rtol=1e-5)
+    # tail rows (exact-swept) surface: query 0's tail twin must be found
+    _, ti = fn(queries[0], top_k=3)
+    assert len(emb) in ti.tolist()  # first tail id == build count
+    # single-query contract matches search()
+    v1, i1 = fn(queries[1], top_k=5)
+    assert v1.shape == (5,) and i1.shape == (5,)
+
+
+def test_sharded_method_f32_no_pad(clustered_data):
+    """f32 slabs, divisible nlist (no padding) through IVFIndex.sharded()."""
+    import jax
+    from jax.sharding import Mesh
+
+    emb, queries = clustered_data
+    ivf = IVFIndex(nlist=64, seed=0).build(emb)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    fn = ivf.sharded(mesh)
+    sv, si = ivf.search(queries, top_k=10, nprobe=16)
+    mv, mi = fn(queries, top_k=10, nprobe=16)
+    for a, b in zip(mi, si):
+        assert set(a.tolist()) == set(b.tolist())
+    np.testing.assert_allclose(np.sort(mv, axis=-1), np.sort(sv, axis=-1),
+                               rtol=1e-5)
+
+
 def test_balanced_build_bounds_lmax(clustered_data):
     emb, queries = clustered_data
     raw = IVFIndex(nlist=64, seed=0).build(emb, balance=None)
