@@ -385,6 +385,11 @@ class IVFIndex:
         self._tail_rows = None   # (T, D) host, dtype-matched to packed
         self._tail_scales = None
         self._tail_n = 0
+        # mesh serving (attach_mesh): search() delegates to the cluster-
+        # sharded path; the callable re-derives lazily after each rebuild
+        self._mesh = None
+        self._mesh_axis = "data"
+        self._sharded_fn = None
 
     def build(self, embeddings: np.ndarray, paths: Optional[Sequence[str]] = None,
               iters: int = 10, balance: Optional[float] = 1.5,
@@ -411,6 +416,7 @@ class IVFIndex:
         where the full-set formulation exceeds HBM (the FAISS train/add
         split, matching the reference's Milvus IVF_FLAT which also trains
         server-side on the inserted data; ImageEmbeddingSystem.py:56-61)."""
+        self._sharded_fn = None  # slabs change; re-shard lazily on search
         emb = np.asarray(embeddings, np.float32)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         if abs(float(norms.max(initial=1.0)) - 1.0) < 1e-5 and (
@@ -690,7 +696,27 @@ class IVFIndex:
         remapped = np.where(rid >= 0, live[np.maximum(rid, 0)], -1).astype(np.int32)
         ivf._row_ids = jnp.asarray(remapped)
         ivf.paths = list(index.paths)
+        # ANN tier rides the exact index's mesh: cluster slabs shard over the
+        # same data axis the exact gallery rows do (multi-slice meshes keep
+        # the single-chip path — the hierarchical DCN merge is exact-only)
+        mesh = getattr(index, "mesh", None)
+        if (
+            mesh is not None
+            and "slice" not in mesh.axis_names
+            and mesh.shape.get(index.axis, 1) > 1
+        ):
+            ivf.attach_mesh(mesh, index.axis)
         return ivf
+
+    def attach_mesh(self, mesh, axis: str = "data") -> "IVFIndex":
+        """Serve searches cluster-sharded over `mesh` transparently: search()
+        (and everything built on it — recall_at, the app's two-phase ANN
+        path) delegates to `sharded()`. The sharded arrays re-derive lazily
+        after each (re)build. A 1-wide axis is a no-op (single-chip path)."""
+        self._mesh = mesh
+        self._mesh_axis = axis
+        self._sharded_fn = None
+        return self
 
     def sharded(self, mesh, axis: str = "data"):
         """Shard the built index's cluster slabs over a mesh axis and return
@@ -784,6 +810,10 @@ class IVFIndex:
         index; indices refer to build() order."""
         if self.count == 0:
             raise ValueError("index is empty")
+        if self._mesh is not None and self._mesh.shape[self._mesh_axis] > 1:
+            if self._sharded_fn is None:
+                self._sharded_fn = self.sharded(self._mesh, self._mesh_axis)
+            return self._sharded_fn(queries, top_k=top_k, nprobe=nprobe)
         q = np.asarray(queries, np.float32)
         single = q.ndim == 1
         if single:

@@ -151,6 +151,26 @@ def test_sharded_method_int8_padded_replicas_tail(clustered_data):
     assert v1.shape == (5,) and i1.shape == (5,)
 
 
+def test_from_index_auto_attaches_mesh(clustered_data):
+    """from_index on a multi-device exact index serves IVF cluster-sharded
+    over the SAME mesh transparently; results match a detached twin."""
+    emb, queries = clustered_data
+    idx = ShardedVectorIndex(dim=64, config=IndexConfig(capacity_step=64))
+    idx.insert([f"p{i}" for i in range(len(emb))], emb)
+    assert idx.mesh.shape[idx.axis] > 1  # conftest's 8-device CPU mesh
+    ivf = IVFIndex.from_index(idx, nlist=64, nprobe=16)
+    assert ivf._mesh is idx.mesh
+    mv, mi = ivf.search(queries, top_k=10)  # delegates to the sharded path
+    assert ivf._sharded_fn is not None
+    detached = IVFIndex.from_index(idx, nlist=64, nprobe=16)
+    detached._mesh = None
+    sv, si = detached.search(queries, top_k=10)
+    for a, b in zip(mi, si):
+        assert set(a.tolist()) == set(b.tolist())
+    np.testing.assert_allclose(np.sort(mv, axis=-1), np.sort(sv, axis=-1),
+                               rtol=1e-5)
+
+
 def test_sharded_method_f32_no_pad(clustered_data):
     """f32 slabs, divisible nlist (no padding) through IVFIndex.sharded()."""
     import jax
