@@ -113,22 +113,17 @@ def _tail_sweep(queries: jnp.ndarray, tail: jnp.ndarray,
     return jax.lax.top_k(s, k)
 
 
-@functools.partial(jax.jit, static_argnames=("lmax", "nprobe", "k"))
-def _ivf_search(
-    queries: jnp.ndarray,      # (Q, D)
-    centroids: jnp.ndarray,    # (C, D) unit
-    packed_flat: jnp.ndarray,  # (C*Lmax, D) rows, cluster-contiguous (f32|int8)
-    ids_flat: jnp.ndarray,     # (C*Lmax,) original ids (-1 padding)
-    lmax: int,
-    nprobe: int,
-    k: int,
-    scales_flat: Optional[jnp.ndarray] = None,  # (C*Lmax,) int8 mode
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _unit_queries(queries: jnp.ndarray) -> jnp.ndarray:
     q = queries.astype(jnp.float32)
     qn = jnp.linalg.norm(q, axis=-1, keepdims=True)
-    qu = jnp.where(qn > 0, q / jnp.where(qn > 0, qn, 1.0), 0.0)
-    csims = jnp.dot(qu, centroids.T, preferred_element_type=jnp.float32)  # (Q, C)
-    _, probe = jax.lax.top_k(csims, nprobe)  # (Q, nprobe)
+    return jnp.where(qn > 0, q / jnp.where(qn > 0, qn, 1.0), 0.0)
+
+
+def _score_probed(qu, probe, packed_flat, ids_flat, lmax, k, scales_flat):
+    """Shared scoring body: per-query top-k over its probed cluster slabs.
+
+    `probe` holds cluster positions INTO packed_flat (global cluster ids for
+    the resident path; gather-local positions for the offloaded path)."""
 
     def per_query(args):
         qv, clusters = args
@@ -159,6 +154,46 @@ def _ivf_search(
     # probe memory to (Lmax, D) per step (a 1M-row gallery with Q=32 vmapped
     # would otherwise OOM HBM).
     return jax.lax.map(per_query, (qu, probe))
+
+
+@functools.partial(jax.jit, static_argnames=("lmax", "nprobe", "k"))
+def _ivf_search(
+    queries: jnp.ndarray,      # (Q, D)
+    centroids: jnp.ndarray,    # (C, D) unit
+    packed_flat: jnp.ndarray,  # (C*Lmax, D) rows, cluster-contiguous (f32|int8)
+    ids_flat: jnp.ndarray,     # (C*Lmax,) original ids (-1 padding)
+    lmax: int,
+    nprobe: int,
+    k: int,
+    scales_flat: Optional[jnp.ndarray] = None,  # (C*Lmax,) int8 mode
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    qu = _unit_queries(queries)
+    csims = jnp.dot(qu, centroids.T, preferred_element_type=jnp.float32)  # (Q, C)
+    _, probe = jax.lax.top_k(csims, nprobe)  # (Q, nprobe)
+    return _score_probed(qu, probe, packed_flat, ids_flat, lmax, k, scales_flat)
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe",))
+def _probe_ids(queries: jnp.ndarray, centroids: jnp.ndarray, nprobe: int):
+    """Top-nprobe cluster ids per query (offloaded path, device-resident
+    centroids; the slab gather happens host-side)."""
+    qu = _unit_queries(queries)
+    csims = jnp.dot(qu, centroids.T, preferred_element_type=jnp.float32)
+    return qu, jax.lax.top_k(csims, nprobe)[1]
+
+
+@functools.partial(jax.jit, static_argnames=("lmax", "k"))
+def _score_gathered(
+    qu: jnp.ndarray,           # (Q, D) unit queries
+    probe_local: jnp.ndarray,  # (Q, nprobe) positions into the GATHERED slabs
+    packed_flat: jnp.ndarray,  # (U*Lmax, D) gathered slabs
+    ids_flat: jnp.ndarray,     # (U*Lmax,)
+    lmax: int,
+    k: int,
+    scales_flat: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return _score_probed(qu, probe_local, packed_flat, ids_flat, lmax, k,
+                         scales_flat)
 
 
 def sharded_ivf_search(
@@ -390,6 +425,12 @@ class IVFIndex:
         self._mesh = None
         self._mesh_axis = "data"
         self._sharded_fn = None
+        # offloaded (beyond-HBM) serving: slabs live in host RAM; search
+        # gathers only the PROBED slabs to the device per query batch
+        self._offloaded = False
+        self._host_packed = None
+        self._host_ids = None
+        self._host_slab_scales = None
 
     def build(self, embeddings: np.ndarray, paths: Optional[Sequence[str]] = None,
               iters: int = 10, balance: Optional[float] = 1.5,
@@ -417,6 +458,9 @@ class IVFIndex:
         split, matching the reference's Milvus IVF_FLAT which also trains
         server-side on the inserted data; ImageEmbeddingSystem.py:56-61)."""
         self._sharded_fn = None  # slabs change; re-shard lazily on search
+        # a rebuild lands on-device; call offload() again to re-offload
+        self._offloaded = False
+        self._host_packed = self._host_ids = self._host_slab_scales = None
         emb = np.asarray(embeddings, np.float32)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         if abs(float(norms.max(initial=1.0)) - 1.0) < 1e-5 and (
@@ -618,18 +662,23 @@ class IVFIndex:
         """Persist the built index (uncompressed npz — an 8M int8 build is
         ~6.4 GB of slabs and ~35 min of k-means; reloading takes seconds).
         Paths are stored only when informative (not the default 0..N-1)."""
-        if self._packed is None:
+        if self._packed is None and not self._offloaded:
             raise ValueError("save() before build()")
         arrays = dict(
             centroids=np.asarray(self._centroids),
-            packed=np.asarray(self._packed),
-            row_ids=np.asarray(self._row_ids),
+            packed=self._host_packed if self._offloaded
+            else np.asarray(self._packed),
+            row_ids=self._host_ids if self._offloaded
+            else np.asarray(self._row_ids),
             meta=np.array([self.nlist, self.nprobe, self.seed, self._lmax,
                            self._replicas, self.count, self._tail_n],
                           np.int64),
             dtype=np.array(self.dtype),
         )
-        if self._scales is not None:
+        if self._offloaded:
+            if self._host_slab_scales is not None:
+                arrays["scales"] = self._host_slab_scales
+        elif self._scales is not None:
             arrays["scales"] = np.asarray(self._scales)
         if self._tail_n:
             arrays["tail_rows"] = self._tail_rows[: self._tail_n]
@@ -696,6 +745,16 @@ class IVFIndex:
         remapped = np.where(rid >= 0, live[np.maximum(rid, 0)], -1).astype(np.int32)
         ivf._row_ids = jnp.asarray(remapped)
         ivf.paths = list(index.paths)
+        # beyond-HBM symmetry with the exact tier: when the base index is
+        # configured to stream (slab bytes past stream_threshold_bytes),
+        # the IVF tier offloads its slabs to host RAM the same way — but
+        # transfers only PROBED slabs per query batch instead of the whole
+        # gallery per sweep
+        thr = getattr(index.config, "stream_threshold_bytes", None)
+        slab_bytes = ivf._packed.size * ivf._packed.dtype.itemsize
+        if thr is not None and slab_bytes > thr:
+            ivf.offload()
+            return ivf
         # ANN tier rides the exact index's mesh: cluster slabs shard over the
         # same data axis the exact gallery rows do (multi-slice meshes keep
         # the single-chip path — the hierarchical DCN merge is exact-only)
@@ -707,6 +766,67 @@ class IVFIndex:
         ):
             ivf.attach_mesh(mesh, index.axis)
         return ivf
+
+    def offload(self) -> "IVFIndex":
+        """Beyond-HBM ANN tier: move the packed cluster slabs to host RAM
+        and serve searches by gathering only the PROBED slabs to the device
+        per query batch.
+
+        Where the streamed exact tier (index/streaming.py) transfers the
+        ENTIRE gallery per sweep (N*D bytes), the offloaded IVF transfers
+        at most `unique_probed_clusters * lmax * D` — at 8M rows /
+        nlist=4096 / nprobe=8 / Q=64 that is <=0.8 GB worst-case vs 4 GB,
+        and far less when queries cluster (probe sets overlap). Centroids
+        (tiny) stay device-resident for probe selection. Gathered slab
+        tensors are bucketed to powers of two so compile count stays
+        logarithmic. Recall is identical to the resident index (same
+        probes, same scoring)."""
+        if self._packed is None:
+            raise ValueError("offload() before build()")
+        self._host_packed = np.asarray(self._packed)
+        self._host_ids = np.asarray(self._row_ids)
+        self._host_slab_scales = (
+            None if self._scales is None else np.asarray(self._scales)
+        )
+        self._packed = self._row_ids = self._scales = None  # free HBM
+        self._offloaded = True
+        self._sharded_fn = None
+        return self
+
+    def _gathered_search(self, q: np.ndarray, nprobe: int, kf: int):
+        """Offloaded-path scoring: device probe selection -> host slab
+        gather (unique probed clusters only) -> device score+top-k."""
+        lmax, d = self._lmax, self._host_packed.shape[1]
+        qu, probe = _probe_ids(jnp.asarray(q), self._centroids, nprobe)
+        probe = np.asarray(probe)  # (Qb, nprobe) global cluster ids
+        uniq, inv = np.unique(probe, return_inverse=True)
+        u = len(uniq)
+        # bucket the gathered-cluster count: one compile per power of two
+        ub = 1 << int(np.ceil(np.log2(max(u, 1))))
+        slabs = np.empty((ub * lmax, d), self._host_packed.dtype)
+        idsg = np.full(ub * lmax, -1, np.int32)
+        for j, c in enumerate(uniq):
+            slabs[j * lmax : (j + 1) * lmax] = self._host_packed[
+                c * lmax : (c + 1) * lmax
+            ]
+            idsg[j * lmax : (j + 1) * lmax] = self._host_ids[
+                c * lmax : (c + 1) * lmax
+            ]
+        if u < ub:
+            slabs[u * lmax :] = 0  # padded region: ids already -1 => masked
+        scg = None
+        if self._host_slab_scales is not None:
+            scg = np.zeros(ub * lmax, np.float32)
+            for j, c in enumerate(uniq):
+                scg[j * lmax : (j + 1) * lmax] = self._host_slab_scales[
+                    c * lmax : (c + 1) * lmax
+                ]
+        probe_local = inv.reshape(probe.shape).astype(np.int32)
+        return _score_gathered(
+            qu, jnp.asarray(probe_local), jnp.asarray(slabs),
+            jnp.asarray(idsg), lmax, kf,
+            None if scg is None else jnp.asarray(scg),
+        )
 
     def attach_mesh(self, mesh, axis: str = "data") -> "IVFIndex":
         """Serve searches cluster-sharded over `mesh` transparently: search()
@@ -734,7 +854,10 @@ class IVFIndex:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         if self._packed is None:
-            raise ValueError("sharded() before build()")
+            raise ValueError(
+                "sharded() needs device-resident slabs (build() first; an "
+                "offloaded index serves via the host-gather path instead)"
+            )
         ndev = mesh.shape[axis]
         nlist = self.nlist
         pad = (-nlist) % ndev
@@ -810,7 +933,9 @@ class IVFIndex:
         index; indices refer to build() order."""
         if self.count == 0:
             raise ValueError("index is empty")
-        if self._mesh is not None and self._mesh.shape[self._mesh_axis] > 1:
+        if not self._offloaded and self._mesh is not None and (
+            self._mesh.shape[self._mesh_axis] > 1
+        ):
             if self._sharded_fn is None:
                 self._sharded_fn = self.sharded(self._mesh, self._mesh_axis)
             return self._sharded_fn(queries, top_k=top_k, nprobe=nprobe)
@@ -841,10 +966,13 @@ class IVFIndex:
         kf = min(k * self._replicas, np_ * self._lmax)
         kf = min(next((b for b in (16, 32, 64, 128, 256) if kf <= b), kf),
                  np_ * self._lmax, packed_n)
-        vals, ids = _ivf_search(
-            jnp.asarray(q), self._centroids, self._packed, self._row_ids,
-            self._lmax, np_, kf, self._scales,
-        )
+        if self._offloaded:
+            vals, ids = self._gathered_search(q, np_, kf)
+        else:
+            vals, ids = _ivf_search(
+                jnp.asarray(q), self._centroids, self._packed, self._row_ids,
+                self._lmax, np_, kf, self._scales,
+            )
         vals, ids = np.asarray(vals)[:nq], np.asarray(ids)[:nq]
         if self._replicas > 1:
             dv = np.full((len(ids), k), -np.inf, vals.dtype)

@@ -151,6 +151,68 @@ def test_sharded_method_int8_padded_replicas_tail(clustered_data):
     assert v1.shape == (5,) and i1.shape == (5,)
 
 
+def test_offloaded_matches_resident(clustered_data):
+    """offload() moves slabs to host RAM; gather-based search returns
+    EXACTLY the resident index's results (same probes, same scoring)."""
+    emb, queries = clustered_data
+    for dtype, replicas in (("int8", 2), ("float32", 1)):
+        res = IVFIndex(nlist=64, seed=0, dtype=dtype).build(
+            emb, replicas=replicas)
+        off = IVFIndex(nlist=64, seed=0, dtype=dtype).build(
+            emb, replicas=replicas).offload()
+        assert off._packed is None and off._host_packed is not None
+        for npb in (4, 16):
+            rv, ri = res.search(queries, top_k=10, nprobe=npb)
+            ov, oi = off.search(queries, top_k=10, nprobe=npb)
+            np.testing.assert_array_equal(oi, ri)
+            np.testing.assert_allclose(ov, rv, rtol=1e-6)
+        # single-query contract
+        v1, i1 = off.search(queries[0], top_k=5)
+        rv1, ri1 = res.search(queries[0], top_k=5)
+        np.testing.assert_array_equal(i1, ri1)
+
+
+def test_offloaded_tail_and_saveload(clustered_data, tmp_path):
+    """Incremental add() on an offloaded index (tail swept exactly) and
+    save()/load() round-trip from the offloaded state."""
+    emb, queries = clustered_data
+    off = IVFIndex(nlist=64, seed=0, dtype="int8").build(emb).offload()
+    off.add(queries[:2] * 3.0, paths=["t0", "t1"])
+    _, ids = off.search(queries[0], top_k=3)
+    assert len(emb) in ids.tolist()  # tail twin of query 0 found
+    p = str(tmp_path / "off.npz")
+    off.save(p)
+    back = IVFIndex.load(p)
+    bv, bi = back.search(queries, top_k=10, nprobe=16)
+    ov, oi = off.search(queries, top_k=10, nprobe=16)
+    np.testing.assert_array_equal(bi, oi)
+
+
+def test_from_index_auto_offloads_past_stream_threshold(clustered_data):
+    """A base index configured to stream (beyond-HBM) gives an IVF tier
+    that offloads its slabs to host RAM automatically."""
+    emb, queries = clustered_data
+    idx = ShardedVectorIndex(
+        dim=64,
+        config=IndexConfig(capacity_step=64, stream_threshold_bytes=1 << 40),
+    )
+    idx.insert([f"p{i}" for i in range(len(emb))], emb)
+    resident = IVFIndex.from_index(idx, nlist=64, nprobe=16)
+    assert not resident._offloaded  # huge threshold: stays on device
+
+    idx2 = ShardedVectorIndex(
+        dim=64, config=IndexConfig(capacity_step=64, stream_threshold_bytes=1)
+    )
+    idx2.insert([f"p{i}" for i in range(len(emb))], emb)
+    off = IVFIndex.from_index(idx2, nlist=64, nprobe=16)
+    assert off._offloaded and off._mesh is None
+    # detach resident's mesh delegation for a like-for-like comparison
+    resident._mesh = None
+    rv, ri = resident.search(queries, top_k=10)
+    ov, oi = off.search(queries, top_k=10)
+    np.testing.assert_array_equal(oi, ri)
+
+
 def test_from_index_auto_attaches_mesh(clustered_data):
     """from_index on a multi-device exact index serves IVF cluster-sharded
     over the SAME mesh transparently; results match a detached twin."""
