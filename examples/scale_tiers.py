@@ -1,0 +1,90 @@
+"""Scale-tier walkthrough: the serving engine for every gallery size.
+
+Runs self-contained on any backend (CPU included; an 8-device virtual mesh
+via XLA_FLAGS=--xla_force_host_platform_device_count=8 exercises the
+sharded tiers):
+
+    python examples/scale_tiers.py
+
+The tiers, smallest to largest (measured operating points and crossovers in
+ARCHITECTURE.md; all share one result contract):
+
+  1. HBM-resident exact      — default to ~27M int8 rows/chip; recall 1.0
+  2. HBM-resident IVF        — >=~4M clustered rows, sub-0.1 ms/query at
+                               recall ~0.96 (auto: SearchConfig nlist=0)
+  3. mesh-sharded exact/IVF  — rows (or cluster slabs) sharded over chips,
+                               k-sized ICI merges; transparent via the mesh
+  4. offloaded IVF           — slabs in host RAM, only PROBED slabs move
+                               per query batch (beyond-HBM ANN)
+  5. streamed exact          — whole gallery chunks double-buffered from
+                               host RAM (beyond-HBM, recall 1.0)
+"""
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from image_retrieval_tpu.config import IndexConfig
+    from image_retrieval_tpu.index import ShardedVectorIndex
+    from image_retrieval_tpu.index.ivf import IVFIndex, recommended_ivf
+
+    rng = np.random.default_rng(0)
+    n, d = 20_000, 64
+    centers = rng.normal(size=(64, d)).astype(np.float32) * 3
+    emb = (centers[rng.integers(0, 64, n)]
+           + rng.normal(size=(n, d)).astype(np.float32) * 0.5)
+    queries = (centers[:4]
+               + rng.normal(size=(4, d)).astype(np.float32) * 0.3)
+    paths = [f"img{i}.jpg" for i in range(n)]
+
+    # 1) HBM-resident exact: the default engine (int8 storage: 4x less HBM)
+    idx = ShardedVectorIndex(dim=d, config=IndexConfig(dtype="int8"))
+    idx.insert(paths, emb)
+    ev, ei = idx.search(queries, top_k=10)
+    print(f"[1] resident exact: top hit {paths[int(ei[0, 0])]} "
+          f"(score {ev[0, 0]:.3f})")
+
+    # 2) HBM-resident IVF: explicit, or auto via recommended_ivf /
+    #    SearchConfig(nlist=0) once the gallery crosses the measured
+    #    crossover (~4M rows; this demo forces it at 20k)
+    print(f"    auto operating point at 8M rows: {recommended_ivf(8 << 20)}")
+    ivf = IVFIndex.from_index(idx, nlist=64, nprobe=8)
+    av, ai = ivf.search(queries, top_k=10)
+    recall = len(set(ai[0].tolist()) & set(ei[0].tolist())) / 10
+    print(f"[2] resident IVF (nlist=64, nprobe=8): recall@10 {recall:.2f} "
+          f"scanning ~{8 * ivf._lmax / n:.0%} of rows")
+
+    # 3) mesh-sharded: both engines ride the index's mesh transparently.
+    #    ShardedVectorIndex shards rows over the data axis at insert;
+    #    from_index attaches the same mesh to the IVF (cluster-granular).
+    ndev = len(jax.devices())
+    where = (ivf._mesh is not None
+             and ivf._mesh.shape[ivf._mesh_axis] > 1)
+    print(f"[3] mesh: {ndev} device(s); exact rows sharded, "
+          f"IVF cluster-sharded={where}")
+
+    # 4) offloaded IVF: beyond-HBM ANN. Slabs live in host RAM; a search
+    #    moves only the query batch's unique probed slabs to the device.
+    off = IVFIndex.from_index(idx, nlist=64, nprobe=8).offload()
+    ov, oi = off.search(queries, top_k=10)
+    assert set(oi[0].tolist()) == set(ai[0].tolist())
+    moved = 8 * off._lmax * d  # worst-case bytes per single query (int8)
+    print(f"[4] offloaded IVF: identical results, <= {moved / 1e6:.1f} MB "
+          f"moved per query vs {n * d / 1e6:.1f} MB full-gallery stream")
+
+    # 5) streamed exact: the whole-gallery beyond-HBM fallback (recall 1.0
+    #    for adversarially unclustered data). Threshold-gated in config.
+    sidx = ShardedVectorIndex(
+        dim=d, config=IndexConfig(dtype="int8", stream_threshold_bytes=1)
+    )
+    sidx.insert(paths, emb)
+    sv, si = sidx.search(queries, top_k=10)
+    assert list(si[0]) == list(ei[0])
+    print(f"[5] streamed exact: streamed={sidx._stream is not None}, "
+          "results identical to resident")
+
+
+if __name__ == "__main__":
+    main()
