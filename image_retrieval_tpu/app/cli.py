@@ -85,6 +85,8 @@ def _build_app(args):
         app.config.search.ann = args.ann
         app.config.search.nlist = args.nlist
         app.config.search.nprobe = args.nprobe
+        app.config.search.screen_dims = args.screen_dims
+        app.config.search.screen_candidates = args.screen_candidates
     paths = app.scan_folders(args.folder)
     if not paths:
         print(f"No images found under {args.folder}", file=sys.stderr)
@@ -281,10 +283,12 @@ def make_parser() -> argparse.ArgumentParser:
                         help="Serving-optimized CLIP (Pallas attention + "
                              "int8 MXU projections; 16.0k vs 11.4k img/s on "
                              "v5e, cos >0.999 vs f32)")
-        sp.add_argument("--ann", choices=("exact", "ivf"), default="exact",
+        sp.add_argument("--ann", choices=("exact", "ivf", "screen"),
+                        default="exact",
                         help="Candidate generation: exact sharded index "
-                             "(recall 1.0) or on-device IVF (Milvus "
-                             "IVF_FLAT analog)")
+                             "(recall 1.0), on-device IVF (Milvus IVF_FLAT "
+                             "analog), or projection-screened two-phase "
+                             "(int8 sketch sweep -> exact rerank)")
         sp.add_argument("--nlist", type=int, default=1024,
                         help="IVF cluster count (reference "
                              "ImageEmbeddingSystem.py:56-61); 0 = auto "
@@ -293,6 +297,12 @@ def make_parser() -> argparse.ArgumentParser:
         sp.add_argument("--nprobe", type=int, default=10,
                         help="IVF clusters probed per query (reference "
                              "image_search.py:88); 0 = auto")
+        sp.add_argument("--screen-dims", type=int, default=128,
+                        help="ann=screen sketch width (phase-1 HBM reads "
+                             "scale as screen_dims/D)")
+        sp.add_argument("--screen-candidates", type=int, default=128,
+                        help="ann=screen per-shard candidates reranked "
+                             "exactly in phase 2")
 
     sp = sub.add_parser("search", help="Text search over an image folder")
     common(sp)

@@ -164,10 +164,12 @@ class ImageSearchApp:
         return self._index
 
     def _ensure_ann(self, index: ShardedVectorIndex):
-        """IVF candidate generator when configured (config.search.ann='ivf'),
-        the Milvus IVF_FLAT analog (reference ImageEmbeddingSystem.py:56-61)."""
+        """Two-phase candidate generator when configured: 'ivf' (the Milvus
+        IVF_FLAT analog, reference ImageEmbeddingSystem.py:56-61) or
+        'screen' (projection-screened sketch sweep, index/screen.py). Both
+        expose the same search(q_unit, top_k) -> (cos, idx) contract."""
         sc = self.config.search
-        if sc.ann != "ivf" or index is None or index.live_count == 0:
+        if sc.ann not in ("ivf", "screen") or index is None or index.live_count == 0:
             # live_count, not len(): a fully-tombstoned gallery must fall
             # back to the exact path (which returns []) instead of crashing
             # an empty IVF build
@@ -175,6 +177,16 @@ class ImageSearchApp:
         # staleness keys on the index's mutation generation — live_count
         # alone misses a delete+insert of equal size
         if self._ann is None or self._ann_gen != index.generation:
+            if sc.ann == "screen":
+                from image_retrieval_tpu.index.screen import ScreenedSearch
+
+                self._ann = ScreenedSearch.from_index(
+                    index,
+                    sketch_dims=sc.screen_dims,
+                    candidates=sc.screen_candidates,
+                )
+                self._ann_gen = index.generation
+                return self._ann
             from image_retrieval_tpu.index.ivf import IVFIndex, recommended_ivf
 
             nlist, nprobe = sc.nlist, sc.nprobe

@@ -188,9 +188,11 @@ class SearchConfig:
     # (image_search.py:93 uses 3x, :169 uses 5x). The exact index makes this a
     # no-op for correctness but it is honored for behavioral parity.
     overfetch: int = 3
-    # Candidate generation: "exact" (sharded exact index, recall 1.0) or
+    # Candidate generation: "exact" (sharded exact index, recall 1.0),
     # "ivf" (on-device IVF, the Milvus IVF_FLAT analog — reference
-    # ImageEmbeddingSystem.py:56-61 nlist=1024, image_search.py:88 nprobe=10).
+    # ImageEmbeddingSystem.py:56-61 nlist=1024, image_search.py:88 nprobe=10),
+    # or "screen" (projection-screened two-phase: int8 sketch sweep -> exact
+    # rerank, index/screen.py — the TPU-native IVF_SQ8/PQ replacement).
     ann: str = "exact"
     # nlist/nprobe = 0 means "auto": pick the measured operating point for
     # the gallery size (index.ivf.recommended_ivf — nlist ~ 2*sqrt(N) as a
@@ -199,6 +201,11 @@ class SearchConfig:
     # ~4M-row crossover where IVF buys nothing.
     nlist: int = 1024
     nprobe: int = 10
+    # ann="screen" knobs: sketch width (projected dims swept in phase 1 —
+    # HBM reads scale as screen_dims/D) and the per-shard candidate pool
+    # reranked exactly in phase 2.
+    screen_dims: int = 128
+    screen_candidates: int = 128
 
 
 @dataclasses.dataclass

@@ -1,1 +1,2 @@
 from image_retrieval_tpu.index.vector_index import ShardedVectorIndex  # noqa: F401
+from image_retrieval_tpu.index.screen import ScreenedSearch  # noqa: F401

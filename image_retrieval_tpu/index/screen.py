@@ -1,0 +1,350 @@
+"""Projection-screened two-phase search: int8 sketch sweep -> exact rerank.
+
+This is the TPU-native replacement for Milvus's compressed screening tiers
+(IVF_SQ8 / IVF_PQ — the smaller-footprint siblings of the IVF_FLAT index the
+reference builds, ImageEmbeddingSystem.py:56-61). Product quantization was
+measured and rejected on this hardware: ADC table lookups are gathers, and
+the TPU has no scatter/gather unit — 758 ms/query at 1M rows
+(bench_results/pq_probe.json, ARCHITECTURE.md). The screening transform here
+is therefore a dense projection — an MXU matmul — instead of a codebook:
+
+  phase 1  q' = q @ P;  sweep the int8 (N, ds) sketch (ds << D) for the
+           top-C candidates per shard. Reads ds/D of the exact sweep's HBM
+           bytes, which is the whole win: the exact int8 sweep is
+           HBM-bandwidth-bound (ARCHITECTURE.md), so a ds=128 sketch of
+           D=512 rows bounds phase 1 at ~4x faster.
+  phase 2  gather the C full-dimension stored rows per query (tiny:
+           Q*C*D bytes) and rerank with EXACTLY the resident engine's
+           scoring math (bf16 MXU dot x norm-preserving int8 scale — the
+           same ops as parallel/collectives._masked_shard_scores), so any
+           candidate set that covers the true top-k reproduces the exact
+           engine's results bit-for-bit.
+
+The projection P is either the gallery's top-ds principal subspace
+("pca": eigenvectors of the uncentered second moment X^T X, the best
+rank-ds dot-product preserver, computed on-device in one sharded matmul) or
+a seeded random rotation ("random": data-free, for galleries that mutate
+faster than a refit). Like IVF, recall is a measured property of the data's
+clusteredness — numbers in ARCHITECTURE.md / bench_results/screen_probe.json.
+
+Plugs into the app facade as SearchConfig.ann = "screen" through the same
+`ann.search(q_unit, top_k) -> (cos, idx)` candidate contract as IVFIndex
+(app/search.py ann_valid_candidates), and is rebuilt from the parent index
+on its mutation `generation` — a rebuild is one sharded matmul, not a
+k-means (seconds at 8M rows, vs ~30 min for the IVF build).
+
+Cosine only, like the streamed tier: the multi-metric planes (L1/Linf) are
+not preserved by projection; use the exact engine for those.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from image_retrieval_tpu.ops.topk import exact_topk
+from image_retrieval_tpu.parallel.collectives import _gather_merge_topk
+from image_retrieval_tpu.parallel.mesh import replicate, shard_rows
+
+
+def _quantize_rows_int8(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row symmetric int8 with a norm-preserving scale (the index's
+    insert() quantizer, vector_index.py): ||q row|| * scale == ||row||, so
+    int8dot * scale == f32 dot up to grid rounding."""
+    absmax = jnp.maximum(jnp.max(jnp.abs(x), axis=1), 1e-12)
+    grid = (absmax / 127.0)[:, None]
+    q = jnp.clip(jnp.round(x / grid), -127, 127).astype(jnp.int8)
+    qn = jnp.linalg.norm(q.astype(jnp.float32), axis=1)
+    xn = jnp.linalg.norm(x, axis=1)
+    scale = xn / jnp.where(qn > 0, qn, 1.0)
+    return q, scale.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axes"))
+def _sharded_second_moment(
+    gallery: jnp.ndarray,
+    valid: jnp.ndarray,
+    scales: Optional[jnp.ndarray],
+    *,
+    mesh: Mesh,
+    axes,
+) -> jnp.ndarray:
+    """(D, D) uncentered second moment of the live dequantized rows.
+
+    The gallery stays row-sharded; XLA lowers X^T X to local matmuls plus a
+    psum over the row axes — one pass, no host copy."""
+
+    def local(g, v, sc):
+        x = g.astype(jnp.float32)
+        if sc is not None:
+            x = x * sc[0][:, None]
+        x = jnp.where(v[:, None], x, 0.0)
+        cov = jnp.dot(x.T, x, preferred_element_type=jnp.float32)
+        return jax.lax.psum(cov, axes)
+
+    fn = shard_map(
+        lambda g, v, sc: local(g, v, None if scales is None else (sc,)),
+        mesh=mesh,
+        in_specs=(P(axes, None), P(axes), P(axes) if scales is not None else P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    dummy = jnp.zeros((gallery.shape[0],), jnp.float32) if scales is None else scales
+    return fn(gallery, valid, dummy)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axes"))
+def _sharded_project_quantize(
+    gallery: jnp.ndarray,
+    scales: Optional[jnp.ndarray],
+    proj: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    axes,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sketch = quantize_int8(dequant(gallery) @ P), row-sharded in, row-
+    sharded out — the sketch never exists on the host."""
+
+    def local(g, sc, p):
+        x = g.astype(jnp.float32)
+        if sc is not None:
+            x = x * sc[0][:, None]
+        sk = jnp.dot(x, p, preferred_element_type=jnp.float32)
+        return _quantize_rows_int8(sk)
+
+    fn = shard_map(
+        lambda g, sc, p: local(g, None if scales is None else (sc,), p),
+        mesh=mesh,
+        in_specs=(P(axes, None), P(axes) if scales is not None else P(), P()),
+        out_specs=(P(axes, None), P(axes)),
+        check_vma=False,
+    )
+    dummy = jnp.zeros((gallery.shape[0],), jnp.float32) if scales is None else scales
+    return fn(gallery, dummy, proj)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("c", "quantized", "mesh", "slice_axis", "data_axis")
+)
+def _screened_topc(
+    q_sketch: jnp.ndarray,
+    q_unit: jnp.ndarray,
+    sketch: jnp.ndarray,
+    sk_scales: jnp.ndarray,
+    gallery: jnp.ndarray,
+    valid: jnp.ndarray,
+    g_scales: Optional[jnp.ndarray],
+    c: int,
+    quantized: bool,
+    *,
+    mesh: Mesh,
+    slice_axis: Optional[str],
+    data_axis: str,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-phase top-C: per-shard sketch sweep -> gather -> exact rerank ->
+    ICI merge (hierarchical over (slice, data) when slice_axis is set).
+
+    Returns (values, global_indices), each (Q, K) with K = merged candidate
+    count; callers slice [:top_k]. Exhausted slots (fewer than K live rows)
+    carry -inf values."""
+    axes = (slice_axis, data_axis) if slice_axis else data_axis
+    nshards = 1
+    for a in (axes if isinstance(axes, tuple) else (axes,)):
+        nshards *= mesh.shape[a]
+    nlocal = gallery.shape[0] // nshards
+    cl = min(c, nlocal)
+
+    def local(qs, qu, sk, sks, g, v, gs):
+        if slice_axis:
+            sid = jax.lax.axis_index(slice_axis)
+            did = jax.lax.axis_index(data_axis)
+            n_data = mesh.shape[data_axis]
+            shard_id = sid * n_data + did
+        else:
+            shard_id = jax.lax.axis_index(data_axis)
+        # phase 1: int8 sketch sweep (bf16 MXU dot, per-row dequant on the
+        # (Q, Nl) result — the resident int8 scorer's layout)
+        s1 = jnp.dot(
+            qs.astype(jnp.bfloat16), sk.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        ) * sks[None, :]
+        s1 = jnp.where(v[None, :], s1, -jnp.inf)
+        _, cidx = exact_topk(s1, cl, descending=True)  # (Q, cl)
+        # phase 2: gather the candidates' full rows and rerank exactly.
+        rows = jnp.take(g, cidx, axis=0)  # (Q, cl, D)
+        if quantized:
+            # must match _masked_shard_scores' int8 cosine bitwise:
+            # bf16 MXU dot x norm-preserving scale
+            r = jnp.einsum(
+                "qd,qcd->qc",
+                qu.astype(jnp.bfloat16), rows.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) * jnp.take(gs[0], cidx, axis=0)
+        else:
+            r = jnp.einsum(
+                "qd,qcd->qc",
+                qu.astype(jnp.float32), rows.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+        # phase 1 pads with arbitrary rows when live < cl: re-mask
+        r = jnp.where(jnp.take(v, cidx, axis=0), r, -jnp.inf)
+        vals, ii = exact_topk(r, cl, descending=True)
+        gidx = jnp.take_along_axis(cidx, ii, axis=1) + shard_id * nlocal
+        if slice_axis:
+            vals, gidx = _gather_merge_topk(vals, gidx, data_axis, c, True)
+            return _gather_merge_topk(vals, gidx, slice_axis, c, True)
+        return _gather_merge_topk(vals, gidx, data_axis, c, True)
+
+    row = P(axes, None)
+    vec = P(axes)
+    fn = shard_map(
+        lambda qs, qu, sk, sks, g, v, gs: local(
+            qs, qu, sk, sks, g, v, None if g_scales is None else (gs,)
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(), row, vec, row, vec,
+                  vec if g_scales is not None else P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    dummy = (jnp.zeros((gallery.shape[0],), jnp.float32)
+             if g_scales is None else g_scales)
+    return fn(q_sketch, q_unit, sketch, sk_scales, gallery, valid, dummy)
+
+
+class ScreenedSearch:
+    """Projection-screened cosine search over a ShardedVectorIndex's rows.
+
+    Build with `from_index`; returns exact-reranked candidates through the
+    same search() contract as IVFIndex (descending cosine, -1 padding for
+    exhausted slots), so it drops into every ANN consumer unchanged.
+    """
+
+    def __init__(
+        self,
+        index,
+        proj: np.ndarray,
+        sketch: jnp.ndarray,
+        sk_scales: jnp.ndarray,
+        candidates: int,
+        method: str,
+    ):
+        self._index = index
+        self.proj = proj  # (D, ds) host copy, queries project on host
+        self._proj_dev = replicate(jnp.asarray(proj), index.mesh)
+        self._sketch = sketch  # (capacity, ds) int8, row-sharded
+        self._sk_scales = sk_scales  # (capacity,) f32, row-sharded
+        self.candidates = int(candidates)
+        self.method = method
+        self.generation = index.generation
+        self.sketch_dims = int(proj.shape[1])
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def from_index(
+        cls,
+        index,
+        sketch_dims: int = 128,
+        candidates: int = 128,
+        method: str = "pca",
+        seed: int = 0,
+    ) -> "ScreenedSearch":
+        """Build the sketch from a resident index's device gallery (one
+        sharded matmul — no host-side pass over the rows).
+
+        method: "pca" (top-ds eigenvectors of X^T X — best dot-product
+        preserving subspace, needs one extra gallery sweep) or "random"
+        (seeded orthonormal rotation, data-free).
+        """
+        if index.count == 0:
+            raise ValueError("cannot screen an empty index")
+        index._sync_device()
+        if index._stream is not None:
+            raise ValueError(
+                "screened search needs a device-resident gallery; the index "
+                "is in the streamed beyond-HBM tier (raise "
+                "stream_threshold_bytes or shard over a mesh)"
+            )
+        d = index.dim
+        ds = int(min(sketch_dims, d))
+        axes = index._row_axes
+        if method == "pca":
+            cov = np.asarray(
+                _sharded_second_moment(
+                    index._gallery, index._valid, index._scales,
+                    mesh=index.mesh, axes=axes,
+                )
+            )
+            # eigh ascending -> take the top-ds eigenvectors
+            _, vecs = np.linalg.eigh(cov.astype(np.float64))
+            proj = np.ascontiguousarray(vecs[:, ::-1][:, :ds]).astype(np.float32)
+        elif method == "random":
+            rng = np.random.default_rng(seed)
+            a = rng.standard_normal((d, ds)).astype(np.float64)
+            qmat, _ = np.linalg.qr(a)
+            proj = qmat[:, :ds].astype(np.float32)
+        else:
+            raise ValueError(f"unknown screen method '{method}'")
+        sketch, sk_scales = _sharded_project_quantize(
+            index._gallery, index._scales, replicate(jnp.asarray(proj), index.mesh),
+            mesh=index.mesh, axes=axes,
+        )
+        return cls(index, proj, sketch, sk_scales, candidates, method)
+
+    @property
+    def stale(self) -> bool:
+        """True when the parent index has mutated since this sketch was
+        built (insert/delete/compact). Rebuild with from_index."""
+        return self.generation != self._index.generation
+
+    # -- search ---------------------------------------------------------------
+
+    def search(
+        self, queries: np.ndarray, top_k: int = 10
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(cosine scores, global row ids), each (Q, top_k) — or (top_k,)
+        for a single query vector. Exhausted slots are (-inf, -1), matching
+        IVFIndex.search's padding contract."""
+        if self.stale:
+            raise ValueError(
+                "index mutated since the sketch was built "
+                f"(generation {self._index.generation} != {self.generation}); "
+                "rebuild with ScreenedSearch.from_index"
+            )
+        idx = self._index
+        idx._sync_device()
+        q = np.asarray(queries, np.float32)
+        single = q.ndim == 1
+        if single:
+            q = q[None]
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        qu = q / np.where(qn > 0, qn, 1.0)
+        # candidate pool is static per jit signature; snap overfetched
+        # top_k requests up so callers never silently truncate
+        c = self.candidates
+        while c < top_k:
+            c *= 2
+        c = min(c, idx.capacity)
+        qs = qu @ self.proj  # (Q, ds) host-side: Q x D x ds is tiny
+        qdev, _, nq = idx._prep_queries(qu)
+        qsdev, _, _ = idx._prep_queries(qs)
+        slice_axis = "slice" if idx._multislice else None
+        vals, gidx = _screened_topc(
+            qsdev, qdev, self._sketch, self._sk_scales,
+            idx._gallery, idx._valid, idx._scales,
+            c, idx._quantized,
+            mesh=idx.mesh, slice_axis=slice_axis, data_axis=idx.axis,
+        )
+        vals = np.asarray(vals)[:nq, :top_k]
+        gidx = np.asarray(gidx)[:nq, :top_k]
+        gidx = np.where(np.isfinite(vals), gidx, -1)
+        if single:
+            return vals[0], gidx[0]
+        return vals, gidx

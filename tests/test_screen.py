@@ -1,0 +1,193 @@
+"""Projection-screened two-phase search (index/screen.py): exact-coverage
+parity vs the exact engine, recall on clustered data, tombstones, padding,
+staleness, and the multi-slice mesh path — all on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+from image_retrieval_tpu.config import IndexConfig, MeshConfig
+from image_retrieval_tpu.index import ShardedVectorIndex
+from image_retrieval_tpu.index.screen import ScreenedSearch
+from image_retrieval_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(MeshConfig(data=8, model=1))
+
+
+def clustered_rows(rng, n=512, dim=64, ncenters=16, noise=0.25):
+    """Unit rows around unit centers — the clustered regime CLIP corpora
+    live in (same data model as the IVF probes)."""
+    centers = rng.normal(size=(ncenters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, ncenters, size=n)
+    rows = centers[assign] + noise * rng.normal(size=(n, dim)) / np.sqrt(dim)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    return rows.astype(np.float32)
+
+
+def build(mesh, rows, dtype="int8", **cfg):
+    idx = ShardedVectorIndex(
+        dim=rows.shape[1], mesh=mesh,
+        config=IndexConfig(dtype=dtype, capacity_step=64, **cfg),
+    )
+    idx.insert([f"img_{i}.jpg" for i in range(len(rows))], rows)
+    return idx
+
+
+@pytest.mark.parametrize("dtype", ["int8", "float32"])
+def test_full_coverage_matches_exact(mesh, rng, dtype):
+    """candidates >= N: the screen must reproduce the exact engine's
+    ranking (same indices; scores equal to rerank-math precision)."""
+    rows = clustered_rows(rng)
+    idx = build(mesh, rows, dtype)
+    scr = ScreenedSearch.from_index(idx, sketch_dims=16, candidates=512)
+    q = rng.normal(size=(5, rows.shape[1])).astype(np.float32)
+    sv, si = scr.search(q, top_k=10)
+    ev, ei = idx.search(q, top_k=10)
+    np.testing.assert_array_equal(si, ei)
+    np.testing.assert_allclose(sv, ev, rtol=2e-2, atol=1e-3)
+
+
+@pytest.mark.parametrize("method", ["pca", "random"])
+def test_recall_on_clustered_data(mesh, rng, method):
+    """A thin sketch with modest overfetch keeps recall high on clustered
+    rows (the regime the tier exists for)."""
+    rows = clustered_rows(rng, n=1024)
+    idx = build(mesh, rows, "int8")
+    scr = ScreenedSearch.from_index(
+        idx, sketch_dims=16, candidates=64, method=method
+    )
+    q = clustered_rows(rng, n=16)
+    _, si = scr.search(q, top_k=10)
+    _, ei = idx.search(q, top_k=10)
+    recall = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10 for a, b in zip(si, ei)
+    ])
+    assert recall >= 0.9, recall
+
+
+def test_pca_beats_random_at_equal_width(mesh, rng):
+    """On anisotropic data the PCA sketch should dominate the random one —
+    this is the reason 'pca' is the default."""
+    dim = 64
+    # variance concentrated in a few directions
+    scales = np.geomspace(1.0, 0.02, dim)
+    rows = (rng.normal(size=(1024, dim)) * scales).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    idx = build(mesh, rows, "int8")
+    q = (rng.normal(size=(16, dim)) * scales).astype(np.float32)
+    _, ei = idx.search(q, top_k=10)
+
+    def recall(method):
+        scr = ScreenedSearch.from_index(
+            idx, sketch_dims=8, candidates=32, method=method, seed=3
+        )
+        _, si = scr.search(q, top_k=10)
+        return np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / 10 for a, b in zip(si, ei)
+        ])
+
+    assert recall("pca") >= recall("random")
+
+
+def test_tombstones_never_surface(mesh, rng):
+    rows = clustered_rows(rng, n=256)
+    idx = build(mesh, rows, "int8")
+    dead = [f"img_{i}.jpg" for i in range(0, 256, 3)]
+    idx.delete(dead)
+    scr = ScreenedSearch.from_index(idx, sketch_dims=16, candidates=256)
+    _, si = scr.search(rows[:4], top_k=20)
+    dead_ids = set(range(0, 256, 3))
+    assert not (set(si.ravel().tolist()) & dead_ids)
+
+
+def test_padding_when_pool_exhausted(mesh, rng):
+    """top_k beyond the live rows pads with (-inf, -1), IVF's contract."""
+    rows = clustered_rows(rng, n=24)
+    idx = build(mesh, rows, "int8")
+    scr = ScreenedSearch.from_index(idx, sketch_dims=16, candidates=64)
+    v, i = scr.search(rows[0], top_k=32)
+    assert (i >= 0).sum() == 24
+    assert np.all(i[24:] == -1) and np.all(np.isneginf(v[24:]))
+
+
+def test_single_query_shape_and_batch_agree(mesh, rng):
+    rows = clustered_rows(rng, n=256)
+    idx = build(mesh, rows, "int8")
+    scr = ScreenedSearch.from_index(idx, sketch_dims=32, candidates=128)
+    v1, i1 = scr.search(rows[7], top_k=5)
+    vb, ib = scr.search(rows[6:8], top_k=5)
+    assert v1.shape == (5,) and i1.shape == (5,)
+    np.testing.assert_array_equal(i1, ib[1])
+    np.testing.assert_allclose(v1, vb[1], rtol=1e-6)
+
+
+def test_stale_after_mutation_raises(mesh, rng):
+    rows = clustered_rows(rng, n=128)
+    idx = build(mesh, rows, "int8")
+    scr = ScreenedSearch.from_index(idx, sketch_dims=16, candidates=64)
+    idx.insert(["new.jpg"], rows[:1])
+    assert scr.stale
+    with pytest.raises(ValueError, match="generation"):
+        scr.search(rows[0], top_k=5)
+
+
+def test_streamed_tier_rejected(mesh, rng):
+    rows = clustered_rows(rng, n=256)
+    idx = build(mesh, rows, "int8", stream_threshold_bytes=1024)
+    with pytest.raises(ValueError, match="stream"):
+        ScreenedSearch.from_index(idx)
+
+
+def test_multislice_mesh(rng):
+    """Hierarchical (slice, data) merge returns the flat mesh's results."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    devs = np.array(jax.devices()[:8])
+    sliced = Mesh(devs.reshape(2, 4), ("slice", "data"))
+    flat = make_mesh(MeshConfig(data=8, model=1))
+    rows = clustered_rows(rng, n=512)
+    q = rng.normal(size=(3, rows.shape[1])).astype(np.float32)
+    out = {}
+    for name, mesh in (("flat", flat), ("sliced", sliced)):
+        idx = build(mesh, rows, "int8")
+        scr = ScreenedSearch.from_index(idx, sketch_dims=16, candidates=512)
+        out[name] = scr.search(q, top_k=10)
+    np.testing.assert_array_equal(out["flat"][1], out["sliced"][1])
+    np.testing.assert_allclose(out["flat"][0], out["sliced"][0], rtol=1e-6)
+
+
+def test_facade_ann_screen(tmp_path, rng):
+    """SearchConfig.ann='screen' routes search_images through the screened
+    candidate generator and still matches the exact facade results."""
+    from image_retrieval_tpu.app.pipeline import ImageSearchApp
+    from image_retrieval_tpu.config import Config
+    from image_retrieval_tpu.models.encoder import FakeEncoder
+
+    dim = 64
+    rows = clustered_rows(rng, n=96, dim=dim)
+
+    def make_app(ann):
+        cfg = Config()
+        cfg.search.ann = ann
+        cfg.search.screen_candidates = 96  # full coverage: exact parity
+        app = ImageSearchApp(config=cfg, encoder=FakeEncoder(dim=dim))
+        app.embeddings = {f"img_{i}.jpg": rows[i] for i in range(len(rows))}
+        app._index_dirty = True
+        return app
+
+    a_exact = make_app("exact")
+    a_screen = make_app("screen")
+    # identical query embedding from the shared fake encoder
+    res_e = a_exact.search_images("a red square", top_k=8)
+    res_s = a_screen.search_images("a red square", top_k=8)
+    assert [r["path"] for r in res_s] == [r["path"] for r in res_e]
+    np.testing.assert_allclose(
+        [r["score"] for r in res_s], [r["score"] for r in res_e],
+        rtol=2e-2, atol=1e-3,
+    )
