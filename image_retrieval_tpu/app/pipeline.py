@@ -69,8 +69,8 @@ class ImageSearchApp:
         self.searcher = SimpleSearcher()
         self._index: Optional[ShardedVectorIndex] = None
         self._index_dirty = True
-        self._ann = None  # lazily built IVFIndex when config.search.ann == "ivf"
-        self._ann_gen = -1  # index.generation the ANN was built from
+        self._ann = None  # lazily built ANN engine (config.search.ann)
+        self._ann_gen = None  # (generation, ann config) the engine was built from
 
     # -- encoder management (no per-query reloads) ---------------------------
 
@@ -174,9 +174,13 @@ class ImageSearchApp:
             # back to the exact path (which returns []) instead of crashing
             # an empty IVF build
             return None
-        # staleness keys on the index's mutation generation — live_count
-        # alone misses a delete+insert of equal size
-        if self._ann is None or self._ann_gen != index.generation:
+        # staleness keys on the index's mutation generation PLUS the ann
+        # configuration — generation alone misses a config flip (e.g.
+        # ivf -> screen, or a changed nlist) between searches, and
+        # live_count alone misses a delete+insert of equal size
+        key = (index.generation, sc.ann, sc.nlist, sc.nprobe,
+               sc.screen_dims, sc.screen_candidates)
+        if self._ann is None or self._ann_gen != key:
             if sc.ann == "screen":
                 from image_retrieval_tpu.index.screen import ScreenedSearch
 
@@ -185,7 +189,7 @@ class ImageSearchApp:
                     sketch_dims=sc.screen_dims,
                     candidates=sc.screen_candidates,
                 )
-                self._ann_gen = index.generation
+                self._ann_gen = key
                 return self._ann
             from image_retrieval_tpu.index.ivf import IVFIndex, recommended_ivf
 
@@ -201,7 +205,7 @@ class ImageSearchApp:
             self._ann = IVFIndex.from_index(
                 index, nlist=min(nlist, index.live_count), nprobe=nprobe
             )
-            self._ann_gen = index.generation
+            self._ann_gen = key
         return self._ann
 
     # -- search --------------------------------------------------------------

@@ -49,6 +49,12 @@ def run_workflow(
 
     os.makedirs(output_dir, exist_ok=True)
     if dataset_dir is not None:
+        # an EXPLICIT dataset path must exist — falling through to dataset
+        # generation at the typo'd location would silently analyze wrong data
+        if not os.path.isdir(dataset_dir):
+            raise FileNotFoundError(
+                f"dataset_dir '{dataset_dir}' does not exist"
+            )
         skip_dataset = True
     else:
         dataset_dir = os.path.join(output_dir, "color_dataset")

@@ -196,6 +196,10 @@ def _score_gathered(
                          scales_flat)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("lmax", "nprobe", "k", "mesh", "axis", "nlist_real"),
+)
 def sharded_ivf_search(
     queries: jnp.ndarray,      # (Q, D) replicated
     centroids: jnp.ndarray,    # (C, D) replicated (tiny)
@@ -596,6 +600,14 @@ class IVFIndex:
         compiles). When the tail outgrows ~10% of the packed gallery
         (`needs_rebuild`), rebuild to restore the nlist/nprobe cost model.
         Returns ids assigned to the new rows (build-order, contiguous)."""
+        if self._packed is None and not self._offloaded:
+            # without a packed gallery, search() would crash deep inside
+            # the probe path (no _lmax/_centroids) — fail at the API edge
+            raise ValueError(
+                "add() before build(): build (or load/from_index) the "
+                "packed index first; add() is for incremental growth of a "
+                "built index"
+            )
         emb = np.asarray(embeddings, np.float32)
         if emb.ndim == 1:
             emb = emb[None]
@@ -671,7 +683,8 @@ class IVFIndex:
             row_ids=self._host_ids if self._offloaded
             else np.asarray(self._row_ids),
             meta=np.array([self.nlist, self.nprobe, self.seed, self._lmax,
-                           self._replicas, self.count, self._tail_n],
+                           self._replicas, self.count, self._tail_n,
+                           int(self._offloaded)],
                           np.int64),
             dtype=np.array(self.dtype),
         )
@@ -690,16 +703,26 @@ class IVFIndex:
     @classmethod
     def load(cls, path: str) -> "IVFIndex":
         with np.load(path, allow_pickle=False) as z:
-            nlist, nprobe, seed, lmax, replicas, count, tail_n = (
-                int(v) for v in z["meta"]
-            )
+            meta = [int(v) for v in z["meta"]]
+            nlist, nprobe, seed, lmax, replicas, count, tail_n = meta[:7]
+            # 8th slot (absent in pre-r3 saves): the beyond-HBM flag — an
+            # index saved while offloaded must come back offloaded, or
+            # load() would device-put slabs that exceed HBM by construction
+            offloaded = bool(meta[7]) if len(meta) > 7 else False
             ivf = cls(nlist=nlist, nprobe=nprobe, seed=seed,
                       dtype=str(z["dtype"]))
             ivf._centroids = jnp.asarray(z["centroids"])
-            ivf._packed = jnp.asarray(z["packed"])
-            ivf._row_ids = jnp.asarray(z["row_ids"])
-            ivf._scales = (jnp.asarray(z["scales"])
-                           if "scales" in z.files else None)
+            if offloaded:
+                ivf._host_packed = z["packed"]
+                ivf._host_ids = z["row_ids"]
+                ivf._host_slab_scales = (z["scales"]
+                                         if "scales" in z.files else None)
+                ivf._offloaded = True
+            else:
+                ivf._packed = jnp.asarray(z["packed"])
+                ivf._row_ids = jnp.asarray(z["row_ids"])
+                ivf._scales = (jnp.asarray(z["scales"])
+                               if "scales" in z.files else None)
             ivf._lmax = lmax
             ivf._replicas = replicas
             ivf.count = count
@@ -745,6 +768,11 @@ class IVFIndex:
         remapped = np.where(rid >= 0, live[np.maximum(rid, 0)], -1).astype(np.int32)
         ivf._row_ids = jnp.asarray(remapped)
         ivf.paths = list(index.paths)
+        # count must cover the FULL index row space: remapped ids reach up
+        # to index.count-1, and add() assigns tail ids starting at
+        # self.count — with tombstones, live-count-based ids would collide
+        # with remapped packed ids and resolve to the wrong paths
+        ivf.count = index.count
         # beyond-HBM symmetry with the exact tier: when the base index is
         # configured to stream (slab bytes past stream_threshold_bytes),
         # the IVF tier offloads its slabs to host RAM the same way — but
@@ -890,6 +918,19 @@ class IVFIndex:
             if single:
                 q = q[None]
             nq = q.shape[0]
+            # bucket Q like the single-chip path: sharded_ivf_search jits
+            # per (Q, nprobe, kf) signature and remote compiles cost minutes
+            from image_retrieval_tpu.index.vector_index import (
+                ShardedVectorIndex,
+            )
+
+            qb = next(
+                (b for b in ShardedVectorIndex._Q_BUCKETS if nq <= b), nq
+            )
+            if qb > nq:
+                q = np.concatenate(
+                    [q, np.zeros((qb - nq, q.shape[1]), np.float32)]
+                )
             np_ = min(nprobe or self.nprobe, nlist)
             packed_n = self.count - self._tail_n
             k = min(top_k, packed_n, np_ * lmax)
@@ -901,7 +942,7 @@ class IVFIndex:
                 lmax, np_, kf, d_scales, mesh=mesh, axis=axis,
                 nlist_real=nlist if pad else None,
             )
-            vals, rids = np.asarray(vals), np.asarray(rids)
+            vals, rids = np.asarray(vals)[:nq], np.asarray(rids)[:nq]
             if self._replicas > 1:
                 dv = np.full((nq, k), -np.inf, vals.dtype)
                 di = np.full((nq, k), -1, rids.dtype)

@@ -235,6 +235,11 @@ class ScreenedSearch:
         candidates: int,
         method: str,
     ):
+        if candidates < 1:
+            raise ValueError(
+                f"candidates must be >= 1, got {candidates} "
+                "(SearchConfig.screen_candidates / --screen-candidates)"
+            )
         self._index = index
         self.proj = proj  # (D, ds) host copy, queries project on host
         self._proj_dev = replicate(jnp.asarray(proj), index.mesh)

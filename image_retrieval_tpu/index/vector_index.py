@@ -263,15 +263,25 @@ class ShardedVectorIndex:
                 StreamingGallerySearch,
             )
 
-            live = np.flatnonzero(self._host_valid[: self.count])
-            rows = self._host_gallery[live]
             # the stored norm-preserving scales (unit_norm / qnorm) are
             # exactly the engine's expected form: raw int8 dot * scale ==
             # cosine against a unit query (streaming.quantize_rows_int8
             # computes the identical 1/qnorm for unit rows)
-            sc = self._host_scales[live].astype(np.float32)
+            n_live = int(self._host_valid[: self.count].sum())
+            if n_live == self.count:
+                # no tombstones (the common case at this scale): hand the
+                # engine VIEWS — a fancy-indexed copy would transiently
+                # double host RAM at exactly the beyond-HBM sizes this
+                # tier exists for (16 GB at 32M int8 rows)
+                rows = self._host_gallery[: self.count]
+                sc = self._host_scales[: self.count]
+                self._stream_live = None  # identity id map
+            else:
+                live = np.flatnonzero(self._host_valid[: self.count])
+                rows = self._host_gallery[live]
+                sc = self._host_scales[live].astype(np.float32)
+                self._stream_live = live
             self._stream = StreamingGallerySearch(rows, sc)
-            self._stream_live = live
             self._gallery = self._mags = self._valid = self._scales = None
             self._device_dirty = False
             return
@@ -393,7 +403,8 @@ class ShardedVectorIndex:
         qn = np.linalg.norm(q, axis=1, keepdims=True)
         qu = q / np.where(qn > 0, qn, 1.0)
         vals, idx = self._stream.search(qu, top_k=min(top_k, self.live_count))
-        idx = np.where(idx >= 0, self._stream_live[np.maximum(idx, 0)], -1)
+        if self._stream_live is not None:  # None = identity (no tombstones)
+            idx = np.where(idx >= 0, self._stream_live[np.maximum(idx, 0)], -1)
         return (vals[0], idx[0]) if single else (vals, idx)
 
     def multi_metric_topk(

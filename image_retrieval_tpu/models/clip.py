@@ -257,7 +257,9 @@ class Block(nn.Module):
         # the sweep REJECTED (bf16 lane-unaligned t) fall all the way back
         # to the unfused XLA path instead of crashing the remote compiler.
         from image_retrieval_tpu.ops.shape_support import (
+            attn_kernel_fits,
             layer_kernel_fits,
+            mlp_kernel_fits,
             subblock_kernel_fits,
         )
 
@@ -267,8 +269,14 @@ class Block(nn.Module):
                     and (mask is None or self.causal))
         subblocks_fit = subblock_kernel_fits(self.quant, self.width, t_len)
         use_subblocks = self.fused_layer and not layer_ok and subblocks_fit
-        fused_block = (self.fused_block and subblocks_fit) or use_subblocks
-        fused_mlp = (self.fused_mlp and subblocks_fit) or use_subblocks
+        # per-kernel gates: a sweep entry rejecting only the attention
+        # kernel must not also disable the independent MLP kernel
+        fused_block = (
+            self.fused_block and attn_kernel_fits(self.quant, self.width, t_len)
+        ) or use_subblocks
+        fused_mlp = (
+            self.fused_mlp and mlp_kernel_fits(self.quant, self.width, t_len)
+        ) or use_subblocks
         if layer_ok:
             from image_retrieval_tpu.ops.flash_attention import (
                 layer_block,

@@ -76,17 +76,31 @@ def layer_kernel_fits(quant: bool, width: int, t: int) -> bool:
     return (quant and width <= 768) or (not quant and width <= 512)
 
 
+def attn_kernel_fits(quant: bool, width: int, t: int) -> bool:
+    """Fused attention sub-block feasibility (sweep table, else assume
+    supported — unknown exotic t fails loudly at compile time)."""
+    hit = lookup("attn", quant, width, t)
+    return True if hit is None else hit
+
+
+def mlp_kernel_fits(quant: bool, width: int, t: int) -> bool:
+    """Fused MLP sub-block feasibility. Gated separately from attention:
+    the MLP kernel has no attention choreography, so a sweep entry that
+    rejects the attention kernel must not take the MLP kernel down with
+    it (models/clip.py Block keeps fused_mlp on masked/oversized layers)."""
+    hit = lookup("mlp", quant, width, t)
+    return True if hit is None else hit
+
+
 def subblock_kernel_fits(quant: bool, width: int, t: int) -> bool:
-    """Fused attention/MLP sub-block feasibility. Sweep table first (both
-    sub-kernels must compile); otherwise assume supported EXCEPT the known
+    """BOTH fused sub-blocks feasible (the layer-replacement path needs the
+    pair). Sweep table first; otherwise assume supported EXCEPT the known
     bf16 lane-alignment rejection: packed rows bm*t must tile to the 8-row
     sublane granule for the kernel's (bm*t, w) operands, and every
     measured failure had t % 8 not in {0, 1, 2, 4} with bm > 1 collapsing
     to odd row counts. Production towers (t = 50, 77, 197) all compile;
     the conservative fallback only rejects nothing — unknown exotic t
     fails loudly at compile time rather than silently here."""
-    a = lookup("attn", quant, width, t)
-    m = lookup("mlp", quant, width, t)
-    if a is not None or m is not None:
-        return (a is not False) and (m is not False)
-    return True
+    return attn_kernel_fits(quant, width, t) and mlp_kernel_fits(
+        quant, width, t
+    )

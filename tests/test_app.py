@@ -309,3 +309,16 @@ def test_serving_config_applies_to_any_preset():
     from image_retrieval_tpu.config import ModelConfig
 
     assert vit_b32_serving() == serving_config(ModelConfig())
+
+
+def test_workflow_explicit_dataset_dir_must_exist(tmp_path):
+    """A typo'd --dataset-dir must fail fast, not silently regenerate a
+    dataset at the wrong location and analyze the wrong data."""
+    from image_retrieval_tpu.app.workflow import run_workflow
+
+    with pytest.raises(FileNotFoundError, match="dataset_dir"):
+        run_workflow(
+            output_dir=str(tmp_path / "out"),
+            dataset_dir=str(tmp_path / "does_not_exist"),
+            fake_encoder=True,
+        )

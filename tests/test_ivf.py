@@ -729,3 +729,45 @@ def test_ivf_save_load_default_paths_compact(tmp_path, rng):
     with np.load(p) as z:
         assert "paths" not in z.files
     assert IVFIndex.load(p).paths[5] == "5"
+
+
+def test_add_before_build_raises():
+    """Insert-then-search without a packed gallery fails at the API edge
+    with a clear message, not an AttributeError deep in search()."""
+    ivf = IVFIndex(nlist=4)
+    with pytest.raises(ValueError, match="build"):
+        ivf.add(np.ones((2, 16), np.float32))
+
+
+def test_from_index_with_tombstones_then_add_no_id_collision(rng):
+    """After from_index over a tombstoned base, add()'s tail ids must not
+    collide with remapped packed ids (they live in INDEX row space)."""
+    emb = rng.normal(size=(40, 32)).astype(np.float32)
+    index = ShardedVectorIndex(dim=32, config=IndexConfig(capacity_step=32))
+    index.insert([f"p{i}" for i in range(40)], emb)
+    index.delete(["p3"])  # live=39 < count=40: ids reach up to 39
+    ivf = IVFIndex.from_index(index, nlist=4, nprobe=4)
+    assert ivf.count == index.count
+    new_vec = rng.normal(size=32).astype(np.float32)
+    first = ivf.add(new_vec[None], paths=["tail0"])
+    assert first == 40  # past the full index row space, no collision
+    _, ids = ivf.search(new_vec / np.linalg.norm(new_vec), top_k=1)
+    assert int(ids[0]) == 40 and ivf.paths[int(ids[0])] == "tail0"
+    # packed hits still resolve through index.paths correctly
+    q = emb[7] / np.linalg.norm(emb[7])
+    _, ids7 = ivf.search(q, top_k=1)
+    assert index.paths[int(ids7[0])] == "p7"
+
+
+def test_save_load_offloaded_stays_offloaded(clustered_data, tmp_path):
+    """An index saved while offloaded (beyond-HBM) must load offloaded —
+    device-putting the slabs would OOM the chip at the tier's target size."""
+    emb, queries = clustered_data
+    off = IVFIndex(nlist=64, seed=0, dtype="int8").build(emb).offload()
+    p = str(tmp_path / "off2.npz")
+    off.save(p)
+    back = IVFIndex.load(p)
+    assert back._offloaded and back._packed is None
+    bv, bi = back.search(queries, top_k=10, nprobe=16)
+    ov, oi = off.search(queries, top_k=10, nprobe=16)
+    np.testing.assert_array_equal(bi, oi)

@@ -191,3 +191,37 @@ def test_facade_ann_screen(tmp_path, rng):
         [r["score"] for r in res_s], [r["score"] for r in res_e],
         rtol=2e-2, atol=1e-3,
     )
+
+
+def test_zero_candidates_rejected(mesh, rng):
+    rows = clustered_rows(rng, n=64)
+    idx = build(mesh, rows, "int8")
+    with pytest.raises(ValueError, match="candidates"):
+        ScreenedSearch.from_index(idx, sketch_dims=16, candidates=0)
+
+
+def test_facade_ann_config_flip_rebuilds(rng):
+    """Changing config.search.ann (or its knobs) between searches must
+    rebuild the engine even when the index generation is unchanged."""
+    from image_retrieval_tpu.app.pipeline import ImageSearchApp
+    from image_retrieval_tpu.config import Config
+    from image_retrieval_tpu.index.ivf import IVFIndex
+    from image_retrieval_tpu.models.encoder import FakeEncoder
+
+    rows = clustered_rows(rng, n=64)
+    cfg = Config()
+    cfg.search.ann = "ivf"
+    cfg.search.nlist = 4
+    cfg.search.nprobe = 4
+    app = ImageSearchApp(config=cfg, encoder=FakeEncoder(dim=rows.shape[1]))
+    app.embeddings = {f"img_{i}": rows[i] for i in range(len(rows))}
+    index = app._ensure_index()
+    ann1 = app._ensure_ann(index)
+    assert isinstance(ann1, IVFIndex)
+    cfg.search.ann = "screen"
+    cfg.search.screen_candidates = 64
+    ann2 = app._ensure_ann(index)
+    assert isinstance(ann2, ScreenedSearch)
+    cfg.search.screen_dims = 32
+    ann3 = app._ensure_ann(index)
+    assert ann3 is not ann2 and ann3.sketch_dims == 32

@@ -87,3 +87,16 @@ def test_block_falls_back_to_unfused_on_rejected_subblock(table, monkeypatch):
     px = jnp.asarray(np.zeros((2, 32, 32, 3), np.float32))
     out = model.apply(params, px, method=CLIP.encode_image)
     assert np.isfinite(np.asarray(out)).all()  # ran via the XLA path
+
+
+def test_mlp_gate_independent_of_attn_rejection(table):
+    """An attention-kernel rejection must not disable the independent MLP
+    kernel (models/clip.py keeps fused_mlp on masked/oversized layers)."""
+    table([
+        {"kernel": "attn", "quant": False, "width": 64, "t": 11, "ok": False},
+        {"kernel": "mlp", "quant": False, "width": 64, "t": 11, "ok": True},
+    ])
+    assert shape_support.attn_kernel_fits(False, 64, 11) is False
+    assert shape_support.mlp_kernel_fits(False, 64, 11) is True
+    # the pair (layer-replacement path) still needs both
+    assert shape_support.subblock_kernel_fits(False, 64, 11) is False
