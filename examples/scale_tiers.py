@@ -12,11 +12,14 @@ ARCHITECTURE.md; all share one result contract):
   1. HBM-resident exact      — default to ~27M int8 rows/chip; recall 1.0
   2. HBM-resident IVF        — >=~4M clustered rows, sub-0.1 ms/query at
                                recall ~0.96 (auto: SearchConfig nlist=0)
-  3. mesh-sharded exact/IVF  — rows (or cluster slabs) sharded over chips,
+  3. projection screen       — int8 sketch sweep -> exact rerank; rebuild
+                               after mutations is one matmul (vs an IVF
+                               k-means), no cluster structure assumed
+  4. mesh-sharded exact/IVF  — rows (or cluster slabs) sharded over chips,
                                k-sized ICI merges; transparent via the mesh
-  4. offloaded IVF           — slabs in host RAM, only PROBED slabs move
+  5. offloaded IVF           — slabs in host RAM, only PROBED slabs move
                                per query batch (beyond-HBM ANN)
-  5. streamed exact          — whole gallery chunks double-buffered from
+  6. streamed exact          — whole gallery chunks double-buffered from
                                host RAM (beyond-HBM, recall 1.0)
 """
 
@@ -56,25 +59,37 @@ def main():
     print(f"[2] resident IVF (nlist=64, nprobe=8): recall@10 {recall:.2f} "
           f"scanning ~{8 * ivf._lmax / n:.0%} of rows")
 
-    # 3) mesh-sharded: both engines ride the index's mesh transparently.
+    # 3) projection screen: phase-1 int8 sketch sweep (HBM reads scale as
+    #    sketch_dims/D), phase-2 exact rerank of the candidate pool. Same
+    #    candidate contract as IVF; rebuilds in seconds after mutations.
+    from image_retrieval_tpu.index.screen import ScreenedSearch
+
+    scr = ScreenedSearch.from_index(idx, sketch_dims=16, candidates=128)
+    cv, ci = scr.search(queries, top_k=10)
+    s_recall = len(set(ci[0].tolist()) & set(ei[0].tolist())) / 10
+    print(f"[3] projection screen (ds=16, C=128): recall@10 {s_recall:.2f}, "
+          f"phase-1 reads {16 / d:.0%} of the exact sweep's bytes")
+
+    # 4) mesh-sharded: all engines ride the index's mesh transparently.
     #    ShardedVectorIndex shards rows over the data axis at insert;
-    #    from_index attaches the same mesh to the IVF (cluster-granular).
+    #    from_index attaches the same mesh to the IVF (cluster-granular);
+    #    the screen's sketch shards alongside the gallery rows.
     ndev = len(jax.devices())
     where = (ivf._mesh is not None
              and ivf._mesh.shape[ivf._mesh_axis] > 1)
-    print(f"[3] mesh: {ndev} device(s); exact rows sharded, "
+    print(f"[4] mesh: {ndev} device(s); exact rows sharded, "
           f"IVF cluster-sharded={where}")
 
-    # 4) offloaded IVF: beyond-HBM ANN. Slabs live in host RAM; a search
+    # 5) offloaded IVF: beyond-HBM ANN. Slabs live in host RAM; a search
     #    moves only the query batch's unique probed slabs to the device.
     off = IVFIndex.from_index(idx, nlist=64, nprobe=8).offload()
     ov, oi = off.search(queries, top_k=10)
     assert set(oi[0].tolist()) == set(ai[0].tolist())
     moved = 8 * off._lmax * d  # worst-case bytes per single query (int8)
-    print(f"[4] offloaded IVF: identical results, <= {moved / 1e6:.1f} MB "
+    print(f"[5] offloaded IVF: identical results, <= {moved / 1e6:.1f} MB "
           f"moved per query vs {n * d / 1e6:.1f} MB full-gallery stream")
 
-    # 5) streamed exact: the whole-gallery beyond-HBM fallback (recall 1.0
+    # 6) streamed exact: the whole-gallery beyond-HBM fallback (recall 1.0
     #    for adversarially unclustered data). Threshold-gated in config.
     sidx = ShardedVectorIndex(
         dim=d, config=IndexConfig(dtype="int8", stream_threshold_bytes=1)
@@ -82,7 +97,7 @@ def main():
     sidx.insert(paths, emb)
     sv, si = sidx.search(queries, top_k=10)
     assert list(si[0]) == list(ei[0])
-    print(f"[5] streamed exact: streamed={sidx._stream is not None}, "
+    print(f"[6] streamed exact: streamed={sidx._stream is not None}, "
           "results identical to resident")
 
 
