@@ -145,10 +145,14 @@ def main(argv=None):
     ap.add_argument("--fake-encoder", action="store_true")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8008)
-    ap.add_argument("--ann", choices=("exact", "ivf"), default="exact",
-                    help="Candidate generation (ivf = Milvus IVF_FLAT analog)")
+    ap.add_argument("--ann", choices=("exact", "ivf", "screen"),
+                    default="exact",
+                    help="Candidate generation (ivf = Milvus IVF_FLAT "
+                         "analog; screen = projection-screened two-phase)")
     ap.add_argument("--nlist", type=int, default=1024)
     ap.add_argument("--nprobe", type=int, default=10)
+    ap.add_argument("--screen-dims", type=int, default=128)
+    ap.add_argument("--screen-candidates", type=int, default=128)
     args = ap.parse_args(argv)
 
     from image_retrieval_tpu.app.pipeline import ImageSearchApp
@@ -161,6 +165,8 @@ def main(argv=None):
         app.config.search.ann = args.ann
         app.config.search.nlist = args.nlist
         app.config.search.nprobe = args.nprobe
+        app.config.search.screen_dims = args.screen_dims
+        app.config.search.screen_candidates = args.screen_candidates
     paths = app.scan_folders(args.folder)
     app.process_images(paths)
     index = app._ensure_index()
