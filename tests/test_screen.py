@@ -225,3 +225,25 @@ def test_facade_ann_config_flip_rebuilds(rng):
     cfg.search.screen_dims = 32
     ann3 = app._ensure_ann(index)
     assert ann3 is not ann2 and ann3.sketch_dims == 32
+
+
+def test_server_with_screen_ann(mesh, rng):
+    """SearchServer(ann=ScreenedSearch) serves two-phase candidates through
+    the same contract as IVF; at full coverage cosine matches exact."""
+    from image_retrieval_tpu.app.server import SearchServer
+    from image_retrieval_tpu.models.encoder import FakeEncoder
+
+    rows = clustered_rows(rng, n=96)
+    idx = build(mesh, rows, "int8")
+    ann = ScreenedSearch.from_index(idx, sketch_dims=16, candidates=96)
+    enc = FakeEncoder(dim=rows.shape[1])
+    with SearchServer(enc, idx, ann=None) as exact_srv, SearchServer(
+        enc, idx, ann=ann
+    ) as scr_srv:
+        a = exact_srv.search("a blue bird", top_k=5)
+        b = scr_srv.search("a blue bird", top_k=5)
+        assert [r["path"] for r in a] == [r["path"] for r in b]
+        np.testing.assert_allclose(
+            [r["score"] for r in a], [r["score"] for r in b],
+            rtol=2e-2, atol=1e-3,
+        )
