@@ -35,6 +35,16 @@ k-means (seconds at 8M rows, vs ~30 min for the IVF build).
 
 Cosine only, like the streamed tier: the multi-metric planes (L1/Linf) are
 not preserved by projection; use the exact engine for those.
+
+Beyond-HBM (streamed) galleries get a STREAMED screen mode: the sketch
+(N x ds int8 — fits HBM even when the N x D gallery does not, e.g. 4 GB at
+32M x 128 vs 16 GB) stays device-resident; phase 2 gathers only the query
+batch's Q*C candidate rows from host RAM (~4 MB at Q=64, C=128) and
+reranks them on device with the streamed engine's exact bf16 math. That
+is ~1000x less host->device traffic than the streamed exact sweep
+(N*D bytes — 4 GB at 8M) and ~200x less than the offloaded IVF's probed
+slabs, at the sketch tier's recall. Build cost is one streamed pass
+(chunked project+quantize on device).
 """
 
 from __future__ import annotations
@@ -218,12 +228,59 @@ def _screened_topc(
     return fn(q_sketch, q_unit, sketch, sk_scales, gallery, valid, dummy)
 
 
+_STREAM_FIT_CHUNK = 1 << 22  # 4M rows per host->device pass, like streaming.py
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _chunk_second_moment(rows8: jnp.ndarray, sc: jnp.ndarray) -> jnp.ndarray:
+    x = rows8.astype(jnp.float32) * sc[:, None]
+    return jnp.dot(x.T, x, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _chunk_project_quantize(
+    rows8: jnp.ndarray, sc: jnp.ndarray, proj: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    x = rows8.astype(jnp.float32) * sc[:, None]
+    return _quantize_rows_int8(jnp.dot(x, proj, preferred_element_type=jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def _phase1_topc(
+    q_sketch: jnp.ndarray, sketch: jnp.ndarray, sk_scales: jnp.ndarray, c: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-device sketch sweep (streamed mode: all rows live)."""
+    s1 = jnp.dot(
+        q_sketch.astype(jnp.bfloat16), sketch.astype(jnp.bfloat16).T,
+        preferred_element_type=jnp.float32,
+    ) * sk_scales[None, :]
+    return jax.lax.top_k(s1, min(c, s1.shape[1]))
+
+
+@jax.jit
+def _rerank_gathered(
+    q_unit: jnp.ndarray, rows8: jnp.ndarray, sc: jnp.ndarray
+) -> jnp.ndarray:
+    """(Q, C) exact cosines for host-gathered candidate rows — the streamed
+    engine's math exactly (bf16 MXU dot x norm-preserving scale)."""
+    r = jnp.einsum(
+        "qd,qcd->qc",
+        q_unit.astype(jnp.bfloat16), rows8.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return r * sc
+
+
 class ScreenedSearch:
     """Projection-screened cosine search over a ShardedVectorIndex's rows.
 
     Build with `from_index`; returns exact-reranked candidates through the
     same search() contract as IVFIndex (descending cosine, -1 padding for
     exhausted slots), so it drops into every ANN consumer unchanged.
+
+    Over a beyond-HBM (streamed) index the engine switches to the streamed
+    mode documented in the module docstring: device-resident sketch,
+    host-RAM candidate gathers.
     """
 
     def __init__(
@@ -234,6 +291,7 @@ class ScreenedSearch:
         sk_scales: jnp.ndarray,
         candidates: int,
         method: str,
+        streamed: bool = False,
     ):
         if candidates < 1:
             raise ValueError(
@@ -243,10 +301,13 @@ class ScreenedSearch:
         self._index = index
         self.proj = proj  # (D, ds) host copy, queries project on host
         self._proj_dev = replicate(jnp.asarray(proj), index.mesh)
-        self._sketch = sketch  # (capacity, ds) int8, row-sharded
-        self._sk_scales = sk_scales  # (capacity,) f32, row-sharded
+        # resident: (capacity, ds) int8 row-sharded / streamed: (n_live, ds)
+        # int8 on the default device
+        self._sketch = sketch
+        self._sk_scales = sk_scales
         self.candidates = int(candidates)
         self.method = method
+        self.streamed = bool(streamed)
         self.generation = index.generation
         self.sketch_dims = int(proj.shape[1])
 
@@ -272,11 +333,8 @@ class ScreenedSearch:
             raise ValueError("cannot screen an empty index")
         index._sync_device()
         if index._stream is not None:
-            raise ValueError(
-                "screened search needs a device-resident gallery; the index "
-                "is in the streamed beyond-HBM tier (raise "
-                "stream_threshold_bytes or shard over a mesh)"
-            )
+            return cls._from_streamed(index, sketch_dims, candidates,
+                                      method, seed)
         d = index.dim
         ds = int(min(sketch_dims, d))
         axes = index._row_axes
@@ -302,6 +360,47 @@ class ScreenedSearch:
             mesh=index.mesh, axes=axes,
         )
         return cls(index, proj, sketch, sk_scales, candidates, method)
+
+    @classmethod
+    def _from_streamed(
+        cls, index, sketch_dims: int, candidates: int, method: str, seed: int
+    ) -> "ScreenedSearch":
+        """Beyond-HBM build: one chunked pass over the host gallery (fit +
+        project + quantize on device), sketch assembled device-resident."""
+        rows = index._stream_rows  # (n_live, D) int8, host
+        scales = index._stream_scales  # (n_live,) f32, host
+        n, d = rows.shape
+        ds = int(min(sketch_dims, d))
+        if method == "pca":
+            cov = np.zeros((d, d), np.float64)
+            for s in range(0, n, _STREAM_FIT_CHUNK):
+                e = min(s + _STREAM_FIT_CHUNK, n)
+                cov += np.asarray(_chunk_second_moment(
+                    jnp.asarray(rows[s:e]), jnp.asarray(scales[s:e])
+                ), np.float64)
+            _, vecs = np.linalg.eigh(cov)
+            proj = np.ascontiguousarray(vecs[:, ::-1][:, :ds]).astype(np.float32)
+        elif method == "random":
+            rng = np.random.default_rng(seed)
+            qmat, _ = np.linalg.qr(rng.standard_normal((d, ds)))
+            proj = qmat[:, :ds].astype(np.float32)
+        else:
+            raise ValueError(f"unknown screen method '{method}'")
+        pdev = jnp.asarray(proj)
+        sk_parts, sc_parts = [], []
+        for s in range(0, n, _STREAM_FIT_CHUNK):
+            e = min(s + _STREAM_FIT_CHUNK, n)
+            sk, sc = _chunk_project_quantize(
+                jnp.asarray(rows[s:e]), jnp.asarray(scales[s:e]), pdev
+            )
+            sk_parts.append(np.asarray(sk))
+            sc_parts.append(np.asarray(sc))
+        # one device_put of the final (n, ds) sketch: fits HBM by
+        # construction (ds << D) even when the gallery itself does not
+        sketch = jnp.asarray(np.concatenate(sk_parts))
+        sk_scales = jnp.asarray(np.concatenate(sc_parts))
+        return cls(index, proj, sketch, sk_scales, candidates, method,
+                   streamed=True)
 
     @property
     def stale(self) -> bool:
@@ -331,6 +430,9 @@ class ScreenedSearch:
             q = q[None]
         qn = np.linalg.norm(q, axis=1, keepdims=True)
         qu = q / np.where(qn > 0, qn, 1.0)
+        if self.streamed:
+            vals, gidx = self._search_streamed(qu, top_k)
+            return (vals[0], gidx[0]) if single else (vals, gidx)
         # candidate pool is static per jit signature; snap overfetched
         # top_k requests up so callers never silently truncate
         c = self.candidates
@@ -352,4 +454,53 @@ class ScreenedSearch:
         gidx = np.where(np.isfinite(vals), gidx, -1)
         if single:
             return vals[0], gidx[0]
+        return vals, gidx
+
+    def _search_streamed(
+        self, qu: np.ndarray, top_k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Streamed mode: device sketch sweep -> host gather of the Q*C
+        candidate rows (the ONLY gallery bytes that move) -> device exact
+        rerank -> host top-k with the exact engine's (score desc, id asc)
+        tie order."""
+        idx = self._index
+        rows = idx._stream_rows
+        scales = idx._stream_scales
+        n = rows.shape[0]
+        c = self.candidates
+        while c < top_k:
+            c *= 2
+        c = min(c, n)
+        nq = qu.shape[0]
+        # bucket Q for compile reuse like the resident path
+        buckets = type(idx)._Q_BUCKETS
+        qb = next((b for b in buckets if nq <= b), nq)
+        qpad = (np.concatenate([qu, np.zeros((qb - nq, qu.shape[1]),
+                                             np.float32)])
+                if qb > nq else qu)
+        qs = qpad @ self.proj
+        _, cand = _phase1_topc(jnp.asarray(qs), self._sketch,
+                               self._sk_scales, c)
+        cand = np.asarray(cand)  # (Qb, c) live-row ids
+        # phase 2: Qb*c*(D+4) host->device bytes — vs N*D for the exact
+        # sweep (rerank keeps the padded Q bucket so its jit is reused too)
+        g8 = rows[cand]  # (Qb, c, D) int8 host gather
+        sc = scales[cand]
+        r = np.asarray(_rerank_gathered(
+            jnp.asarray(qpad), jnp.asarray(g8), jnp.asarray(sc)
+        ))[:nq]
+        cand = cand[:nq]
+        kk = min(top_k, n)
+        # (score desc, id asc) tie order, matching the exact engines
+        order = np.lexsort((cand, -r), axis=1)[:, :kk]
+        vals = np.take_along_axis(r, order, axis=1)
+        gidx = np.take_along_axis(cand, order, axis=1)
+        if idx._stream_live is not None:
+            gidx = idx._stream_live[gidx]
+        if kk < top_k:
+            pad = top_k - kk
+            vals = np.concatenate(
+                [vals, np.full((nq, pad), -np.inf, np.float32)], axis=1)
+            gidx = np.concatenate(
+                [gidx, np.full((nq, pad), -1, gidx.dtype)], axis=1)
         return vals, gidx

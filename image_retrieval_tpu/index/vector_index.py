@@ -84,6 +84,8 @@ class ShardedVectorIndex:
         # the gallery fits on device
         self._stream = None
         self._stream_live = None  # live-row id map for streamed results
+        self._stream_rows = None  # host int8 rows backing the stream
+        self._stream_scales = None
         # monotone content-generation counter: bumps on every mutation
         # (insert/delete/compact/load); derived structures (IVF) key their
         # staleness on it — live_count alone misses delete+insert of equal size
@@ -282,10 +284,16 @@ class ShardedVectorIndex:
                 sc = self._host_scales[live].astype(np.float32)
                 self._stream_live = live
             self._stream = StreamingGallerySearch(rows, sc)
+            # kept for derived engines (index/screen.py streamed mode):
+            # views when no tombstones, else the same arrays the engine
+            # holds — never an extra copy
+            self._stream_rows = rows
+            self._stream_scales = sc
             self._gallery = self._mags = self._valid = self._scales = None
             self._device_dirty = False
             return
         self._stream = self._stream_live = None
+        self._stream_rows = self._stream_scales = None
         self._gallery = shard_rows(self._host_gallery, self.mesh, self._row_axes)
         self._mags = shard_rows(self._host_mags, self.mesh, self._row_axes)
         self._valid = shard_rows(self._host_valid, self.mesh, self._row_axes)

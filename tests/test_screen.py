@@ -137,11 +137,53 @@ def test_stale_after_mutation_raises(mesh, rng):
         scr.search(rows[0], top_k=5)
 
 
-def test_streamed_tier_rejected(mesh, rng):
+def test_streamed_screen_full_coverage_matches_streamed_exact(mesh, rng):
+    """Over a beyond-HBM (streamed) index the screen switches to the
+    streamed mode (device sketch + host candidate gathers); at full
+    coverage it reproduces the streamed exact sweep."""
     rows = clustered_rows(rng, n=256)
     idx = build(mesh, rows, "int8", stream_threshold_bytes=1024)
-    with pytest.raises(ValueError, match="stream"):
-        ScreenedSearch.from_index(idx)
+    scr = ScreenedSearch.from_index(idx, sketch_dims=16, candidates=256)
+    assert scr.streamed
+    q = rng.normal(size=(5, rows.shape[1])).astype(np.float32)
+    sv, si = scr.search(q, top_k=10)
+    ev, ei = idx.search(q, top_k=10)  # streamed exact engine
+    np.testing.assert_array_equal(si, ei)
+    np.testing.assert_allclose(sv, ev, rtol=2e-2, atol=1e-3)
+
+
+def test_streamed_screen_with_tombstones(mesh, rng):
+    rows = clustered_rows(rng, n=192)
+    idx = build(mesh, rows, "int8", stream_threshold_bytes=1024)
+    dead = [f"img_{i}.jpg" for i in range(0, 192, 5)]
+    idx.delete(dead)
+    scr = ScreenedSearch.from_index(idx, sketch_dims=16, candidates=192)
+    _, si = scr.search(rows[:3], top_k=20)
+    assert not (set(si.ravel().tolist()) & set(range(0, 192, 5)))
+    _, ei = idx.search(rows[:3], top_k=20)
+    np.testing.assert_array_equal(si, ei)
+
+
+def test_streamed_screen_recall_thin_sketch(mesh, rng):
+    rows = clustered_rows(rng, n=1024)
+    idx = build(mesh, rows, "int8", stream_threshold_bytes=1024)
+    scr = ScreenedSearch.from_index(idx, sketch_dims=16, candidates=64)
+    q = clustered_rows(rng, n=16)
+    _, si = scr.search(q, top_k=10)
+    _, ei = idx.search(q, top_k=10)
+    recall = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10 for a, b in zip(si, ei)
+    ])
+    assert recall >= 0.9, recall
+
+
+def test_streamed_screen_padding_and_single_query(mesh, rng):
+    rows = clustered_rows(rng, n=24)
+    idx = build(mesh, rows, "int8", stream_threshold_bytes=64)
+    scr = ScreenedSearch.from_index(idx, sketch_dims=16, candidates=64)
+    v, i = scr.search(rows[0], top_k=32)
+    assert v.shape == (32,) and (i >= 0).sum() == 24
+    assert np.all(i[24:] == -1) and np.all(np.isneginf(v[24:]))
 
 
 def test_multislice_mesh(rng):
