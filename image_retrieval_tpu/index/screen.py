@@ -43,8 +43,9 @@ batch's Q*C candidate rows from host RAM (~4 MB at Q=64, C=128) and
 reranks them on device with the streamed engine's exact bf16 math. That
 is ~1000x less host->device traffic than the streamed exact sweep
 (N*D bytes — 4 GB at 8M) and ~200x less than the offloaded IVF's probed
-slabs, at the sketch tier's recall. Build cost is one streamed pass
-(chunked project+quantize on device).
+slabs, at the sketch tier's recall. Build cost: one chunked streamed pass
+(project+quantize on device) for method='random', two for 'pca' (the fit
+streams the rows once more for the second moment).
 """
 
 from __future__ import annotations
@@ -61,6 +62,23 @@ from jax import shard_map
 from image_retrieval_tpu.ops.topk import exact_topk
 from image_retrieval_tpu.parallel.collectives import _gather_merge_topk
 from image_retrieval_tpu.parallel.mesh import replicate, shard_rows
+
+
+def _fit_projection(
+    d: int, ds: int, method: str, seed: int, cov: Optional[np.ndarray]
+) -> np.ndarray:
+    """(D, ds) projection: top-ds eigenvectors of the supplied uncentered
+    second moment ('pca') or a seeded orthonormal rotation ('random') —
+    shared by the resident and streamed builds so the fit can never
+    diverge between them."""
+    if method == "pca":
+        _, vecs = np.linalg.eigh(np.asarray(cov, np.float64))
+        return np.ascontiguousarray(vecs[:, ::-1][:, :ds]).astype(np.float32)
+    if method == "random":
+        rng = np.random.default_rng(seed)
+        qmat, _ = np.linalg.qr(rng.standard_normal((d, ds)))
+        return qmat[:, :ds].astype(np.float32)
+    raise ValueError(f"unknown screen method '{method}'")
 
 
 def _quantize_rows_int8(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -245,16 +263,54 @@ def _chunk_project_quantize(
     return _quantize_rows_int8(jnp.dot(x, proj, preferred_element_type=jnp.float32))
 
 
-@functools.partial(jax.jit, static_argnames=("c",))
+_PHASE1_BLOCK = 1 << 21  # rows per score tile: (Qb, 2M) f32 <= 2 GB at Qb=256
+
+
+@functools.partial(jax.jit, static_argnames=("c", "n_valid"))
 def _phase1_topc(
-    q_sketch: jnp.ndarray, sketch: jnp.ndarray, sk_scales: jnp.ndarray, c: int
+    q_sketch: jnp.ndarray, sketch: jnp.ndarray, sk_scales: jnp.ndarray,
+    c: int, n_valid: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Single-device sketch sweep (streamed mode: all rows live)."""
-    s1 = jnp.dot(
-        q_sketch.astype(jnp.bfloat16), sketch.astype(jnp.bfloat16).T,
-        preferred_element_type=jnp.float32,
-    ) * sk_scales[None, :]
-    return jax.lax.top_k(s1, min(c, s1.shape[1]))
+    """Single-device sketch sweep (streamed mode: all rows live).
+
+    Blocked over row tiles with a running top-c merge so the score matrix
+    never materializes (Qb, N) — at the mode's own design point (32M rows,
+    Qb=64) that buffer alone would be 8 GB, past v5e HBM. The sketch is
+    padded to a block multiple at build time; pad rows (>= n_valid) are
+    masked here, NOT via zero scales (a zero score would still outrank
+    genuinely negative cosines)."""
+    n = sketch.shape[0]
+    q = q_sketch.astype(jnp.bfloat16)
+    cc = min(c, n_valid)
+    if n <= _PHASE1_BLOCK:
+        s1 = jnp.dot(q, sketch.astype(jnp.bfloat16).T,
+                     preferred_element_type=jnp.float32) * sk_scales[None, :]
+        col = jax.lax.broadcasted_iota(jnp.int32, s1.shape, 1)
+        s1 = jnp.where(col < n_valid, s1, -jnp.inf)
+        return jax.lax.top_k(s1, cc)
+    nb = n // _PHASE1_BLOCK  # build pads to an exact multiple
+    kb = min(cc, _PHASE1_BLOCK)
+
+    def step(carry, i):
+        vals, ids = carry
+        off = i * _PHASE1_BLOCK
+        sk = jax.lax.dynamic_slice_in_dim(sketch, off, _PHASE1_BLOCK, 0)
+        sc = jax.lax.dynamic_slice_in_dim(sk_scales, off, _PHASE1_BLOCK, 0)
+        s = jnp.dot(q, sk.astype(jnp.bfloat16).T,
+                    preferred_element_type=jnp.float32) * sc[None, :]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + off
+        s = jnp.where(col < n_valid, s, -jnp.inf)
+        cv, ci = jax.lax.top_k(s, kb)
+        cand_vals = jnp.concatenate([vals, cv], axis=1)
+        cand_ids = jnp.concatenate([ids, ci.astype(jnp.int32) + off], axis=1)
+        mv, mi = jax.lax.top_k(cand_vals, cc)
+        return (mv, jnp.take_along_axis(cand_ids, mi, axis=1)), None
+
+    q_n = q_sketch.shape[0]
+    init = (jnp.full((q_n, cc), -jnp.inf, jnp.float32),
+            jnp.full((q_n, cc), -1, jnp.int32))
+    (vals, ids), _ = jax.lax.scan(step, init, jnp.arange(nb))
+    return vals, ids
 
 
 @jax.jit
@@ -300,8 +356,7 @@ class ScreenedSearch:
             )
         self._index = index
         self.proj = proj  # (D, ds) host copy, queries project on host
-        self._proj_dev = replicate(jnp.asarray(proj), index.mesh)
-        # resident: (capacity, ds) int8 row-sharded / streamed: (n_live, ds)
+        # resident: (capacity, ds) int8 row-sharded / streamed: (n_pad, ds)
         # int8 on the default device
         self._sketch = sketch
         self._sk_scales = sk_scales
@@ -338,6 +393,7 @@ class ScreenedSearch:
         d = index.dim
         ds = int(min(sketch_dims, d))
         axes = index._row_axes
+        cov = None
         if method == "pca":
             cov = np.asarray(
                 _sharded_second_moment(
@@ -345,16 +401,7 @@ class ScreenedSearch:
                     mesh=index.mesh, axes=axes,
                 )
             )
-            # eigh ascending -> take the top-ds eigenvectors
-            _, vecs = np.linalg.eigh(cov.astype(np.float64))
-            proj = np.ascontiguousarray(vecs[:, ::-1][:, :ds]).astype(np.float32)
-        elif method == "random":
-            rng = np.random.default_rng(seed)
-            a = rng.standard_normal((d, ds)).astype(np.float64)
-            qmat, _ = np.linalg.qr(a)
-            proj = qmat[:, :ds].astype(np.float32)
-        else:
-            raise ValueError(f"unknown screen method '{method}'")
+        proj = _fit_projection(d, ds, method, seed, cov)
         sketch, sk_scales = _sharded_project_quantize(
             index._gallery, index._scales, replicate(jnp.asarray(proj), index.mesh),
             mesh=index.mesh, axes=axes,
@@ -365,12 +412,15 @@ class ScreenedSearch:
     def _from_streamed(
         cls, index, sketch_dims: int, candidates: int, method: str, seed: int
     ) -> "ScreenedSearch":
-        """Beyond-HBM build: one chunked pass over the host gallery (fit +
-        project + quantize on device), sketch assembled device-resident."""
+        """Beyond-HBM build: chunked host->device passes over the gallery —
+        ONE for method='random' (project+quantize), TWO for 'pca' (the fit
+        streams the rows once more for the second moment). Sketch assembled
+        device-resident, padded to the phase-1 block multiple."""
         rows = index._stream_rows  # (n_live, D) int8, host
         scales = index._stream_scales  # (n_live,) f32, host
         n, d = rows.shape
         ds = int(min(sketch_dims, d))
+        cov = None
         if method == "pca":
             cov = np.zeros((d, d), np.float64)
             for s in range(0, n, _STREAM_FIT_CHUNK):
@@ -378,27 +428,28 @@ class ScreenedSearch:
                 cov += np.asarray(_chunk_second_moment(
                     jnp.asarray(rows[s:e]), jnp.asarray(scales[s:e])
                 ), np.float64)
-            _, vecs = np.linalg.eigh(cov)
-            proj = np.ascontiguousarray(vecs[:, ::-1][:, :ds]).astype(np.float32)
-        elif method == "random":
-            rng = np.random.default_rng(seed)
-            qmat, _ = np.linalg.qr(rng.standard_normal((d, ds)))
-            proj = qmat[:, :ds].astype(np.float32)
-        else:
-            raise ValueError(f"unknown screen method '{method}'")
+        proj = _fit_projection(d, ds, method, seed, cov)
         pdev = jnp.asarray(proj)
-        sk_parts, sc_parts = [], []
+        # preallocate the padded host sketch and fill chunk slices in place
+        # (a parts-list + concatenate would transiently hold it twice —
+        # gigabytes at the sizes this tier exists for); pad rows are masked
+        # by n_valid in _phase1_topc
+        n_pad = (-(-n // _PHASE1_BLOCK) * _PHASE1_BLOCK
+                 if n > _PHASE1_BLOCK else n)
+        sk_host = np.zeros((n_pad, ds), np.int8)
+        sc_host = np.zeros((n_pad,), np.float32)
         for s in range(0, n, _STREAM_FIT_CHUNK):
             e = min(s + _STREAM_FIT_CHUNK, n)
             sk, sc = _chunk_project_quantize(
                 jnp.asarray(rows[s:e]), jnp.asarray(scales[s:e]), pdev
             )
-            sk_parts.append(np.asarray(sk))
-            sc_parts.append(np.asarray(sc))
-        # one device_put of the final (n, ds) sketch: fits HBM by
+            sk_host[s:e] = np.asarray(sk)
+            sc_host[s:e] = np.asarray(sc)
+        # one device_put of the final (n_pad, ds) sketch: fits HBM by
         # construction (ds << D) even when the gallery itself does not
-        sketch = jnp.asarray(np.concatenate(sk_parts))
-        sk_scales = jnp.asarray(np.concatenate(sc_parts))
+        sketch = jnp.asarray(sk_host)
+        sk_scales = jnp.asarray(sc_host)
+        del sk_host, sc_host
         return cls(index, proj, sketch, sk_scales, candidates, method,
                    streamed=True)
 
@@ -480,16 +531,21 @@ class ScreenedSearch:
                 if qb > nq else qu)
         qs = qpad @ self.proj
         _, cand = _phase1_topc(jnp.asarray(qs), self._sketch,
-                               self._sk_scales, c)
-        cand = np.asarray(cand)  # (Qb, c) live-row ids
-        # phase 2: Qb*c*(D+4) host->device bytes — vs N*D for the exact
-        # sweep (rerank keeps the padded Q bucket so its jit is reused too)
-        g8 = rows[cand]  # (Qb, c, D) int8 host gather
+                               self._sk_scales, c, n)
+        # gather ONLY the real queries' rows (this engine's whole point is
+        # minimal host->device bytes), then zero-pad back to the Q bucket
+        # so the rerank jit is reused across batch sizes
+        cand = np.asarray(cand)[:nq]  # (nq, c) live-row ids
+        g8 = rows[cand]  # (nq, c, D) int8 host gather
         sc = scales[cand]
+        if qb > nq:
+            g8 = np.concatenate(
+                [g8, np.zeros((qb - nq,) + g8.shape[1:], np.int8)])
+            sc = np.concatenate(
+                [sc, np.zeros((qb - nq, sc.shape[1]), np.float32)])
         r = np.asarray(_rerank_gathered(
             jnp.asarray(qpad), jnp.asarray(g8), jnp.asarray(sc)
         ))[:nq]
-        cand = cand[:nq]
         kk = min(top_k, n)
         # (score desc, id asc) tie order, matching the exact engines
         order = np.lexsort((cand, -r), axis=1)[:, :kk]

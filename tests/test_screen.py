@@ -289,3 +289,21 @@ def test_server_with_screen_ann(mesh, rng):
             [r["score"] for r in a], [r["score"] for r in b],
             rtol=2e-2, atol=1e-3,
         )
+
+
+def test_streamed_phase1_blocked_path(monkeypatch, mesh, rng):
+    """The blocked running-top-C phase 1 (big-N path) must agree with the
+    exact streamed engine — including pad-row masking against queries
+    whose true cosines are ALL negative (a zero-scored pad row would win)."""
+    import image_retrieval_tpu.index.screen as scr_mod
+
+    monkeypatch.setattr(scr_mod, "_PHASE1_BLOCK", 64)
+    rows = clustered_rows(rng, n=200)  # not a block multiple -> padding
+    idx = build(mesh, rows, "int8", stream_threshold_bytes=1024)
+    scr = ScreenedSearch.from_index(idx, sketch_dims=16, candidates=256)
+    assert scr.streamed and scr._sketch.shape[0] == 256  # padded to 4 blocks
+    q = np.concatenate([rows[:3], -rows[3:5]])  # antipodes: all-negative cos
+    sv, si = scr.search(q, top_k=10)
+    ev, ei = idx.search(q, top_k=10)
+    np.testing.assert_array_equal(si, ei)
+    np.testing.assert_allclose(sv, ev, rtol=2e-2, atol=1e-3)

@@ -182,7 +182,9 @@ def main():
             sidx.paths = list(idx.paths)
             sidx.count = idx.count
             sidx._device_dirty = True
-            del idx
+            # g2/sc2 are VIEWS into idx's buffers — drop them too or
+            # `del idx` frees nothing and the probe holds two galleries
+            del g2, sc2, idx
             t0 = time.time()
             scr = ScreenedSearch.from_index(
                 sidx, sketch_dims=128, candidates=128)
