@@ -459,6 +459,18 @@ class ScreenedSearch:
         built (insert/delete/compact). Rebuild with from_index."""
         return self.generation != self._index.generation
 
+    def recall_at(
+        self, queries: np.ndarray, exact_ids: np.ndarray, k: int = 10
+    ) -> float:
+        """Mean top-k recall vs exact ids — the (ds, candidates) tuning
+        measurement (IVFIndex.recall_at's contract)."""
+        _, got = self.search(queries, top_k=k)
+        hits = sum(
+            len(set(g.tolist()) & set(e.tolist())) / len(e)
+            for g, e in zip(np.atleast_2d(got), np.atleast_2d(exact_ids))
+        )
+        return hits / len(np.atleast_2d(got))
+
     # -- search ---------------------------------------------------------------
 
     def search(

@@ -307,3 +307,12 @@ def test_streamed_phase1_blocked_path(monkeypatch, mesh, rng):
     ev, ei = idx.search(q, top_k=10)
     np.testing.assert_array_equal(si, ei)
     np.testing.assert_allclose(sv, ev, rtol=2e-2, atol=1e-3)
+
+
+def test_recall_at_contract(mesh, rng):
+    rows = clustered_rows(rng, n=256)
+    idx = build(mesh, rows, "int8")
+    scr = ScreenedSearch.from_index(idx, sketch_dims=32, candidates=256)
+    q = rows[:8]
+    _, ei = idx.search(q, top_k=10)
+    assert scr.recall_at(q, ei, k=10) == 1.0  # full coverage
