@@ -316,3 +316,37 @@ def test_recall_at_contract(mesh, rng):
     q = rows[:8]
     _, ei = idx.search(q, top_k=10)
     assert scr.recall_at(q, ei, k=10) == 1.0  # full coverage
+
+
+def test_all_tombstoned_returns_padding(mesh, rng):
+    """Direct use on a fully-tombstoned gallery degrades to (-inf, -1)
+    padding (the facade guards live_count==0 before building; direct
+    callers get the padding contract, not a crash)."""
+    rows = clustered_rows(rng, n=64)
+    idx = build(mesh, rows, "int8")
+    scr = ScreenedSearch.from_index(idx, sketch_dims=16, candidates=64)
+    idx.delete([f"img_{i}.jpg" for i in range(64)])
+    scr = ScreenedSearch.from_index(idx, sketch_dims=16, candidates=64)
+    v, i = scr.search(rows[0], top_k=5)
+    assert np.all(i == -1) and np.all(np.isneginf(v))
+
+
+@pytest.mark.parametrize("n,block", [(100, 32), (129, 64), (96, 48)])
+def test_blocked_phase1_equals_direct(monkeypatch, mesh, rng, n, block):
+    """Blocked phase 1 (scan + running merge) must return exactly the
+    direct path's candidates for any (n, block) remainder shape."""
+    import image_retrieval_tpu.index.screen as scr_mod
+
+    rows = clustered_rows(rng, n=n)
+    idx = build(mesh, rows, "int8", stream_threshold_bytes=64)
+    monkeypatch.setattr(scr_mod, "_PHASE1_BLOCK", 1 << 30)  # direct
+    direct = ScreenedSearch.from_index(idx, sketch_dims=16, candidates=32,
+                                       method="random", seed=1)
+    q = rng.normal(size=(3, rows.shape[1])).astype(np.float32)
+    dv, di = direct.search(q, top_k=10)
+    monkeypatch.setattr(scr_mod, "_PHASE1_BLOCK", block)  # blocked
+    blocked = ScreenedSearch.from_index(idx, sketch_dims=16, candidates=32,
+                                        method="random", seed=1)
+    bv, bi = blocked.search(q, top_k=10)
+    np.testing.assert_array_equal(di, bi)
+    np.testing.assert_allclose(dv, bv, rtol=1e-6)
