@@ -59,6 +59,11 @@ def main():
     ap.add_argument("--rows", type=float, default=1, help="Mrows")
     ap.add_argument("--quick", action="store_true", help="tiny CPU sanity run")
     ap.add_argument("--only", choices=("clu", "unc"), default=None)
+    ap.add_argument("--grid", default=None,
+                    help="override the (ds:c[:method]) grid, e.g. "
+                         "'128:128,128:512:random' — for targeted 8M runs")
+    ap.add_argument("--no-streamed", action="store_true",
+                    help="skip the streamed-screen section")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -116,7 +121,13 @@ def main():
             batch64_ms=round(ms64, 3), ms_per_query=round(ms64 / 64, 4),
             single_ms=round(ms1, 3))
 
-        if args.quick:
+        if args.grid:
+            grid = []
+            for spec in args.grid.split(","):
+                parts = spec.split(":")
+                grid.append((int(parts[0]), int(parts[1]),
+                             parts[2] if len(parts) > 2 else "pca"))
+        elif args.quick:
             grid = [(64, 128, "pca")]
         else:
             grid = [
@@ -166,7 +177,7 @@ def main():
         # includes host gathers + puts, so time whole search() calls
         # (wall clock, warm) — the honest number for a host-in-the-loop
         # engine; report bytes moved per batch for the transfer story.
-        if not args.quick:
+        if not args.quick and not args.no_streamed:
             sidx = ShardedVectorIndex(
                 dim=D, config=IndexConfig(
                     dtype="int8", capacity_step=1 << 20,
