@@ -157,8 +157,66 @@ def _sharded_project_quantize(
     return fn(gallery, dummy, proj)
 
 
+# Resident phase-1 row tile: above this many local rows the sketch sweep
+# runs blocked with a running top-C merge instead of materializing the
+# (Qbucket, nlocal) score row and lax.top_k-ing its full width — at the
+# 256-query bucket over a 1M-row shard that buffer alone is 1 GB and the
+# full-width top_k outweighs the ds/D-sized sketch read (TODO r3 note;
+# measured head-to-head in bench_results/screen_probe.json `p1` cases).
+_RESIDENT_P1_BLOCK = 1 << 17
+
+
+def _phase1_local_topc(
+    qs16: jnp.ndarray,
+    sketch: jnp.ndarray,
+    sk_scales: jnp.ndarray,
+    valid: jnp.ndarray,
+    cl: int,
+    block: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shard-local sketch sweep -> top-cl, blocked when the shard is large.
+
+    Direct path (small shards / non-multiple sizes): one (Q, Nl) dot +
+    full-width top_k. Blocked path: lax.scan over `block`-row tiles with a
+    running (vals, ids) merge — same contract, O(Q*block) peak memory."""
+    n = sketch.shape[0]
+
+    def direct():
+        s1 = jnp.dot(qs16, sketch.astype(jnp.bfloat16).T,
+                     preferred_element_type=jnp.float32) * sk_scales[None, :]
+        s1 = jnp.where(valid[None, :], s1, -jnp.inf)
+        return exact_topk(s1, cl, descending=True)
+
+    if n <= block or n % block != 0 or cl > block:
+        return direct()
+    nb = n // block
+
+    def step(carry, i):
+        vals, ids = carry
+        off = i * block
+        sk = jax.lax.dynamic_slice_in_dim(sketch, off, block, 0)
+        sc = jax.lax.dynamic_slice_in_dim(sk_scales, off, block, 0)
+        v = jax.lax.dynamic_slice_in_dim(valid, off, block, 0)
+        s = jnp.dot(qs16, sk.astype(jnp.bfloat16).T,
+                    preferred_element_type=jnp.float32) * sc[None, :]
+        s = jnp.where(v[None, :], s, -jnp.inf)
+        cv, ci = exact_topk(s, cl, descending=True)
+        cand_vals = jnp.concatenate([vals, cv], axis=1)
+        cand_ids = jnp.concatenate([ids, ci.astype(jnp.int32) + off], axis=1)
+        mv, mi = jax.lax.top_k(cand_vals, cl)
+        return (mv, jnp.take_along_axis(cand_ids, mi, axis=1)), None
+
+    q_n = qs16.shape[0]
+    init = (jnp.full((q_n, cl), -jnp.inf, jnp.float32),
+            jnp.full((q_n, cl), 0, jnp.int32))
+    (vals, ids), _ = jax.lax.scan(step, init, jnp.arange(nb))
+    return vals, ids
+
+
 @functools.partial(
-    jax.jit, static_argnames=("c", "quantized", "mesh", "slice_axis", "data_axis")
+    jax.jit,
+    static_argnames=("c", "quantized", "mesh", "slice_axis", "data_axis",
+                     "p1_block"),
 )
 def _screened_topc(
     q_sketch: jnp.ndarray,
@@ -174,6 +232,7 @@ def _screened_topc(
     mesh: Mesh,
     slice_axis: Optional[str],
     data_axis: str,
+    p1_block: int = _RESIDENT_P1_BLOCK,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-phase top-C: per-shard sketch sweep -> gather -> exact rerank ->
     ICI merge (hierarchical over (slice, data) when slice_axis is set).
@@ -197,13 +256,11 @@ def _screened_topc(
         else:
             shard_id = jax.lax.axis_index(data_axis)
         # phase 1: int8 sketch sweep (bf16 MXU dot, per-row dequant on the
-        # (Q, Nl) result — the resident int8 scorer's layout)
-        s1 = jnp.dot(
-            qs.astype(jnp.bfloat16), sk.astype(jnp.bfloat16).T,
-            preferred_element_type=jnp.float32,
-        ) * sks[None, :]
-        s1 = jnp.where(v[None, :], s1, -jnp.inf)
-        _, cidx = exact_topk(s1, cl, descending=True)  # (Q, cl)
+        # (Q, Nl) result — the resident int8 scorer's layout), blocked with
+        # a running top-C merge on large shards (_phase1_local_topc)
+        p1v, cidx = _phase1_local_topc(
+            qs.astype(jnp.bfloat16), sk, sks, v, cl, p1_block
+        )  # (Q, cl)
         # phase 2: gather the candidates' full rows and rerank exactly.
         rows = jnp.take(g, cidx, axis=0)  # (Q, cl, D)
         if quantized:
@@ -220,8 +277,13 @@ def _screened_topc(
                 qu.astype(jnp.float32), rows.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
             )
-        # phase 1 pads with arbitrary rows when live < cl: re-mask
-        r = jnp.where(jnp.take(v, cidx, axis=0), r, -jnp.inf)
+        # phase 1 pads with arbitrary rows when live < cl (direct path:
+        # -inf-score row indices; blocked path: merge placeholders, which
+        # can DUPLICATE a live row) — mask on the phase-1 value as well as
+        # row validity so neither kind survives the rerank
+        r = jnp.where(
+            jnp.take(v, cidx, axis=0) & jnp.isfinite(p1v), r, -jnp.inf
+        )
         vals, ii = exact_topk(r, cl, descending=True)
         gidx = jnp.take_along_axis(cidx, ii, axis=1) + shard_id * nlocal
         if slice_axis:
@@ -365,6 +427,9 @@ class ScreenedSearch:
         self.streamed = bool(streamed)
         self.generation = index.generation
         self.sketch_dims = int(proj.shape[1])
+        # resident phase-1 tile; probes override (huge => direct full-width
+        # top_k, the pre-r3c behavior) — see _RESIDENT_P1_BLOCK
+        self.p1_block = _RESIDENT_P1_BLOCK
 
     # -- construction --------------------------------------------------------
 
@@ -511,6 +576,7 @@ class ScreenedSearch:
             idx._gallery, idx._valid, idx._scales,
             c, idx._quantized,
             mesh=idx.mesh, slice_axis=slice_axis, data_axis=idx.axis,
+            p1_block=int(self.p1_block),
         )
         vals = np.asarray(vals)[:nq, :top_k]
         gidx = np.asarray(gidx)[:nq, :top_k]

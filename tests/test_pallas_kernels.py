@@ -160,3 +160,32 @@ def test_int8_pallas_scorer_matches_xla_int8(rng):
             )
         )
         np.testing.assert_allclose(b, a, atol=2e-5, rtol=1e-4)
+
+
+def test_int8_pallas_scorer_v2_matches_xla_int8(rng):
+    """The VPU-minimal v2 rewrite (hoisted dequant, native bf16 reductions)
+    must stay numerically identical to the XLA int8 scorer — same bf16 MXU
+    dot, Gram L2, bf16 |diff| sweep with f32 accumulation."""
+    from image_retrieval_tpu.ops.metrics import fused_optimized_scores_int8
+    from image_retrieval_tpu.ops.pallas_kernels import (
+        fused_optimized_scores_int8_pallas_v2,
+    )
+
+    n, d = 1500, 64  # ragged vs block_n: exercises padding
+    unit = rng.normal(size=(n, d)).astype(np.float32)
+    unit /= np.linalg.norm(unit, axis=1, keepdims=True)
+    grid = np.maximum(np.abs(unit).max(1), 1e-12) / 127.0
+    g8 = np.clip(np.rint(unit / grid[:, None]), -127, 127).astype(np.int8)
+    sc = (1.0 / np.linalg.norm(g8.astype(np.float32), axis=1)).astype(np.float32)
+    mags = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    q = rng.normal(size=(3, d)).astype(np.float32)
+    for w in ((1.0, 1.0, 1.0, 0.0, 0.5), (1.0, 0.0, 1.0, 0.4, 0.0),
+              (1.0, 0.0, 1.0, 0.0, 0.5)):
+        a = np.asarray(fused_optimized_scores_int8(q, g8, sc, mags, w))
+        b = np.asarray(
+            fused_optimized_scores_int8_pallas_v2(
+                jnp.asarray(q), jnp.asarray(g8), jnp.asarray(sc),
+                jnp.asarray(mags), w, block_n=512,
+            )
+        )
+        np.testing.assert_allclose(b, a, atol=2e-5, rtol=1e-4)

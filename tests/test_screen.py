@@ -350,3 +350,39 @@ def test_blocked_phase1_equals_direct(monkeypatch, mesh, rng, n, block):
     bv, bi = blocked.search(q, top_k=10)
     np.testing.assert_array_equal(di, bi)
     np.testing.assert_allclose(dv, bv, rtol=1e-6)
+
+
+class TestBlockedPhase1:
+    """The blocked resident phase-1 (running top-C merge over row tiles,
+    _phase1_local_topc) must be result-identical to the direct full-width
+    top_k it replaces — including when live rows < candidates, where merge
+    placeholder slots must not duplicate a live row into the results."""
+
+    def test_blocked_matches_direct(self, mesh, rng):
+        rows = clustered_rows(rng, n=1024)
+        idx = build(mesh, rows)
+        scr = ScreenedSearch.from_index(idx, sketch_dims=16, candidates=16)
+        q = rng.normal(size=(7, rows.shape[1])).astype(np.float32)
+        scr.p1_block = 1 << 30  # direct
+        dv, di = scr.search(q, top_k=10)
+        # 1024/8 shards = 128 local rows -> 4 tiles of 32 >= cl=16
+        scr.p1_block = 32
+        bv, bi = scr.search(q, top_k=10)
+        np.testing.assert_array_equal(bi, di)
+        np.testing.assert_allclose(bv, dv, rtol=1e-5, atol=1e-6)
+
+    def test_blocked_no_duplicates_when_live_lt_candidates(self, mesh, rng):
+        rows = clustered_rows(rng, n=1024)
+        idx = build(mesh, rows)
+        # tombstone most rows: 16 live spread over 8 shards, so every
+        # shard has live < cl=16 and the merge carries placeholder slots
+        idx.delete([f"img_{i}.jpg" for i in range(1008)])
+        scr = ScreenedSearch.from_index(idx, sketch_dims=16, candidates=16)
+        scr.p1_block = 32  # 128 local rows -> 4 tiles
+        q = rng.normal(size=(3, rows.shape[1])).astype(np.float32)
+        vals, ids = scr.search(q, top_k=16)
+        for row_ids, row_vals in zip(ids, vals):
+            live = row_ids[row_ids >= 0]
+            assert len(set(live.tolist())) == len(live)  # no duplicates
+            assert all(i >= 1008 for i in live)  # only live rows
+            assert np.all(np.isneginf(row_vals[row_ids < 0]))

@@ -65,8 +65,13 @@ def main():
     ap.add_argument("--no-streamed", action="store_true",
                     help="skip the streamed-screen section")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (env var alone does not "
+                         "stop the axon plugin — CLAUDE.md)")
     args = ap.parse_args()
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     _enable_cache()
     print(f"devices: {jax.devices()}", flush=True)
     out = []
@@ -151,7 +156,7 @@ def main():
             qu = queries
             proj = scr.proj
 
-            def run_scr(i, qs=qs64):
+            def run_scr(i, qs=qs64, p1b=scr.p1_block):
                 q = qs[i % 4]
                 qdev, _, _ = idx._prep_queries(q)
                 qsdev, _, _ = idx._prep_queries(q @ proj)
@@ -159,7 +164,8 @@ def main():
                     qsdev, qdev, scr._sketch, scr._sk_scales,
                     idx._gallery, idx._valid, idx._scales,
                     min(c, idx.capacity), True,
-                    mesh=idx.mesh, slice_axis=None, data_axis=idx.axis)[0]
+                    mesh=idx.mesh, slice_axis=None, data_axis=idx.axis,
+                    p1_block=p1b)[0]
 
             sms64 = one_vs_two_ms(run_scr)
             sms1 = one_vs_two_ms(
@@ -171,6 +177,18 @@ def main():
                 single_ms=round(sms1, 3), build_s=round(build_s, 2),
                 speedup_b64=round(ms64 / max(sms64, 1e-9), 2),
                 speedup_1q=round(ms1 / max(sms1, 1e-9), 2))
+            if (ds, c) == (128, 128):
+                # head-to-head: direct full-width phase-1 top_k (the
+                # pre-r3c form) vs the default blocked running merge
+                dms64 = one_vs_two_ms(lambda i: run_scr(i, p1b=1 << 30))
+                dms1 = one_vs_two_ms(
+                    lambda i: run_scr(i, qs=[q[None] for q in qu[:4]],
+                                      p1b=1 << 30))
+                rec(out, respath,
+                    name=f"screen_{tag_d}_ds{ds}_c{c}_{method}_p1direct",
+                    batch64_ms=round(dms64, 3),
+                    ms_per_query=round(dms64 / 64, 4),
+                    single_ms=round(dms1, 3))
             del scr
 
         # streamed screen: the same gallery forced beyond-HBM. The path
