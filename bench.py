@@ -28,21 +28,30 @@ import time
 import numpy as np
 
 
-def _wait_for_tpu_tunnel(max_wait_s=1500, probe_timeout_s=150):
+def _wait_for_tpu_tunnel(max_wait_s=1500, probe_timeout_s=330):
     """The axon tunnel occasionally wedges (CLAUDE.md: trivial jits hang;
     one observed outage >4 h). If bench starts mid-outage it would hang at
     the first dispatch and the driver's capture would be lost — so probe
     with a tiny subprocess jit first and wait (bounded) for recovery.
     Returns True when a probe succeeds, False when the budget runs out
-    (callers emit an error JSON line instead of hanging)."""
+    (callers emit an error JSON line instead of hanging).
+
+    The probe timeout exceeds the documented healthy remote-compile time
+    (1–5 min for a new jit signature), and the child shares the repo's
+    persistent compile cache so retries don't recompile from scratch."""
     import os
     import subprocess
     import sys
 
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         return True
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
     code = (
-        "import jax, jax.numpy as jnp;"
+        "import jax;"
+        f"jax.config.update('jax_compilation_cache_dir', {cache_dir!r});"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0);"
+        "import jax.numpy as jnp;"
         "x = jax.jit(lambda a: a * 2 + 1)(jnp.ones((8, 8)));"
         "print('TUNNEL_OK', float(jax.device_get(x).sum()))"
     )
@@ -61,9 +70,10 @@ def _wait_for_tpu_tunnel(max_wait_s=1500, probe_timeout_s=150):
             pass
         if time.time() >= deadline:
             return False
+        # stderr: stdout must stay the ONE JSON line the driver parses
         print(
             f"# tpu tunnel unresponsive (probe {attempt}); waiting...",
-            flush=True,
+            file=sys.stderr, flush=True,
         )
         time.sleep(60)
 

@@ -162,7 +162,8 @@ def _sharded_project_quantize(
 # (Qbucket, nlocal) score row and lax.top_k-ing its full width — at the
 # 256-query bucket over a 1M-row shard that buffer alone is 1 GB and the
 # full-width top_k outweighs the ds/D-sized sketch read (TODO r3 note;
-# measured head-to-head in bench_results/screen_probe.json `p1` cases).
+# head-to-head capture: tools/tpu_screen_probe.py `p1direct` cases →
+# bench_results/screen_probe.json, pending the tunnel outage).
 _RESIDENT_P1_BLOCK = 1 << 17
 
 
@@ -176,9 +177,12 @@ def _phase1_local_topc(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Shard-local sketch sweep -> top-cl, blocked when the shard is large.
 
-    Direct path (small shards / non-multiple sizes): one (Q, Nl) dot +
-    full-width top_k. Blocked path: lax.scan over `block`-row tiles with a
-    running (vals, ids) merge — same contract, O(Q*block) peak memory."""
+    Direct path (shards <= one tile, or cl too big to tile): one (Q, Nl)
+    dot + full-width top_k. Blocked path: lax.scan over `block`-row tiles
+    with a running (vals, ids) merge, plus one statically-sized tail step
+    for the remainder rows (shard sizes are rarely tile multiples — 1M is
+    not — so the tail must not force the materializing path) — same
+    contract, O(Q*block) peak memory."""
     n = sketch.shape[0]
 
     def direct():
@@ -187,30 +191,44 @@ def _phase1_local_topc(
         s1 = jnp.where(valid[None, :], s1, -jnp.inf)
         return exact_topk(s1, cl, descending=True)
 
-    if n <= block or n % block != 0 or cl > block:
+    if n <= block or cl > block:
         return direct()
     nb = n // block
+    tail = n - nb * block
 
-    def step(carry, i):
-        vals, ids = carry
-        off = i * block
-        sk = jax.lax.dynamic_slice_in_dim(sketch, off, block, 0)
-        sc = jax.lax.dynamic_slice_in_dim(sk_scales, off, block, 0)
-        v = jax.lax.dynamic_slice_in_dim(valid, off, block, 0)
+    def scored_tile(sk, sc, v, off):
         s = jnp.dot(qs16, sk.astype(jnp.bfloat16).T,
                     preferred_element_type=jnp.float32) * sc[None, :]
         s = jnp.where(v[None, :], s, -jnp.inf)
-        cv, ci = exact_topk(s, cl, descending=True)
+        cv, ci = exact_topk(s, min(cl, sk.shape[0]), descending=True)
+        return cv, ci.astype(jnp.int32) + off
+
+    def merge(carry, cv, ci):
+        vals, ids = carry
         cand_vals = jnp.concatenate([vals, cv], axis=1)
-        cand_ids = jnp.concatenate([ids, ci.astype(jnp.int32) + off], axis=1)
+        cand_ids = jnp.concatenate([ids, ci], axis=1)
         mv, mi = jax.lax.top_k(cand_vals, cl)
-        return (mv, jnp.take_along_axis(cand_ids, mi, axis=1)), None
+        return mv, jnp.take_along_axis(cand_ids, mi, axis=1)
+
+    def step(carry, i):
+        off = i * block
+        cv, ci = scored_tile(
+            jax.lax.dynamic_slice_in_dim(sketch, off, block, 0),
+            jax.lax.dynamic_slice_in_dim(sk_scales, off, block, 0),
+            jax.lax.dynamic_slice_in_dim(valid, off, block, 0),
+            off,
+        )
+        return merge(carry, cv, ci), None
 
     q_n = qs16.shape[0]
     init = (jnp.full((q_n, cl), -jnp.inf, jnp.float32),
             jnp.full((q_n, cl), 0, jnp.int32))
-    (vals, ids), _ = jax.lax.scan(step, init, jnp.arange(nb))
-    return vals, ids
+    carry, _ = jax.lax.scan(step, init, jnp.arange(nb))
+    if tail:
+        cv, ci = scored_tile(sketch[nb * block:], sk_scales[nb * block:],
+                             valid[nb * block:], nb * block)
+        carry = merge(carry, cv, ci)
+    return carry
 
 
 @functools.partial(

@@ -386,3 +386,19 @@ class TestBlockedPhase1:
             assert len(set(live.tolist())) == len(live)  # no duplicates
             assert all(i >= 1008 for i in live)  # only live rows
             assert np.all(np.isneginf(row_vals[row_ids < 0]))
+
+    def test_blocked_tail_matches_direct(self, mesh, rng):
+        """Shard sizes that are NOT a tile multiple must still take the
+        blocked path (static tail step), not fall back to materializing —
+        and match the direct results exactly. 1536/8 shards = 192 local
+        rows = 4 tiles of 48 + a 0-tail... use block 40: 4 tiles + 32."""
+        rows = clustered_rows(rng, n=1536)
+        idx = build(mesh, rows)
+        scr = ScreenedSearch.from_index(idx, sketch_dims=16, candidates=24)
+        q = rng.normal(size=(5, rows.shape[1])).astype(np.float32)
+        scr.p1_block = 1 << 30
+        dv, di = scr.search(q, top_k=10)
+        scr.p1_block = 40  # 192 = 4*40 + 32 tail
+        bv, bi = scr.search(q, top_k=10)
+        np.testing.assert_array_equal(bi, di)
+        np.testing.assert_allclose(bv, dv, rtol=1e-5, atol=1e-6)

@@ -39,25 +39,10 @@ import jax
 import jax.numpy as jnp
 
 from tools.tpu_embed_probe import _enable_cache
+from tools.tpu_screen_probe import one_vs_two_ms
 
 D = 512
 K = 10
-
-
-def one_vs_two_ms(run):
-    """Median one-vs-two dispatch difference (bench.py device_seconds
-    methodology: cancels the tunnel's drifting fetch RTT)."""
-    _ = jax.device_get(run(0))
-    ts = []
-    for r in range(3):
-        a = run(r)
-        t0 = time.perf_counter(); _ = jax.device_get(a); t1 = time.perf_counter()
-        b = run(r + 1)
-        c = run(r + 2)
-        t2 = time.perf_counter(); _ = jax.device_get(c); t3 = time.perf_counter()
-        del b
-        ts.append(max((t3 - t2) - (t1 - t0), 1e-9))
-    return float(np.median(ts)) * 1e3
 
 
 def main():

@@ -40,14 +40,20 @@ NQ = 256
 
 def one_vs_two_ms(run):
     """Median one-vs-two dispatch difference (bench.py device_seconds
-    methodology: cancels the tunnel's drifting fetch RTT)."""
+    methodology: cancels the tunnel's drifting fetch RTT).
+
+    Tag discipline: warms on tag 0, then consumes tags 3r+1..3r+3 per
+    sample (max 9) so no dispatch reuses the immediately preceding tag —
+    a warm input re-dispatched right away could be replay-cached and
+    collapse the one-dispatch leg to ~RTT. Callers' input pools may cycle
+    (i % poolsize) but should cover >= 4 distinct tags; 10 is ideal."""
     _ = jax.device_get(run(0))
     ts = []
     for r in range(3):
-        a = run(r)
+        a = run(3 * r + 1)
         t0 = time.perf_counter(); _ = jax.device_get(a); t1 = time.perf_counter()
-        b = run(r + 1)
-        c = run(r + 2)
+        b = run(3 * r + 2)
+        c = run(3 * r + 3)
         t2 = time.perf_counter(); _ = jax.device_get(c); t3 = time.perf_counter()
         del b
         ts.append(max((t3 - t2) - (t1 - t0), 1e-9))
