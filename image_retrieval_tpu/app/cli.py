@@ -129,10 +129,20 @@ def save_results_grid(results, output_path: str, thumb: int = 180) -> str:
 
 
 def cmd_search(args) -> int:
+    if (args.query is None) == (args.image is None):
+        print("search: provide exactly one of <query> or --image PATH")
+        return 2
     app = _build_app(args)
-    results = app.search_images(
-        args.query, top_k=args.top_k, use_optimized_similarity=args.optimized
-    )
+    if args.image is not None:
+        results = app.find_similar_images(
+            args.image, top_k=args.top_k,
+            use_optimized_similarity=args.optimized,
+        )
+    else:
+        results = app.search_images(
+            args.query, top_k=args.top_k,
+            use_optimized_similarity=args.optimized,
+        )
     for i, r in enumerate(results, 1):
         print(f"{i:3d}. {r['score']:.4f}  {r['path']}")
     if args.save_grid and results:
@@ -306,7 +316,11 @@ def make_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("search", help="Text search over an image folder")
     common(sp)
-    sp.add_argument("query")
+    sp.add_argument("query", nargs="?", default=None,
+                    help="text query (omit when using --image)")
+    sp.add_argument("--image", default=None,
+                    help="image-query search: rank the gallery by "
+                         "similarity to this image instead of a text query")
     sp.add_argument("--top-k", type=int, default=10)
     sp.add_argument("--optimized", action="store_true",
                     help="Rank with the weighted optimized similarity")

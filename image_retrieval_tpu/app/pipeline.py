@@ -226,6 +226,59 @@ class ImageSearchApp:
             logger.warning("No embeddings available for search")
             return []
         q = self._get_query_embedding(query)
+        return self._rank_with_embedding(index, q, top_k, use_optimized_similarity)
+
+    def find_similar_images(
+        self,
+        image,
+        top_k: int = 10,
+        use_optimized_similarity: bool = False,
+        exclude_self: bool = True,
+    ) -> List[dict]:
+        """Image→image similarity over the processed gallery (beyond the
+        reference, which is text-query only): encode the query image with
+        the gallery's own tower, then rank with the same chain as
+        search_images. A query image already in the index is dropped from
+        its own results unless exclude_self=False."""
+        import os as _os
+
+        index = self._ensure_index()
+        if index is None:
+            logger.warning("No embeddings available for search")
+            return []
+        enc = self._get_encoder()
+        exclude: frozenset = frozenset()
+        if isinstance(image, (str, bytes)) or hasattr(image, "__fspath__"):
+            path = str(image)
+            q = enc.encode_images([path])[0]
+            if exclude_self:
+                exclude = frozenset({path, _os.path.abspath(path)})
+        else:
+            pixels = np.asarray(image)
+            if pixels.ndim != 3:
+                raise ValueError(
+                    f"expected a path or (H, W, 3) pixels, got shape "
+                    f"{pixels.shape}"
+                )
+            q = enc.encode_pixels(pixels[None])[0]
+        logger.info(f"Image-query search (optimized: {use_optimized_similarity})")
+        return self._rank_with_embedding(
+            index, np.asarray(q), top_k, use_optimized_similarity,
+            exclude_paths=exclude,
+        )
+
+    def _rank_with_embedding(
+        self,
+        index,
+        q: np.ndarray,
+        top_k: int,
+        use_optimized_similarity: bool,
+        exclude_paths: frozenset = frozenset(),
+    ) -> List[dict]:
+        """Shared ranking chain for text and image queries: ANN or exact
+        candidates → optional optimized rerank → abs-ranking flag →
+        tombstone/exclusion filtering → top_k."""
+        k_eff = top_k + len(exclude_paths)
         metric = "optimized_similarity" if use_optimized_similarity else "cosine_similarity"
         ann = self._ensure_ann(index)
         if ann is not None:
@@ -233,7 +286,7 @@ class ImageSearchApp:
             # reference's Milvus-ANN shape (image_search.py:88-107)
             from image_retrieval_tpu.app.search import ann_valid_candidates
 
-            limit = min(top_k * self.config.search.overfetch, len(index))
+            limit = min(k_eff * self.config.search.overfetch, len(index))
             qn = q / max(np.linalg.norm(q), 1e-12)
             cos, cand = ann_valid_candidates(ann, index, qn, limit)
             if self.config.search.rank_by_abs:
@@ -272,15 +325,18 @@ class ImageSearchApp:
             # scores() is the full matrix incl. tombstoned rows — drop them
             # from the ranking AFTER abs() (abs(-inf) would rank first)
             rank_scores = np.where(index.live_mask(), rank_scores, -np.inf)
-        order = np.argsort(-rank_scores, kind="stable")[:top_k]
-        return [
-            {
-                "path": index.paths[int(i if pool is None else pool[int(i)])],
-                "score": float(rank_scores[i]),
-            }
-            for i in order
-            if np.isfinite(rank_scores[i])
-        ]
+        order = np.argsort(-rank_scores, kind="stable")[:k_eff]
+        out = []
+        for i in order:
+            if not np.isfinite(rank_scores[i]):
+                continue
+            path = index.paths[int(i if pool is None else pool[int(i)])]
+            if path in exclude_paths:
+                continue
+            out.append({"path": path, "score": float(rank_scores[i])})
+            if len(out) >= top_k:
+                break
+        return out
 
     def _calculate_optimized_similarity(self, query_emb, image_emb) -> float:
         p = self.searcher.similarity_params

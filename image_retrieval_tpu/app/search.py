@@ -116,12 +116,74 @@ class TextImageSearcher:
 
         with trace("search/encode_text"):
             text_embedding = self.generate_text_embedding(text_query)
+        unique = self._search_with_embedding(
+            text_embedding, top_k, score_threshold, use_optimized_similarity
+        )
+        logger.info(f"Found {len(unique)} matches for '{text_query}'")
+        return unique
+
+    def search_by_image(
+        self,
+        image,
+        top_k: int = 5,
+        score_threshold: float = SCORE_THRESHOLD,
+        use_optimized_similarity: bool = False,
+        exclude_self: bool = True,
+    ) -> List[dict]:
+        """Image→image similarity search (beyond the reference, which is
+        text-query only): encode the query image with the same tower that
+        embedded the gallery and run the identical candidate → rerank →
+        threshold → dedup chain.
+
+        `image` is a file path or an (H, W, 3) pixel array; a path already
+        present in the index is excluded from its own results unless
+        `exclude_self=False`."""
+        import numpy as _np
+
+        from image_retrieval_tpu.utils.profiling import trace
+
+        exclude = frozenset()
+        with trace("search/encode_image"):
+            if isinstance(image, (str, bytes)) or hasattr(image, "__fspath__"):
+                path = str(image)
+                emb = self.encoder.encode_images([path])[0]
+                if exclude_self:
+                    exclude = frozenset([path])
+            else:
+                pixels = _np.asarray(image)
+                if pixels.ndim != 3:
+                    raise ValueError(
+                        f"expected a path or (H, W, 3) pixels, got shape "
+                        f"{pixels.shape}"
+                    )
+                emb = self.encoder.encode_pixels(pixels[None])[0]
+        unique = self._search_with_embedding(
+            _np.asarray(emb), top_k, score_threshold, use_optimized_similarity,
+            exclude_paths=exclude,
+        )
+        logger.info(f"Found {len(unique)} image-query matches")
+        return unique
+
+    def _search_with_embedding(
+        self,
+        embedding: np.ndarray,
+        top_k: int,
+        score_threshold: float,
+        use_optimized_similarity: bool,
+        exclude_paths: frozenset = frozenset(),
+    ) -> List[dict]:
+        """Shared query chain: candidates → optional optimized rerank →
+        threshold (min-max-relative when reranked, reference
+        image_search.py:118-123) → dedup → top_k."""
         self.index.load()
         try:
-            cos_scores, idx = self._candidates(text_embedding, top_k * 3)
+            # overfetch one extra when the query's own row may be dropped
+            cos_scores, idx = self._candidates(
+                embedding, (top_k + len(exclude_paths)) * 3
+            )
             if use_optimized_similarity:
                 cand = self.index.get_vectors(idx)
-                metrics = _all_metrics_rows(text_embedding, cand)
+                metrics = _all_metrics_rows(embedding, cand)
                 scores = _optimized_rows(metrics, self.similarity_params)
             else:
                 scores = cos_scores
@@ -131,7 +193,6 @@ class TextImageSearcher:
             ]
             matches.sort(key=lambda x: x["score"], reverse=True)
             if use_optimized_similarity:
-                # min-max-relative threshold (reference image_search.py:118-123)
                 if matches:
                     lo = min(m["score"] for m in matches)
                     hi = max(m["score"] for m in matches)
@@ -141,14 +202,13 @@ class TextImageSearcher:
                 filtered = [m for m in matches if m["score"] >= cut]
             else:
                 filtered = [m for m in matches if m["score"] >= score_threshold]
-            seen, unique = set(), []
+            seen, unique = set(exclude_paths), []
             for m in filtered:
                 if m["path"] not in seen:
                     seen.add(m["path"])
                     unique.append(m)
                     if len(unique) >= top_k:
                         break
-            logger.info(f"Found {len(unique)} matches for '{text_query}'")
             return unique[:top_k]
         finally:
             self.index.release()

@@ -322,3 +322,60 @@ def test_workflow_explicit_dataset_dir_must_exist(tmp_path):
             dataset_dir=str(tmp_path / "does_not_exist"),
             fake_encoder=True,
         )
+
+
+def test_search_by_image_self_top_and_excluded(loaded_system):
+    """Image-query search: the query image itself ranks top when included,
+    is dropped when excluded (default), and results flow through the same
+    chain as text search."""
+    sys_, paths = loaded_system
+    searcher = TextImageSearcher(sys_.encoder, sys_.index)
+    q = paths[3]
+    with_self = searcher.search_by_image(q, top_k=3, exclude_self=False,
+                                         score_threshold=-10.0)
+    assert with_self[0]["path"] == q
+    assert with_self[0]["score"] == pytest.approx(1.0, abs=1e-3)
+    without = searcher.search_by_image(q, top_k=3, score_threshold=-10.0)
+    assert all(r["path"] != q for r in without)
+    # self-excluded list == with-self list minus the query row
+    assert [r["path"] for r in without][:2] == [r["path"] for r in with_self[1:3]]
+
+
+def test_search_by_image_pixels_and_errors(loaded_system):
+    sys_, paths = loaded_system
+    searcher = TextImageSearcher(sys_.encoder, sys_.index)
+    from PIL import Image
+
+    px = np.asarray(Image.open(paths[0]).convert("RGB"), np.float32) / 255.0
+    res = searcher.search_by_image(px, top_k=2, score_threshold=-10.0)
+    assert len(res) == 2
+    with pytest.raises(ValueError, match="pixels"):
+        searcher.search_by_image(np.zeros((4, 4)), top_k=2)
+
+
+def test_facade_find_similar_images(image_folder):
+    app = ImageSearchApp(encoder=FakeEncoder(dim=512))
+    paths = app.scan_folders(image_folder)
+    app.process_images(paths)
+    q = str(paths[0])
+    res = app.find_similar_images(q, top_k=5)
+    assert len(res) == 5 and all(r["path"] != q for r in res)
+    res_self = app.find_similar_images(q, top_k=5, exclude_self=False)
+    assert res_self[0]["path"] == q
+    # text-path behavior unchanged by the refactor
+    assert len(app.search_images("brown dog", top_k=5)) == 5
+
+
+def test_cli_search_by_image(image_folder, capsys):
+    import os as _os
+
+    img = sorted(_os.path.join(image_folder, f)
+                 for f in _os.listdir(image_folder))[0]
+    rc = cli_main(["search", "--folder", image_folder, "--fake-encoder",
+                   "--image", img, "--top-k", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert len(out.strip().splitlines()) == 3
+    # exactly one of query/--image required
+    rc = cli_main(["search", "--folder", image_folder, "--fake-encoder"])
+    assert rc == 2
