@@ -40,6 +40,10 @@ class _Request:
     top_k: int
     metric: str = "cosine_similarity"
     weights: Optional[tuple] = None  # (w_angle, w_l1, w_l2, w_inf, w_mag)
+    # image-query requests arrive pre-embedded (search_similar); they skip
+    # the batch text encode but share the grouped gallery sweeps
+    embedding: Optional[np.ndarray] = None
+    exclude_path: Optional[str] = None  # drop the query image's own row
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[List[dict]] = None
     error: Optional[Exception] = None
@@ -189,6 +193,47 @@ class SearchServer:
             raise req.error
         return req.result
 
+    def search_similar(
+        self,
+        image,
+        top_k: int = 10,
+        timeout: float = 30.0,
+        metric: str = "cosine_similarity",
+        weights: Optional[dict] = None,
+        exclude_self: bool = True,
+    ) -> List[dict]:
+        """Image-query search: encode `image` (a path or (H, W, 3) pixels)
+        in the calling thread, then ride the same micro-batched gallery
+        sweeps as text requests. A gallery path equal to the query path is
+        dropped from its own results unless exclude_self=False."""
+        exclude = None
+        if isinstance(image, (str, bytes)) or hasattr(image, "__fspath__"):
+            path = str(image)
+            emb = self.encoder.encode_images([path])[0]
+            if exclude_self:
+                exclude = path
+        else:
+            pixels = np.asarray(image)
+            if pixels.ndim != 3:
+                raise ValueError(
+                    f"expected a path or (H, W, 3) pixels, got shape "
+                    f"{pixels.shape}"
+                )
+            emb = self.encoder.encode_pixels(pixels[None])[0]
+        wt = None
+        if weights is not None:
+            wt = tuple(float(weights.get(k, 1.0 if k == "w_angle" else 0.0))
+                       for k in _WEIGHT_KEYS)
+        req = _Request(query="", top_k=top_k, metric=metric, weights=wt,
+                       embedding=np.asarray(emb, np.float32),
+                       exclude_path=exclude)
+        self._enqueue(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError(f"search timed out after {timeout}s")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
     def search_many(
         self,
         queries: Sequence[str],
@@ -246,8 +291,21 @@ class SearchServer:
             if not batch:
                 continue
             try:
-                queries = [r.query for r in batch]
-                embs = self.encoder.encode_texts(queries)
+                # text requests share one batch encode; pre-embedded
+                # (image-query) requests slot straight into the arrays
+                text_rows = [i for i, r in enumerate(batch)
+                             if r.embedding is None]
+                parts: List[Optional[np.ndarray]] = [
+                    None if r.embedding is None else r.embedding
+                    for r in batch
+                ]
+                if text_rows:
+                    tembs = self.encoder.encode_texts(
+                        [batch[i].query for i in text_rows]
+                    )
+                    for row, i in enumerate(text_rows):
+                        parts[i] = np.asarray(tembs[row])
+                embs = np.stack(parts).astype(np.float32)
                 norms = np.linalg.norm(embs, axis=1, keepdims=True)
                 qn = embs / np.where(norms > 0, norms, 1.0)
                 # one index sweep per (metric, weights) group in the batch
@@ -256,7 +314,11 @@ class SearchServer:
                     groups.setdefault((r.metric, r.weights), []).append(i)
                 for (metric, weights), rows in groups.items():
                     try:
-                        k = max(batch[i].top_k for i in rows)
+                        k = max(
+                            batch[i].top_k
+                            + (1 if batch[i].exclude_path is not None else 0)
+                            for i in rows
+                        )
                         # optimized metric scores against unnormalized query
                         q_in = (embs[rows] if metric == "optimized_similarity"
                                 else qn[rows])
@@ -277,11 +339,17 @@ class SearchServer:
                             )
                         for row, i in enumerate(rows):
                             r = batch[i]
-                            r.result = [
-                                {"path": self.index.paths[int(j)], "score": float(v)}
-                                for v, j in zip(vals[row][: r.top_k], idx[row][: r.top_k])
-                                if j >= 0  # ANN padding: return fewer, not bogus
-                            ]
+                            hits = []
+                            for v, j in zip(vals[row], idx[row]):
+                                if j < 0:  # ANN padding: fewer, not bogus
+                                    continue
+                                p = self.index.paths[int(j)]
+                                if p == r.exclude_path:
+                                    continue
+                                hits.append({"path": p, "score": float(v)})
+                                if len(hits) >= r.top_k:
+                                    break
+                            r.result = hits
                             r.done.set()
                     except Exception as e:
                         # a bad metric/weights group fails only its own

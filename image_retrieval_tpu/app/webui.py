@@ -11,6 +11,9 @@ Endpoints:
     GET  /                          HTML page
     GET  /search?q=...&k=10         JSON [{path, score}]
          &metric=optimized&w_l1=1&w_l2=1&w_inf=0&w_mag=0.5&w_angle=1
+    GET  /similar?path=...&k=10     image-query: gallery ranked by
+                                    similarity to an indexed image
+                                    (click a thumbnail in the UI)
     POST /batch_search              JSON {"queries": [...], "k": 10} ->
                                     JSON [[{path, score}], ...]
     GET  /image?path=...            the image file (only paths in the index)
@@ -42,14 +45,22 @@ button{font-size:16px;padding:6px 14px}
 <button>Search</button></form>
 <div id=grid></div>
 <script>
+function render(hits){
+  document.getElementById('grid').innerHTML=hits.map(h=>
+    `<div class=card><img src="/image?path=${encodeURIComponent(h.path)}"`+
+    ` onclick="similar('${encodeURIComponent(h.path)}')" title="find similar"`+
+    ` style="cursor:pointer">`+
+    `<div class=score>${h.score.toFixed(4)}<br>${h.path.split('/').pop()}</div></div>`
+  ).join('');
+}
 async function go(){
   const q=document.getElementById('q').value;
   const r=await fetch('/search?q='+encodeURIComponent(q)+'&k=12');
-  const hits=await r.json();
-  document.getElementById('grid').innerHTML=hits.map(h=>
-    `<div class=card><img src="/image?path=${encodeURIComponent(h.path)}">`+
-    `<div class=score>${h.score.toFixed(4)}<br>${h.path.split('/').pop()}</div></div>`
-  ).join('');
+  render(await r.json());
+}
+async function similar(p){
+  const r=await fetch('/similar?path='+p+'&k=12');
+  render(await r.json());
 }
 </script></body></html>"""
 
@@ -92,6 +103,14 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             else:
                 results = ctx["server"].search(query, top_k=k)
+            self._send(200, json.dumps(results).encode(), "application/json")
+        elif parsed.path == "/similar":
+            path = (qs.get("path") or [""])[0]
+            k = int((qs.get("k") or ["10"])[0])
+            if path not in ctx["known_paths"]:
+                self._send(404, b"not found", "text/plain")
+                return
+            results = ctx["server"].search_similar(path, top_k=k)
             self._send(200, json.dumps(results).encode(), "application/json")
         elif parsed.path == "/image":
             path = (qs.get("path") or [""])[0]

@@ -174,3 +174,55 @@ def test_enqueue_after_stop_fails_fast(serving_stack):
     assert time.perf_counter() - t0 < 5.0  # fail fast, not timeout
     with pytest.raises(RuntimeError, match="server stopped"):
         server.search_many(["a", "b"], top_k=3, timeout=30.0)
+
+
+def test_search_similar_rides_the_batch(serving_stack, tmp_path):
+    """Image-query requests share the micro-batch sweeps with text ones;
+    the query's own gallery row is excluded by default."""
+    from PIL import Image
+
+    enc, idx = serving_stack
+    img = tmp_path / "q.jpg"
+    Image.new("RGB", (32, 32), (120, 40, 40)).save(img)
+    with SearchServer(enc, idx) as server:
+        got = server.search_similar(str(img), top_k=5)
+        assert len(got) == 5
+        # parity with a direct index search on the same embedding
+        q = enc.encode_images([str(img)])[0]
+        qn = q / np.linalg.norm(q)
+        vals, ids = idx.search(qn, top_k=5)
+        want = [idx.paths[int(i)] for i in ids]
+        assert [r["path"] for r in got] == want
+        # pixels input works too
+        px = np.asarray(Image.open(img).convert("RGB"), np.float32) / 255.0
+        got_px = server.search_similar(px, top_k=3)
+        assert len(got_px) == 3
+        with pytest.raises(ValueError, match="pixels"):
+            server.search_similar(np.zeros((4, 4)), top_k=3)
+
+
+def test_search_similar_excludes_own_row(tmp_path):
+    """A query path that IS an indexed row drops itself, and the rest of
+    the ranking is unchanged (the top-up candidate fills the tail)."""
+    from PIL import Image
+
+    enc = FakeEncoder(dim=512)
+    idx = ShardedVectorIndex(dim=512, config=IndexConfig(capacity_step=64))
+    paths = []
+    for i in range(8):
+        p = str(tmp_path / f"g{i}.jpg")
+        Image.new("RGB", (32, 32), (30 * i % 255, 80, 200 - 20 * i)).save(p)
+        paths.append(p)
+    idx.insert(paths, enc.encode_images(paths))
+    target = paths[3]
+    with SearchServer(enc, idx) as server:
+        q = enc.encode_images([target])[0]
+        qn = q / np.linalg.norm(q)
+        vals, ids = idx.search(qn, top_k=6)
+        direct = [idx.paths[int(i)] for i in ids]
+        assert direct[0] == target  # sanity: self ranks first
+        got = server.search_similar(target, top_k=5)
+        assert all(r["path"] != target for r in got)
+        assert [r["path"] for r in got] == [p for p in direct if p != target][:5]
+        with_self = server.search_similar(target, top_k=5, exclude_self=False)
+        assert with_self[0]["path"] == target

@@ -84,3 +84,20 @@ def test_batch_search_endpoint(web_stack):
     )
     data = json.loads(urllib.request.urlopen(req).read())
     assert len(data) == 2 and all(len(r) == 2 for r in data)
+
+
+def test_similar_endpoint(web_stack):
+    base, paths = web_stack
+    import urllib.parse
+
+    q = urllib.parse.quote(paths[2])
+    hits = json.loads(urllib.request.urlopen(
+        f"{base}/similar?path={q}&k=3").read())
+    assert len(hits) == 3
+    assert all(h["path"] != paths[2] for h in hits)
+    # unknown path -> 404 (no filesystem probing through the endpoint)
+    try:
+        urllib.request.urlopen(f"{base}/similar?path=/etc/passwd&k=3")
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
