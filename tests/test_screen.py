@@ -402,3 +402,58 @@ class TestBlockedPhase1:
         bv, bi = scr.search(q, top_k=10)
         np.testing.assert_array_equal(bi, di)
         np.testing.assert_allclose(bv, dv, rtol=1e-5, atol=1e-6)
+
+
+# -- property-based coverage (hypothesis): the blocked phase-1 running
+# merge must be value- AND index-identical to the direct full-width top_k
+# for arbitrary (n, block, cl, validity) combinations — tile boundaries,
+# tails, all-invalid tiles, duplicates-of-score ties --
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(8, 200),
+        block=st.integers(4, 64),
+        cl=st.integers(1, 24),
+        q_n=st.integers(1, 4),
+        ds=st.integers(2, 8),
+        live_frac=st.floats(0.0, 1.0),
+        seed=st.integers(0, 2**16),
+    )
+    def test_property_blocked_phase1_matches_direct(
+        n, block, cl, q_n, ds, live_frac, seed
+    ):
+        import jax.numpy as jnp
+
+        from image_retrieval_tpu.index.screen import _phase1_local_topc
+
+        rng = np.random.default_rng(seed)
+        # int8-ish sketch values with many exact score ties
+        sk = rng.integers(-3, 4, size=(n, ds)).astype(np.int8)
+        sks = rng.uniform(0.5, 2.0, n).astype(np.float32)
+        valid = rng.uniform(size=n) < live_frac
+        qs = rng.integers(-2, 3, size=(q_n, ds)).astype(np.float32)
+        cl_eff = min(cl, n)
+
+        def run(p1_block):
+            v, i = _phase1_local_topc(
+                jnp.asarray(qs, jnp.bfloat16), jnp.asarray(sk),
+                jnp.asarray(sks), jnp.asarray(valid), cl_eff, p1_block,
+            )
+            return np.asarray(v), np.asarray(i)
+
+        dv, di = run(1 << 30)  # direct
+        bv, bi = run(block)    # blocked (may still be direct if n <= block)
+        np.testing.assert_array_equal(bv, dv)
+        # indices must agree wherever the value is finite (ties broken
+        # lowest-index in both paths); -inf slots are placeholders
+        finite = np.isfinite(dv)
+        np.testing.assert_array_equal(bi[finite], di[finite])
