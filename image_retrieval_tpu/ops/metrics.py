@@ -355,6 +355,78 @@ def fused_optimized_scores_int8(
     return score
 
 
+def make_l1_shadow(
+    gallery_int8: jnp.ndarray, scales: jnp.ndarray, magnitudes: jnp.ndarray
+) -> jnp.ndarray:
+    """(N, D) bf16 pre-dequantized rows for the L1/L∞ sweep of
+    fused_optimized_scores_int8_shadow.
+
+    bf16 multiplication rounds the product ``int8 * (scale*mag)`` the same
+    whether it is stored once or recomputed per sweep element, so the
+    shadow path is BIT-IDENTICAL to fused_optimized_scores_int8 — it just
+    trades ~2x the sweep-read bytes (bf16 vs int8) for one less VPU op per
+    (Q, N, D) element. When the sweep is VPU-bound (the live-L1 regime —
+    see ARCHITECTURE.md's scorer ceiling analysis) the extra bytes hide
+    behind compute and the sweep gets ~1/3 faster; measured head-to-head
+    in tools/tpu_scorer_probe.py."""
+    row_scale = (_f32(scales) * _f32(magnitudes)).astype(jnp.bfloat16)
+    return gallery_int8.astype(jnp.bfloat16) * row_scale[:, None]
+
+
+def fused_optimized_scores_int8_shadow(
+    queries: jnp.ndarray,
+    gallery_int8: jnp.ndarray,
+    scales: jnp.ndarray,
+    magnitudes: jnp.ndarray,
+    shadow: jnp.ndarray,
+    weights,
+) -> jnp.ndarray:
+    """fused_optimized_scores_int8 with the L1/L∞ sweep reading a
+    pre-dequantized bf16 shadow gallery (make_l1_shadow) instead of
+    dequantizing int8 rows in the sweep. Same results bitwise; +1 bf16
+    gallery of HBM footprint. Only worth it when L1/L∞ weights are live —
+    with a dead sweep it reduces to the int8 scorer exactly."""
+    q = _f32(queries)
+    m = _f32(magnitudes)
+    sc = _f32(scales)
+    d = q.shape[-1]
+
+    def live(w):
+        return not (isinstance(w, (int, float)) and float(w) == 0.0)
+
+    w_angle, w_l1, w_l2, w_inf, w_mag = weights
+    qn = jnp.linalg.norm(q, axis=-1, keepdims=True)  # (Q, 1)
+    score = jnp.zeros((q.shape[0], gallery_int8.shape[0]), jnp.float32)
+    if live(w_angle) or live(w_l2):
+        dots = jnp.dot(
+            q.astype(jnp.bfloat16),
+            gallery_int8.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        )
+        udots = dots * sc[None, :]
+    if live(w_angle):
+        cos = jnp.where(qn > 0, udots / jnp.where(qn > 0, qn, 1.0), 0.0)
+        score = score + jnp.float32(w_angle) * cos
+    if live(w_l2):
+        sq = jnp.maximum(m[None, :] ** 2 - 2.0 * m[None, :] * udots + qn**2, 0.0)
+        score = score - jnp.float32(w_l2) * (jnp.sqrt(sq) / jnp.sqrt(jnp.float32(d)))
+    if live(w_l1) or live(w_inf):
+        ad = jnp.abs(
+            shadow[None, :, :] - q.astype(jnp.bfloat16)[:, None, :]
+        )  # (Q, N, D) bf16: sub+abs only — the dequant multiply is baked in
+        if live(w_l1):
+            score = score - jnp.float32(w_l1) * (
+                jnp.sum(ad, axis=-1, dtype=jnp.float32) / d
+            )
+        if live(w_inf):
+            score = score - jnp.float32(w_inf) * jnp.max(ad, axis=-1).astype(
+                jnp.float32
+            )
+    if live(w_mag):
+        score = score - jnp.float32(w_mag) * jnp.abs(m[None, :] - qn)
+    return score
+
+
 def optimized_similarity(
     queries: jnp.ndarray, gallery: jnp.ndarray, params: Dict[str, float]
 ) -> jnp.ndarray:

@@ -380,3 +380,35 @@ def test_insert_path_row_mismatch_raises():
     idx = ShardedVectorIndex(dim=8, config=IndexConfig(capacity_step=8))
     with np.testing.assert_raises(ValueError):
         idx.insert(["only-one"], np.zeros((2, 8), np.float32))
+
+
+def test_int8_shadow_scorer_bitwise_matches_int8(mesh, rng):
+    """The pre-dequantized bf16 shadow path must be BIT-IDENTICAL to the
+    in-sweep dequant path: bf16 multiply rounds the same whether the
+    product is stored once (make_l1_shadow) or recomputed per element."""
+    from image_retrieval_tpu.ops.metrics import (
+        fused_optimized_scores_int8,
+        fused_optimized_scores_int8_shadow,
+        make_l1_shadow,
+    )
+
+    n, d = 160, 64
+    emb = rng.normal(size=(n, d)).astype(np.float32) * rng.uniform(
+        0.5, 2.0, (n, 1)
+    ).astype(np.float32)
+    q8 = ShardedVectorIndex(
+        dim=d, mesh=mesh, config=IndexConfig(capacity_step=64, dtype="int8")
+    )
+    q8.insert([f"i{i}" for i in range(n)], emb)
+    qs = rng.normal(size=(3, d)).astype(np.float32)
+    g8 = q8._host_gallery[:n]
+    sc = q8._host_scales[:n]
+    mg = q8._host_mags[:n]
+    shadow = make_l1_shadow(g8, sc, mg)
+    for w in ((1.0, 1.0, 1.0, 0.7, 0.5), (1.0, 1.0, 0.0, 0.0, 0.0),
+              (1.0, 0.0, 1.0, 0.0, 0.5)):
+        a = np.asarray(fused_optimized_scores_int8(qs, g8, sc, mg, w))
+        b = np.asarray(
+            fused_optimized_scores_int8_shadow(qs, g8, sc, mg, shadow, w)
+        )
+        np.testing.assert_array_equal(a, b)

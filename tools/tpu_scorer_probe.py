@@ -89,20 +89,23 @@ def main():
     _ = jax.device_get(g8[0, 0])
     print(f"gallery ready: {n} x {D} int8", flush=True)
 
-    def scan_runner(score_fn, nq):
+    def scan_runner(score_fn, nq, extras=()):
         """One dispatch = lax.scan of nscan sweeps, each scoring an
-        (nq, D) query block + top-k (bench.py's per-query scan shape)."""
+        (nq, D) query block + top-k (bench.py's per-query scan shape).
+        `extras` (e.g. the 1 GB shadow gallery) ride as jit ARGUMENTS —
+        a closure capture would ship them through the remote compiler
+        as constants (CLAUDE.md)."""
         @jax.jit
-        def run(g, s, m, qs):
+        def run(g, s, m, qs, *ex):
             def step(_, q):
-                scores = score_fn(q, g, s, m)
+                scores = score_fn(q, g, s, m, *ex)
                 return None, jax.lax.top_k(scores, K)
             return jax.lax.scan(step, None, qs)[1]
 
         pool = [jax.device_put(np.random.default_rng(7 + i).standard_normal(
             (nscan, nq, D)).astype(np.float32)) for i in range(10)]
         _ = jax.device_get(pool[-1][0, 0, 0])
-        return lambda i: run(g8, sc, mags, pool[i])
+        return lambda i: run(g8, sc, mags, pool[i], *extras)
 
     out = {"n": n, "d": D, "nscan": nscan}
     results = []
@@ -121,6 +124,20 @@ def main():
                           lambda q, g, s, m, w=w, bn=bn:
                           fused_optimized_scores_int8_pallas_v2(
                               q, g, s, m, w, block_n=bn), 1))
+    # pre-dequantized bf16 shadow for the L1 sweep (bit-identical; trades
+    # 2x sweep-read bytes for one less VPU op/element — ops/metrics.py
+    # make_l1_shadow). Only meaningful with the sweep live.
+    from image_retrieval_tpu.ops.metrics import (
+        fused_optimized_scores_int8_shadow,
+        make_l1_shadow,
+    )
+
+    shadow = jax.jit(make_l1_shadow)(g8, sc, mags)
+    _ = jax.device_get(shadow[0, 0])
+    CASES.append(("xla_shadow_live_l1_q1", lambda q, g, s, m, sh:
+                  fused_optimized_scores_int8_shadow(
+                      q, g, s, m, sh, (1.0, 1.0, 1.0, 0.0, 0.5)), 1,
+                  (shadow,)))
     # shared-read amortization at Q=4 (per-query ms = total / 4)
     CASES.append(("xla_live_l1_q4", lambda q, g, s, m:
                   fused_optimized_scores_int8(q, g, s, m,
@@ -129,10 +146,10 @@ def main():
                   fused_optimized_scores_int8_pallas_v2(
                       q, g, s, m, (1.0, 1.0, 1.0, 0.0, 0.5), block_n=2048), 4))
 
-    for name, fn, nq in CASES:
+    for name, fn, nq, *rest in CASES:
         try:
             t0 = time.time()
-            runner = scan_runner(fn, nq)
+            runner = scan_runner(fn, nq, extras=rest[0] if rest else ())
             ms = one_vs_two_ms(runner) / nscan / nq
             results.append({"case": name, "per_query_ms": round(ms, 4),
                             "compile_s": round(time.time() - t0, 1)})
