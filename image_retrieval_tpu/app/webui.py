@@ -17,6 +17,9 @@ Endpoints:
     POST /batch_search              JSON {"queries": [...], "k": 10} ->
                                     JSON [[{path, score}], ...]
     GET  /image?path=...            the image file (only paths in the index)
+    GET  /stats                     JSON serving counters (requests,
+                                    micro-batches, max observed batch,
+                                    indexed images)
 """
 
 from __future__ import annotations
@@ -104,6 +107,10 @@ class _Handler(BaseHTTPRequestHandler):
             else:
                 results = ctx["server"].search(query, top_k=k)
             self._send(200, json.dumps(results).encode(), "application/json")
+        elif parsed.path == "/stats":
+            stats = dict(ctx["server"].stats)
+            stats["indexed_images"] = len(ctx["known_paths"])
+            self._send(200, json.dumps(stats).encode(), "application/json")
         elif parsed.path == "/similar":
             path = (qs.get("path") or [""])[0]
             k = int((qs.get("k") or ["10"])[0])

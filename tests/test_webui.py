@@ -101,3 +101,12 @@ def test_similar_endpoint(web_stack):
         assert False, "expected 404"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_stats_endpoint(web_stack):
+    base, paths = web_stack
+    # at least one search has run in this module by now; issue one anyway
+    urllib.request.urlopen(f"{base}/search?q=anything&k=2").read()
+    stats = json.loads(urllib.request.urlopen(f"{base}/stats").read())
+    assert stats["indexed_images"] == len(paths)
+    assert stats["requests"] >= 1 and stats["batches"] >= 1
