@@ -53,6 +53,12 @@ def main():
     hits_opt = searcher.search("a brown dog", top_k=3, score_threshold=0.0,
                                use_optimized_similarity=True)
     print(f"[3] optimized rerank returned {len(hits_opt)} hits")
+    # image-as-query: rank the gallery by similarity to one of its own
+    # images (the query's row is excluded from its results by default)
+    sim = searcher.search_by_image(hits[0]["path"], top_k=3,
+                                   score_threshold=-1e9)
+    print(f"[3] similar to {os.path.relpath(hits[0]['path'], base)}: "
+          f"{[os.path.relpath(h['path'], base) for h in sim]}")
 
     # 4) Full MI analysis (results.json + 8 plot artifacts).
     import numpy as np
