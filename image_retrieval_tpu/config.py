@@ -163,6 +163,14 @@ class IndexConfig:
     # ARCHITECTURE.md (resident to ~27M rows/chip on v5e, then mesh
     # sharding, then streaming).
     stream_threshold_bytes: Optional[int] = None
+    # int8 + optimized_similarity lever: keep a pre-dequantized bf16 copy
+    # of the rows on device so the L1/L∞ sweep skips the per-element
+    # dequant multiply (ops/metrics.py make_l1_shadow — results are
+    # BITWISE identical; costs a second, bf16-sized gallery in HBM).
+    # Flat-mesh resident int8 indexes only (multi-slice and streamed
+    # tiers ignore it); measured head-to-head in
+    # bench_results/scorer_probe.json before changing the default.
+    l1_shadow: bool = False
 
 
 @dataclasses.dataclass

@@ -22,6 +22,7 @@ import json
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
@@ -75,6 +76,7 @@ class ShardedVectorIndex:
         self._host_valid = None  # (capacity,) numpy bool
         self._host_scales = None  # (capacity,) numpy, int8 mode only
         self._gallery = None  # (capacity, D) sharded jax
+        self._shadow = None  # (capacity, D) bf16 sharded (config.l1_shadow)
         self._mags = None  # (capacity,) sharded jax
         self._valid = None  # (capacity,) bool sharded jax
         self._scales = None  # (capacity,) sharded jax, int8 mode only
@@ -290,6 +292,7 @@ class ShardedVectorIndex:
             self._stream_rows = rows
             self._stream_scales = sc
             self._gallery = self._mags = self._valid = self._scales = None
+            self._shadow = None
             self._device_dirty = False
             return
         self._stream = self._stream_live = None
@@ -299,6 +302,16 @@ class ShardedVectorIndex:
         self._valid = shard_rows(self._host_valid, self.mesh, self._row_axes)
         if self._quantized:
             self._scales = shard_rows(self._host_scales, self.mesh, self._row_axes)
+        self._shadow = None
+        if self._quantized and self.config.l1_shadow and not self._multislice:
+            # sharding-preserving elementwise derive on device — the bf16
+            # multiply rounds identically to the in-sweep dequant, so
+            # searches with/without the shadow are bitwise equal
+            from image_retrieval_tpu.ops.metrics import make_l1_shadow
+
+            self._shadow = jax.jit(make_l1_shadow)(
+                self._gallery, self._scales, self._mags
+            )
         self._device_dirty = False
 
     # Milvus load() now has real work: it stages the gallery onto the mesh
@@ -384,6 +397,9 @@ class ShardedVectorIndex:
                 metric,
                 weights,
                 self._scales,
+                # only the optimized sweep reads it; passing it for other
+                # metrics would fork their jit signatures for nothing
+                self._shadow if metric == "optimized_similarity" else None,
                 mesh=self.mesh,
                 axis=self.axis,
             )

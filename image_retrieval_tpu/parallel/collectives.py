@@ -88,12 +88,26 @@ def _score_block(
     return pairwise_metrics(queries, g, metrics=(metric,))[metric]
 
 
-def _masked_shard_scores(q, g, v, m, sc, metric, weights, descending):
+def _masked_shard_scores(q, g, v, m, sc, metric, weights, descending,
+                         sh=None):
     """(Q, Nl) scores for one gallery shard, tombstones masked to +/-inf.
 
-    `m`/`sc` arrive as 1-tuples (or None) — the shard_map wrappers keep the
-    signature uniform whether magnitudes/int8-scales exist."""
-    if sc is not None and metric == "optimized_similarity":
+    `m`/`sc`/`sh` arrive as 1-tuples (or None) — the shard_map wrappers
+    keep the signature uniform whether magnitudes/int8-scales/the bf16
+    L1-shadow exist."""
+    if sh is not None and sc is not None and metric == "optimized_similarity":
+        # int8 fast path + pre-dequantized bf16 shadow for the L1/Linf
+        # sweep (IndexConfig.l1_shadow): one less VPU op per (Q, Nl, D)
+        # element, bitwise-identical scores (ops/metrics.py).
+        from image_retrieval_tpu.ops.metrics import (
+            fused_optimized_scores_int8_shadow,
+        )
+
+        mm = m[0] if m is not None else jnp.ones((g.shape[0],), jnp.float32)
+        scores = fused_optimized_scores_int8_shadow(
+            q, g, sc[0], mm, sh[0], weights
+        )
+    elif sc is not None and metric == "optimized_similarity":
         # int8 fast path: angle + L2 + mag terms come off one bf16 MXU dot
         # (norm-preserving scales make the Gram-form L2 exact); only live
         # L1/Linf terms sweep (Q, Nl, D), in bf16.
@@ -135,6 +149,7 @@ def sharded_search_topk(
     metric: str = "cosine_similarity",
     weights: Optional[Tuple[float, ...]] = None,
     scales: Optional[jnp.ndarray] = None,
+    shadow: Optional[jnp.ndarray] = None,
     *,
     mesh: Mesh,
     axis: str = "data",
@@ -149,6 +164,9 @@ def sharded_search_topk(
         k: results per query.
         metric: metric name or "optimized_similarity".
         weights: 5-tuple (w_angle, w_l1, w_l2, w_inf, w_mag) when optimized.
+        scales:  optional (N,) int8 norm-preserving scales.
+        shadow:  optional (N, D) bf16 pre-dequantized rows
+                 (IndexConfig.l1_shadow) for the optimized L1/L∞ sweep.
 
     Returns:
         (values, global_indices), each (Q, k), replicated on all devices.
@@ -158,9 +176,10 @@ def sharded_search_topk(
     nlocal = gallery.shape[0] // nshards
     kk = min(k, nlocal)
 
-    def local(q, g, v, m, sc):
+    def local(q, g, v, m, sc, sh):
         shard_id = jax.lax.axis_index(axis)
-        scores = _masked_shard_scores(q, g, v, m, sc, metric, weights, descending)
+        scores = _masked_shard_scores(q, g, v, m, sc, metric, weights,
+                                      descending, sh)
         vals, idx = exact_topk(scores, kk, descending=descending)
         gidx = idx + shard_id * nlocal
         # Ship only (k, k) per shard over ICI; merge replicated on all devices.
@@ -172,13 +191,15 @@ def sharded_search_topk(
         P(axis),  # valid sharded
         P(axis) if mags is not None else P(),
         P(axis) if scales is not None else P(),
+        P(axis, None) if shadow is not None else P(),
     )
     # valid/mags arrive inside shard_map as (nlocal,) blocks; wrap to keep the
     # function signature uniform.
     fn = shard_map(
-        lambda q, g, v, m, sc: local(
+        lambda q, g, v, m, sc, sh: local(
             q, g, (v,), None if mags is None else (m,),
             None if scales is None else (sc,),
+            None if shadow is None else (sh,),
         ),
         mesh=mesh,
         in_specs=in_specs,
@@ -187,7 +208,10 @@ def sharded_search_topk(
     )
     dummy = jnp.zeros((gallery.shape[0],), jnp.float32) if mags is None else mags
     dummy_sc = jnp.zeros((gallery.shape[0],), jnp.float32) if scales is None else scales
-    return fn(queries, gallery, valid, dummy, dummy_sc)
+    # a tiny replicated placeholder when no shadow exists — never a
+    # full-size (N, D) dummy
+    dummy_sh = (jnp.zeros((1, 1), jnp.bfloat16) if shadow is None else shadow)
+    return fn(queries, gallery, valid, dummy, dummy_sc, dummy_sh)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "mesh", "axis"))

@@ -412,3 +412,38 @@ def test_int8_shadow_scorer_bitwise_matches_int8(mesh, rng):
             fused_optimized_scores_int8_shadow(qs, g8, sc, mg, shadow, w)
         )
         np.testing.assert_array_equal(a, b)
+
+
+def test_l1_shadow_flag_bitwise_identical_search(mesh, rng):
+    """IndexConfig.l1_shadow=True must return BIT-identical results for
+    every metric (the shadow only changes where the optimized L1 sweep's
+    dequant multiply happens), including after deletes."""
+    n, d = 160, 64
+    emb = rng.normal(size=(n, d)).astype(np.float32) * rng.uniform(
+        0.5, 2.0, (n, 1)
+    ).astype(np.float32)
+    paths = [f"i{i}" for i in range(n)]
+
+    def build(flag):
+        ix = ShardedVectorIndex(
+            dim=d, mesh=mesh,
+            config=IndexConfig(capacity_step=64, dtype="int8", l1_shadow=flag),
+        )
+        ix.insert(paths, emb)
+        ix.delete([f"i{i}" for i in range(0, n, 7)])
+        return ix
+
+    a, b = build(False), build(True)
+    b.load()
+    import jax.numpy as jnp
+    assert b._shadow is not None and b._shadow.dtype == jnp.bfloat16
+    qs = rng.normal(size=(3, d)).astype(np.float32)
+    params = {"w_angle": 1.0, "w_l1": 1.0, "w_l2": 1.0, "w_inf": 0.3,
+              "w_mag": 0.5}
+    for metric, p in (("optimized_similarity", params),
+                      ("cosine_similarity", None),
+                      ("l1_distance", None)):
+        va, ia = a.search(qs, top_k=9, metric=metric, params=p)
+        vb, ib = b.search(qs, top_k=9, metric=metric, params=p)
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(va, vb)
