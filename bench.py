@@ -289,6 +289,36 @@ def main():
         extra["fused_multimetric_int8_p50_ms"] = round(
             float(np.percentile(t8f, 50) * 1e3), 4
         )
+
+        # shadow variant (IndexConfig.l1_shadow): pre-dequantized bf16 rows
+        # for the L1 sweep — bitwise-identical scores, one less VPU op per
+        # element in the VPU-bound live-L1 regime (ARCHITECTURE.md scorer
+        # ceiling analysis). Measured here through the same scan shape.
+        from image_retrieval_tpu.ops.metrics import (
+            fused_optimized_scores_int8_shadow,
+            make_l1_shadow,
+        )
+
+        shadow = jax.jit(make_l1_shadow)(g8q, sc8q, mags)
+        _ = jax.device_get(shadow[0, 0])
+
+        @jax.jit
+        def int8_shadow_scan(g, s, m, sh, qs):
+            def step(_, q):
+                scores = fused_optimized_scores_int8_shadow(
+                    q, g, s, m, sh, weights
+                )
+                return None, jax.lax.top_k(scores, k)
+            return jax.lax.scan(step, None, qs)[1]
+
+        t8s = timed_per_query(
+            lambda qs: int8_shadow_scan(g8q, sc8q, mags, shadow, qs),
+            repeats=3,
+        )
+        extra["fused_multimetric_int8_shadow_p50_ms"] = round(
+            float(np.percentile(t8s, 50) * 1e3), 4
+        )
+        del shadow
     except Exception as e:  # pragma: no cover
         extra["fused_int8_error"] = str(e)[:200]
 
