@@ -379,3 +379,19 @@ def test_cli_search_by_image(image_folder, capsys):
     # exactly one of query/--image required
     rc = cli_main(["search", "--folder", image_folder, "--fake-encoder"])
     assert rc == 2
+
+
+def test_facade_find_similar_through_screen_ann(image_folder):
+    """Image-query riding the projection-screen ANN candidate path (the
+    two-phase shape) still excludes the query row and returns top_k."""
+    app = ImageSearchApp(encoder=FakeEncoder(dim=512))
+    app.config.search.ann = "screen"
+    app.config.search.screen_dims = 32
+    app.config.search.screen_candidates = 12
+    paths = app.scan_folders(image_folder)
+    app.process_images(paths)
+    q = str(paths[1])
+    res = app.find_similar_images(q, top_k=4)
+    assert len(res) == 4 and all(r["path"] != q for r in res)
+    with_self = app.find_similar_images(q, top_k=4, exclude_self=False)
+    assert with_self[0]["path"] == q
