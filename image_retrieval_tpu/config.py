@@ -167,8 +167,8 @@ class IndexConfig:
     # of the rows on device so the L1/L∞ sweep skips the per-element
     # dequant multiply (ops/metrics.py make_l1_shadow — results are
     # BITWISE identical; costs a second, bf16-sized gallery in HBM).
-    # Flat-mesh resident int8 indexes only (multi-slice and streamed
-    # tiers ignore it); measured head-to-head in
+    # Resident int8 indexes (flat or multi-slice meshes; the streamed
+    # beyond-HBM tier ignores it); measured head-to-head in
     # bench_results/scorer_probe.json before changing the default.
     l1_shadow: bool = False
 

@@ -303,7 +303,7 @@ class ShardedVectorIndex:
         if self._quantized:
             self._scales = shard_rows(self._host_scales, self.mesh, self._row_axes)
         self._shadow = None
-        if self._quantized and self.config.l1_shadow and not self._multislice:
+        if self._quantized and self.config.l1_shadow:
             # sharding-preserving elementwise derive on device — the bf16
             # multiply rounds identically to the in-sweep dequant, so
             # searches with/without the shadow are bitwise equal
@@ -383,6 +383,7 @@ class ShardedVectorIndex:
                 metric,
                 weights,
                 self._scales,
+                self._shadow if metric == "optimized_similarity" else None,
                 mesh=self.mesh,
                 slice_axis="slice",
                 data_axis=self.axis,

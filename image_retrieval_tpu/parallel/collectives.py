@@ -299,6 +299,7 @@ def multislice_search_topk(
     metric: str = "cosine_similarity",
     weights: Optional[Tuple[float, ...]] = None,
     scales: Optional[jnp.ndarray] = None,
+    shadow: Optional[jnp.ndarray] = None,
     *,
     mesh: Mesh,
     slice_axis: str = "slice",
@@ -325,10 +326,11 @@ def multislice_search_topk(
     nlocal = gallery.shape[0] // (n_slices * n_data)
     kk = min(k, nlocal)
 
-    def local(q, g, v, m, sc):
+    def local(q, g, v, m, sc, sh):
         slice_id = jax.lax.axis_index(slice_axis)
         data_id = jax.lax.axis_index(data_axis)
-        scores = _masked_shard_scores(q, g, v, m, sc, metric, weights, descending)
+        scores = _masked_shard_scores(q, g, v, m, sc, metric, weights,
+                                      descending, sh)
         vals, idx = exact_topk(scores, kk, descending=descending)
         gidx = idx + (slice_id * n_data + data_id) * nlocal
         # stage 1: merge the slice's shards over ICI
@@ -338,9 +340,10 @@ def multislice_search_topk(
 
     row = P((slice_axis, data_axis))
     fn = shard_map(
-        lambda q, g, v, m, sc: local(
+        lambda q, g, v, m, sc, sh: local(
             q, g, (v,), None if mags is None else (m,),
             None if scales is None else (sc,),
+            None if shadow is None else (sh,),
         ),
         mesh=mesh,
         in_specs=(
@@ -349,13 +352,15 @@ def multislice_search_topk(
             row,
             row if mags is not None else P(),
             row if scales is not None else P(),
+            P((slice_axis, data_axis), None) if shadow is not None else P(),
         ),
         out_specs=(P(), P()),
         check_vma=False,
     )
     dummy = jnp.zeros((gallery.shape[0],), jnp.float32) if mags is None else mags
     dummy_sc = jnp.zeros((gallery.shape[0],), jnp.float32) if scales is None else scales
-    return fn(queries, gallery, valid, dummy, dummy_sc)
+    dummy_sh = (jnp.zeros((1, 1), jnp.bfloat16) if shadow is None else shadow)
+    return fn(queries, gallery, valid, dummy, dummy_sc, dummy_sh)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "weights", "mesh", "axis"))

@@ -181,3 +181,41 @@ def test_sharded_index_on_multislice_mesh(meshes, rng):
         np.testing.assert_allclose(
             ms.scores(q), flat.scores(q), rtol=1e-6
         )
+
+
+def test_multislice_l1_shadow_bitwise_identical(rng):
+    """l1_shadow on a (slice, data) mesh: hierarchical-merge results must
+    be bitwise identical to the flag-off index."""
+    import jax
+
+    if jax.device_count() < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    import numpy as np
+
+    from jax.sharding import Mesh
+
+    from image_retrieval_tpu.config import IndexConfig
+    from image_retrieval_tpu.index import ShardedVectorIndex
+
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs.reshape(2, 4), ("slice", "data"))
+    n, d = 128, 64
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+
+    def build(flag):
+        ix = ShardedVectorIndex(
+            dim=d, mesh=mesh,
+            config=IndexConfig(capacity_step=64, dtype="int8", l1_shadow=flag),
+        )
+        ix.insert([f"i{i}" for i in range(n)], emb)
+        return ix
+
+    a, b = build(False), build(True)
+    qs = rng.normal(size=(2, d)).astype(np.float32)
+    p = {"w_angle": 1.0, "w_l1": 1.0, "w_l2": 1.0, "w_inf": 0.0, "w_mag": 0.5}
+    va, ia = a.search(qs, top_k=7, metric="optimized_similarity", params=p)
+    vb, ib = b.search(qs, top_k=7, metric="optimized_similarity", params=p)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_array_equal(va, vb)
