@@ -34,7 +34,8 @@ def test_validate_pretrained_full_chain(tmp_path, capsys):
     # 1) full chain, synthetic dataset, report-only diff vs the reference's
     # published results.json (random tiny weights won't match it — the point
     # is that the table is produced and the chain completes)
-    rc = _run([ckpt, "--synthetic", "--output-dir", out, "--report-only"])
+    rc = _run([ckpt, "--synthetic", "--output-dir", out, "--report-only",
+               "--check-serving"])
     assert rc == 0
     results_json = os.path.join(out, "analysis_results", "results.json")
     assert os.path.exists(results_json)

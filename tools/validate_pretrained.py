@@ -83,6 +83,49 @@ def _port_and_check(ckpt: str):
     return Config(model=mcfg, weights_path=ckpt)
 
 
+def _check_serving(config, n: int = 4, threshold: float = 0.98) -> float:
+    """Optional step 1b: the serving tower (whole-layer int8 mega-kernels,
+    config.serving_config) must agree with the parity tower ON THE PORTED
+    WEIGHTS — the kernels are cosine-parity-tested on random inits in CI,
+    but real checkpoints have different activation statistics, so the
+    one-command validation re-checks on the actual weights. Returns the
+    worst image/text cosine; raises below `threshold`."""
+    import dataclasses
+
+    import numpy as np
+
+    from image_retrieval_tpu.config import serving_config
+    from image_retrieval_tpu.models.encoder import CLIPEncoder
+
+    enc = CLIPEncoder(config)
+    scfg = dataclasses.replace(config, model=serving_config(config.model))
+    senc = CLIPEncoder(scfg, params=enc.params)
+    rng = np.random.default_rng(0)
+    size = config.model.image_size
+    px = rng.uniform(0.0, 1.0, (n, size, size, 3)).astype(np.float32)
+    texts = ["a photo of a brown dog", "blue car on a road"][:n]
+
+    def worst_cos(a, b):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        num = (a * b).sum(1)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        return float((num / np.where(den > 0, den, 1.0)).min())
+
+    ci = worst_cos(enc.encode_pixels(px), senc.encode_pixels(px))
+    ct = worst_cos(enc.encode_texts(texts), senc.encode_texts(texts))
+    worst = min(ci, ct)
+    logger.info("serving-tower consistency on ported weights: "
+                "image cos >= %.5f, text cos >= %.5f", ci, ct)
+    if worst < threshold:
+        raise ValueError(
+            f"serving tower diverges from the parity tower on these weights "
+            f"(worst cosine {worst:.4f} < {threshold}); serve with the "
+            "default (parity) config for this checkpoint"
+        )
+    return worst
+
+
 def _diff_table(ours: dict, ref: dict, atol: float):
     """Print per-metric deltas; return the worst absolute delta."""
     worst = 0.0
@@ -141,6 +184,10 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=100)
     ap.add_argument("--report-only", action="store_true",
                     help="print the diff table but always exit 0")
+    ap.add_argument("--check-serving", action="store_true",
+                    help="also verify the serving tower (int8 mega-kernels) "
+                         "agrees with the parity tower on the ported weights "
+                         "(fast on TPU; interpret-mode slow on CPU)")
     args = ap.parse_args(argv)
 
     if not (args.dataset_dir or args.synthetic
@@ -149,6 +196,8 @@ def main(argv=None):
                  "--coco-dir + --annotation-file")
 
     config = _port_and_check(args.checkpoint_dir)
+    if args.check_serving:
+        _check_serving(config)
 
     os.makedirs(args.output_dir, exist_ok=True)
 
