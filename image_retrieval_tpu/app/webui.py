@@ -117,7 +117,20 @@ class _Handler(BaseHTTPRequestHandler):
             if path not in ctx["known_paths"]:
                 self._send(404, b"not found", "text/plain")
                 return
-            results = ctx["server"].search_similar(path, top_k=k)
+            metric = (qs.get("metric") or ["cosine"])[0]
+            if metric.startswith("optimized"):
+                weights = {
+                    key: float((qs.get(key) or [default])[0])
+                    for key, default in (("w_angle", "1"), ("w_l1", "0"),
+                                         ("w_l2", "0"), ("w_inf", "0"),
+                                         ("w_mag", "0"))
+                }
+                results = ctx["server"].search_similar(
+                    path, top_k=k, metric="optimized_similarity",
+                    weights=weights,
+                )
+            else:
+                results = ctx["server"].search_similar(path, top_k=k)
             self._send(200, json.dumps(results).encode(), "application/json")
         elif parsed.path == "/image":
             path = (qs.get("path") or [""])[0]

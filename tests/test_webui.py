@@ -110,3 +110,15 @@ def test_stats_endpoint(web_stack):
     stats = json.loads(urllib.request.urlopen(f"{base}/stats").read())
     assert stats["indexed_images"] == len(paths)
     assert stats["requests"] >= 1 and stats["batches"] >= 1
+
+
+def test_similar_endpoint_optimized_metric(web_stack):
+    base, paths = web_stack
+    import urllib.parse
+
+    q = urllib.parse.quote(paths[1])
+    hits = json.loads(urllib.request.urlopen(
+        f"{base}/similar?path={q}&k=3&metric=optimized&w_l1=1&w_l2=1"
+        "&w_mag=0.5").read())
+    assert len(hits) == 3
+    assert all(h["path"] != paths[1] for h in hits)
