@@ -168,8 +168,11 @@ class IndexConfig:
     # dequant multiply (ops/metrics.py make_l1_shadow — results are
     # BITWISE identical; costs a second, bf16-sized gallery in HBM).
     # Resident int8 indexes (flat or multi-slice meshes; the streamed
-    # beyond-HBM tier ignores it); measured head-to-head in
-    # bench_results/scorer_probe.json before changing the default.
+    # beyond-HBM tier ignores it). Measured head-to-head and SLOWER
+    # (2.25 vs 1.81 ms/query at 1M — the extra bf16 HBM read outweighs
+    # the saved multiply; bench_results/scorer_probe.json), so the
+    # default stays off; the flag remains for galleries whose scales
+    # make the dequant multiply dominant.
     l1_shadow: bool = False
 
 
