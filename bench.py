@@ -385,77 +385,6 @@ def main():
     except Exception as e:  # pragma: no cover
         extra["compressed_error"] = str(e)[:200]
 
-    # --- projection-screened two-phase search (ann=screen tier) --------------
-    # Phase 1 sweeps an int8 (N, ds) sketch (ds/D of the exact sweep's HBM
-    # bytes) for top-C candidates; phase 2 gathers the C full rows and
-    # reranks with the resident int8 scorer's exact math (index/screen.py).
-    # Reuses the int8 fused section's norm-preserving quantized gallery.
-    try:
-        from jax.sharding import Mesh
-
-        from image_retrieval_tpu.index.screen import (
-            _fit_projection,
-            _screened_topc,
-            _sharded_project_quantize,
-        )
-
-        scr_ds, scr_c = 128, 128
-        mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("data",))
-        proj_dev = jnp.asarray(_fit_projection(d, scr_ds, "random", 0, None))
-        sketch, sk_scales = _sharded_project_quantize(
-            g8q, sc8q, proj_dev, mesh=mesh1, axes="data"
-        )
-        valid_all = jnp.ones((n,), jnp.bool_)
-        _ = jax.device_get(sketch[0, 0])
-
-        @jax.jit
-        def screen_batch(sk, sks, g, gs, v, pj, qs):
-            q2 = qs[:, 0, :]
-            qn = q2 / jnp.linalg.norm(q2, axis=-1, keepdims=True)
-            vv, ii = _screened_topc(
-                qn @ pj, qn, sk, sks, g, v, gs, scr_c, True,
-                mesh=mesh1, slice_axis=None, data_axis="data",
-            )
-            return vv[:, :k], ii[:, :k]
-
-        t_scr = timed_per_query(
-            lambda qs: screen_batch(
-                sketch, sk_scales, g8q, sc8q, valid_all, proj_dev, qs
-            ),
-            repeats=3,
-        )
-        extra["screen_batched64_ms_per_query"] = round(
-            float(np.percentile(t_scr, 50) * 1e3), 4
-        )
-        extra["screen_ds"] = scr_ds
-        extra["screen_candidates"] = scr_c
-
-        # recall@10 vs the exact int8 sweep (same quantized rows + math) on
-        # one 64-query batch of the same random-unit query model — the
-        # unclustered (hard) case; the clustered curve is in
-        # bench_results/screen_probe.json
-        qrec = make_queries(jax.random.PRNGKey(777))
-
-        @jax.jit
-        def exact_int8_ids(g, s, qs):
-            q2 = qs[:, 0, :]
-            qn = q2 / jnp.linalg.norm(q2, axis=-1, keepdims=True)
-            dots = jnp.dot(qn.astype(jnp.bfloat16), g.astype(jnp.bfloat16).T,
-                           preferred_element_type=jnp.float32)
-            return jax.lax.top_k(dots * s[None, :], k)[1]
-
-        gt_ids = np.asarray(jax.device_get(exact_int8_ids(g8q, sc8q, qrec)))
-        scr_ids = np.asarray(jax.device_get(screen_batch(
-            sketch, sk_scales, g8q, sc8q, valid_all, proj_dev, qrec
-        )[1]))
-        extra["screen_recall_at_10_unclustered"] = round(float(np.mean([
-            len(set(a.tolist()) & set(b.tolist())) / k
-            for a, b in zip(scr_ids, gt_ids)
-        ])), 4)
-        del sketch, sk_scales, valid_all
-    except Exception as e:  # pragma: no cover
-        extra["screen_error"] = str(e)[:200]
-
     # --- embed throughput: CLIP ViT-B/32 image encode ------------------------
     try:
         from image_retrieval_tpu.config import ModelConfig

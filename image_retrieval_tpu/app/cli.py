@@ -296,9 +296,17 @@ def make_parser() -> argparse.ArgumentParser:
         sp.add_argument("--ann", choices=("exact", "ivf", "screen"),
                         default="exact",
                         help="Candidate generation: exact sharded index "
-                             "(recall 1.0), on-device IVF (Milvus IVF_FLAT "
-                             "analog), or projection-screened two-phase "
-                             "(int8 sketch sweep -> exact rerank)")
+                             "(recall 1.0; the recommendation — fastest "
+                             "batched at any measured scale), on-device IVF "
+                             "(Milvus IVF_FLAT analog; wins at 4M+ rows on "
+                             "clustered data), or projection-screened "
+                             "two-phase (int8 sketch sweep -> exact rerank; "
+                             "research option for HBM-resident galleries — "
+                             "measured slower than exact batched and "
+                             "recall-fragile on unclustered data, see "
+                             "bench_results/screen*_probe.json; its "
+                             "production niche is the streamed beyond-HBM "
+                             "mode on clustered corpora)")
         sp.add_argument("--nlist", type=int, default=1024,
                         help="IVF cluster count (reference "
                              "ImageEmbeddingSystem.py:56-61); 0 = auto "
