@@ -562,108 +562,6 @@ def main():
     except Exception as e:  # pragma: no cover
         extra["ingest_error"] = str(e)[:200]
 
-    # --- projection-screened two-phase search (index/screen.py) on a
-    # CLUSTERED int8 gallery (~64 rows/center — the regime the tier exists
-    # for; on i.i.d. rows sketch recall collapses like IVF's, so measuring
-    # it on the unclustered gallery above would answer the wrong question).
-    # Exact baseline on the SAME quantized rows isolates candidate loss.
-    try:
-        from image_retrieval_tpu.index.screen import (
-            _fit_projection,
-            _screened_topc,
-            _sharded_project_quantize,
-            _sharded_second_moment,
-        )
-        from image_retrieval_tpu.parallel.mesh import make_mesh, replicate
-
-        mesh1 = make_mesh()
-        ncent = max(64, n // 64)
-        sigma = 0.5 / np.sqrt(d)
-
-        @jax.jit
-        def make_clustered(key):
-            kc, ka, kn = jax.random.split(key, 3)
-            cent = jax.random.normal(kc, (ncent, d), jnp.float32)
-            cent = cent / jnp.linalg.norm(cent, axis=1, keepdims=True)
-            cid = jax.random.randint(ka, (n,), 0, ncent)
-            g = jnp.take(cent, cid, axis=0) + sigma * jax.random.normal(
-                kn, (n, d), jnp.float32
-            )
-            g = g / jnp.linalg.norm(g, axis=1, keepdims=True)
-            grid = jnp.maximum(jnp.max(jnp.abs(g), axis=1), 1e-12) / 127.0
-            q8 = jnp.clip(jnp.round(g / grid[:, None]), -127, 127).astype(
-                jnp.int8
-            )
-            qn = jnp.linalg.norm(q8.astype(jnp.float32), axis=1)
-            sc = 1.0 / jnp.where(qn > 0, qn, 1.0)
-            return q8, sc, cent
-
-        g8c, scc, cent = make_clustered(jax.random.PRNGKey(7))
-        valid_c = jnp.ones((n,), bool)
-
-        @jax.jit
-        def make_cqueries(key):
-            qz = jnp.take(cent, jnp.arange(nq) % ncent, axis=0)
-            qz = qz + sigma * jax.random.normal(key, (nq, d), jnp.float32)
-            return qz / jnp.linalg.norm(qz, axis=1, keepdims=True)
-
-        cq = make_cqueries(jax.random.PRNGKey(8))
-        cq_pool = [make_cqueries(jax.random.PRNGKey(100 + i))
-                   for i in range(16)]
-
-        @jax.jit
-        def exact_clu(qs, gg, ss):
-            dots = jax.lax.dot_general(
-                qs.astype(jnp.bfloat16), gg.astype(jnp.bfloat16),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return jax.lax.top_k(dots * ss[None, :], k)
-
-        gt_vals, gt_ids = exact_clu(cq, g8c, scc)
-        gt_ids = np.asarray(gt_ids)
-        te = device_seconds(
-            lambda i: exact_clu(cq_pool[i % 16], g8c, scc)[0], repeats=5
-        )
-        exact_clu_ms = float(np.median(te)) * 1e3
-
-        ds_s, c_s = 128, 128
-        cov = _sharded_second_moment(g8c, valid_c, scc, mesh=mesh1,
-                                     axes="data")
-        proj = _fit_projection(d, ds_s, "pca", 0, np.asarray(cov))
-        pdev = replicate(jnp.asarray(proj), mesh1)
-        sketch, sk_sc = _sharded_project_quantize(g8c, scc, pdev,
-                                                  mesh=mesh1, axes="data")
-
-        proj_dev = jnp.asarray(proj)
-
-        def screen_run(qs):
-            return _screened_topc(
-                jnp.dot(qs, proj_dev), qs, sketch, sk_sc,
-                g8c, valid_c, scc, c_s, True,
-                mesh=mesh1, slice_axis=None, data_axis="data",
-            )
-        sv, si = screen_run(cq)
-        si = np.asarray(si)[:, :k]
-        rec = float(np.mean([
-            len(set(a.tolist()) & set(b.tolist())) / k
-            for a, b in zip(si, gt_ids)
-        ]))
-        tsn = device_seconds(lambda i: screen_run(cq_pool[i % 16])[0],
-                             repeats=5)
-        screen_ms = float(np.median(tsn)) * 1e3
-        extra["screen_recall_at10_clustered"] = round(rec, 4)
-        extra["screen_batch_ms_clustered"] = round(screen_ms, 3)
-        extra["screen_ms_per_query"] = round(screen_ms / nq, 4)
-        extra["screen_exact_batch_ms_clustered"] = round(exact_clu_ms, 3)
-        extra["screen_speedup_vs_exact"] = round(
-            exact_clu_ms / max(screen_ms, 1e-9), 2
-        )
-        extra["screen_ds"] = ds_s
-        extra["screen_candidates"] = c_s
-        del g8c, scc, cent, sketch, sk_sc
-    except Exception as e:  # pragma: no cover
-        extra["screen_error"] = str(e)[:200]
 
     target_ms = 5.0
     print(

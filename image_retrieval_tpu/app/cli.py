@@ -137,11 +137,13 @@ def cmd_search(args) -> int:
         results = app.find_similar_images(
             args.image, top_k=args.top_k,
             use_optimized_similarity=args.optimized,
+            filter_expr=args.filter,
         )
     else:
         results = app.search_images(
             args.query, top_k=args.top_k,
             use_optimized_similarity=args.optimized,
+            filter_expr=args.filter,
         )
     for i, r in enumerate(results, 1):
         print(f"{i:3d}. {r['score']:.4f}  {r['path']}")
@@ -332,6 +334,11 @@ def make_parser() -> argparse.ArgumentParser:
     sp.add_argument("--top-k", type=int, default=10)
     sp.add_argument("--optimized", action="store_true",
                     help="Rank with the weighted optimized similarity")
+    sp.add_argument("--filter", default=None,
+                    help="Boolean attribute expression (Milvus expr "
+                         "analog), e.g. \"dir == 'red'\" — the facade "
+                         "auto-attaches dir = parent directory name; "
+                         "evaluated inside the masked device scan")
     sp.add_argument("--save-grid", help="Write a thumbnail contact sheet PNG")
     sp.set_defaults(fn=cmd_search)
 

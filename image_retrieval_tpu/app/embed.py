@@ -29,12 +29,18 @@ class ImageEmbeddingSystem:
         encoder: Encoder,
         index: Optional[ShardedVectorIndex] = None,
         config: Optional[Config] = None,
+        attrs_fn=None,
     ):
         self.encoder = encoder
         self.config = config or Config()
         self.index = index if index is not None else ShardedVectorIndex(
             dim=encoder.dim, config=self.config.index
         )
+        # optional paths -> {field: [values]} hook: every insert attaches
+        # scalar attribute columns for boolean-expr filtered search
+        # (index/filters.py). Opt-in, so existing mixed-writer indexes keep
+        # their schema-less inserts.
+        self.attrs_fn = attrs_fn
 
     def generate_embedding(self, image_path) -> Tuple[np.ndarray, float]:
         """(unit_embedding, magnitude) for one image
@@ -82,7 +88,8 @@ class ImageEmbeddingSystem:
             from image_retrieval_tpu.utils.profiling import trace
 
             with trace("embed/index_insert"):
-                self.index.insert(ok_paths, np.stack(ok_embs))
+                attrs = self.attrs_fn(ok_paths) if self.attrs_fn else None
+                self.index.insert(ok_paths, np.stack(ok_embs), attrs=attrs)
                 self.index.flush()
             logger.info(f"Inserted batch of {len(ok_paths)} images into index.")
         return len(ok_paths), failed

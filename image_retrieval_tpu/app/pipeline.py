@@ -88,9 +88,13 @@ class ImageSearchApp:
     # -- ingestion -----------------------------------------------------------
 
     def scan_folders(self, folder: str) -> List[Path]:
-        """*.jpg + *.png glob (reference app_pipeline.py:21-27, sans Tkinter)."""
+        """*.jpg + *.png glob (reference app_pipeline.py:21-27, sans
+        Tkinter), extended to recurse into subdirectories — category trees
+        like dataset/red/*.png index in one call and filtered search
+        (`filter_expr="dir == 'red'"`) works on the auto-attached parent
+        directory attribute."""
         p = Path(folder)
-        return sorted(p.glob("*.jpg")) + sorted(p.glob("*.png"))
+        return sorted(p.rglob("*.jpg")) + sorted(p.rglob("*.png"))
 
     def process_images(self, image_paths: Sequence) -> None:
         """Load cached embeddings when available, else encode
@@ -158,7 +162,15 @@ class ImageSearchApp:
             dim = next(iter(self.embeddings.values())).shape[0]
             self._index = ShardedVectorIndex(dim=dim, config=self.config.index)
             paths = list(self.embeddings.keys())
-            self._index.insert(paths, np.stack([self.embeddings[p] for p in paths]))
+            # auto attribute: parent directory name — on the reference's
+            # category/color dataset tree this makes filtered search
+            # (search_images(filter_expr="dir == 'red'")) work out of the box
+            dirs = [os.path.basename(os.path.dirname(os.path.abspath(p)))
+                    for p in paths]
+            self._index.insert(
+                paths, np.stack([self.embeddings[p] for p in paths]),
+                attrs={"dir": dirs},
+            )
             self._index_dirty = False
             self._ann = None  # gallery changed; rebuild IVF lists on demand
         return self._index
@@ -216,17 +228,23 @@ class ImageSearchApp:
         return self._get_encoder().encode_texts([query])[0]
 
     def search_images(
-        self, query: str, top_k: int = 10, use_optimized_similarity: bool = False
+        self, query: str, top_k: int = 10, use_optimized_similarity: bool = False,
+        filter_expr: Optional[str] = None,
     ) -> List[dict]:
         """Exact search over all processed images, ranked by abs(score)
-        (reference app_pipeline.py:143-172)."""
+        (reference app_pipeline.py:143-172). `filter_expr` restricts rows
+        by attribute expression (index/filters.py; the facade auto-attaches
+        `dir` = parent directory name, so "dir == 'red'" works on a
+        category/color dataset tree)."""
         logger.info(f"Searching for: '{query}' (optimized: {use_optimized_similarity})")
         index = self._ensure_index()
         if index is None:
             logger.warning("No embeddings available for search")
             return []
         q = self._get_query_embedding(query)
-        return self._rank_with_embedding(index, q, top_k, use_optimized_similarity)
+        return self._rank_with_embedding(
+            index, q, top_k, use_optimized_similarity, filter_expr=filter_expr
+        )
 
     def find_similar_images(
         self,
@@ -234,6 +252,7 @@ class ImageSearchApp:
         top_k: int = 10,
         use_optimized_similarity: bool = False,
         exclude_self: bool = True,
+        filter_expr: Optional[str] = None,
     ) -> List[dict]:
         """Image→image similarity over the processed gallery (beyond the
         reference, which is text-query only): encode the query image with
@@ -264,7 +283,7 @@ class ImageSearchApp:
         logger.info(f"Image-query search (optimized: {use_optimized_similarity})")
         return self._rank_with_embedding(
             index, np.asarray(q), top_k, use_optimized_similarity,
-            exclude_paths=exclude,
+            exclude_paths=exclude, filter_expr=filter_expr,
         )
 
     def _rank_with_embedding(
@@ -274,6 +293,7 @@ class ImageSearchApp:
         top_k: int,
         use_optimized_similarity: bool,
         exclude_paths: frozenset = frozenset(),
+        filter_expr: Optional[str] = None,
     ) -> List[dict]:
         """Shared ranking chain for text and image queries: ANN or exact
         candidates → optional optimized rerank → abs-ranking flag →
@@ -281,6 +301,11 @@ class ImageSearchApp:
         k_eff = top_k + len(exclude_paths)
         metric = "optimized_similarity" if use_optimized_similarity else "cosine_similarity"
         ann = self._ensure_ann(index)
+        if filter_expr is not None and ann is not None:
+            # attribute filters ride the exact masked scan; the ANN tiers
+            # don't see attribute columns (exact is the recommendation)
+            logger.info("filter set: using the exact index, not the ANN")
+            ann = None
         if ann is not None:
             # two-phase: IVF candidates (overfetched) -> exact rerank, the
             # reference's Milvus-ANN shape (image_search.py:88-107)
@@ -323,8 +348,11 @@ class ImageSearchApp:
             rank_scores = scores
         if pool is None:
             # scores() is the full matrix incl. tombstoned rows — drop them
-            # from the ranking AFTER abs() (abs(-inf) would rank first)
-            rank_scores = np.where(index.live_mask(), rank_scores, -np.inf)
+            # from the ranking AFTER abs() (abs(-inf) would rank first);
+            # with a filter, drop the non-matching rows the same way
+            mask = (index.filter_mask(filter_expr) if filter_expr is not None
+                    else index.live_mask())
+            rank_scores = np.where(mask, rank_scores, -np.inf)
         order = np.argsort(-rank_scores, kind="stable")[:k_eff]
         out = []
         for i in order:

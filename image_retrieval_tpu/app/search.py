@@ -15,7 +15,7 @@ get_all_metrics, the documented intent (SURVEY §7).
 from __future__ import annotations
 
 import logging
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -95,8 +95,18 @@ class TextImageSearcher:
             raise ValueError("Text query cannot be empty")
         return self.encoder.encode_texts([text])[0]
 
-    def _candidates(self, text_embedding: np.ndarray, limit: int):
+    def _candidates(self, text_embedding: np.ndarray, limit: int,
+                    filter_expr=None):
         qn = text_embedding / np.linalg.norm(text_embedding)
+        if filter_expr is not None:
+            # attribute filters ride the exact masked scan (the ANN tiers
+            # don't see attribute columns; exact is the recommendation
+            # anyway — see --ann help)
+            if self.ann is not None:
+                logger.info("filter set: using the exact index, not the ANN")
+            return self.index.search(
+                qn, top_k=min(limit, len(self.index)), flt=filter_expr
+            )
         if self.ann is not None:
             return ann_valid_candidates(self.ann, self.index, qn, limit)
         vals, idx = self.index.search(qn, top_k=min(limit, len(self.index)))
@@ -108,16 +118,20 @@ class TextImageSearcher:
         top_k: int = 5,
         score_threshold: float = SCORE_THRESHOLD,
         use_optimized_similarity: bool = False,
+        filter_expr: Optional[str] = None,
     ) -> List[dict]:
         """Candidate overfetch -> optional optimized rerank -> threshold ->
-        dedup -> top_k (reference image_search.py:66-142)."""
+        dedup -> top_k (reference image_search.py:66-142). `filter_expr`
+        restricts candidates by attribute expression (Milvus expr analog,
+        index/filters.py) — evaluated inside the masked device scan."""
         logger.info(f"Searching for: {text_query} (optimized: {use_optimized_similarity})")
         from image_retrieval_tpu.utils.profiling import trace
 
         with trace("search/encode_text"):
             text_embedding = self.generate_text_embedding(text_query)
         unique = self._search_with_embedding(
-            text_embedding, top_k, score_threshold, use_optimized_similarity
+            text_embedding, top_k, score_threshold, use_optimized_similarity,
+            filter_expr=filter_expr,
         )
         logger.info(f"Found {len(unique)} matches for '{text_query}'")
         return unique
@@ -129,6 +143,7 @@ class TextImageSearcher:
         score_threshold: float = SCORE_THRESHOLD,
         use_optimized_similarity: bool = False,
         exclude_self: bool = True,
+        filter_expr: Optional[str] = None,
     ) -> List[dict]:
         """Image→image similarity search (beyond the reference, which is
         text-query only): encode the query image with the same tower that
@@ -159,7 +174,7 @@ class TextImageSearcher:
                 emb = self.encoder.encode_pixels(pixels[None])[0]
         unique = self._search_with_embedding(
             _np.asarray(emb), top_k, score_threshold, use_optimized_similarity,
-            exclude_paths=exclude,
+            exclude_paths=exclude, filter_expr=filter_expr,
         )
         logger.info(f"Found {len(unique)} image-query matches")
         return unique
@@ -171,6 +186,7 @@ class TextImageSearcher:
         score_threshold: float,
         use_optimized_similarity: bool,
         exclude_paths: frozenset = frozenset(),
+        filter_expr: Optional[str] = None,
     ) -> List[dict]:
         """Shared query chain: candidates → optional optimized rerank →
         threshold (min-max-relative when reranked, reference
@@ -179,8 +195,13 @@ class TextImageSearcher:
         try:
             # overfetch one extra when the query's own row may be dropped
             cos_scores, idx = self._candidates(
-                embedding, (top_k + len(exclude_paths)) * 3
+                embedding, (top_k + len(exclude_paths)) * 3, filter_expr
             )
+            if filter_expr is not None:
+                # sub-overfetch matches pad with (-inf, -1); drop them so
+                # the min-max rerank normalization isn't skewed to -inf
+                keep = np.isfinite(cos_scores) & (idx >= 0)
+                cos_scores, idx = cos_scores[keep], idx[keep]
             if use_optimized_similarity:
                 cand = self.index.get_vectors(idx)
                 metrics = _all_metrics_rows(embedding, cand)

@@ -40,6 +40,7 @@ class _Request:
     top_k: int
     metric: str = "cosine_similarity"
     weights: Optional[tuple] = None  # (w_angle, w_l1, w_l2, w_inf, w_mag)
+    flt: Optional[str] = None  # boolean attribute expression (index/filters.py)
     # image-query requests arrive pre-embedded (search_similar); they skip
     # the batch text encode but share the grouped gallery sweeps
     embedding: Optional[np.ndarray] = None
@@ -176,16 +177,20 @@ class SearchServer:
         timeout: float = 30.0,
         metric: str = "cosine_similarity",
         weights: Optional[dict] = None,
+        flt: Optional[str] = None,
     ) -> List[dict]:
         """Blocking search; safe to call from many threads concurrently.
 
         metric: "cosine_similarity" (default) or "optimized_similarity" with
-        the 5-weight params dict (reference similarity_params)."""
+        the 5-weight params dict (reference similarity_params).
+        flt: boolean attribute expression (index/filters.py); requests with
+        the same filter share a micro-batch group and the cached mask."""
         wt = None
         if weights is not None:
             wt = tuple(float(weights.get(k, 1.0 if k == "w_angle" else 0.0))
                        for k in _WEIGHT_KEYS)
-        req = _Request(query=query, top_k=top_k, metric=metric, weights=wt)
+        req = _Request(query=query, top_k=top_k, metric=metric, weights=wt,
+                       flt=flt)
         self._enqueue(req)
         if not req.done.wait(timeout):
             raise TimeoutError(f"search timed out after {timeout}s")
@@ -201,6 +206,7 @@ class SearchServer:
         metric: str = "cosine_similarity",
         weights: Optional[dict] = None,
         exclude_self: bool = True,
+        flt: Optional[str] = None,
     ) -> List[dict]:
         """Image-query search: encode `image` (a path or (H, W, 3) pixels)
         in the calling thread, then ride the same micro-batched gallery
@@ -226,7 +232,7 @@ class SearchServer:
                        for k in _WEIGHT_KEYS)
         req = _Request(query="", top_k=top_k, metric=metric, weights=wt,
                        embedding=np.asarray(emb, np.float32),
-                       exclude_path=exclude)
+                       exclude_path=exclude, flt=flt)
         self._enqueue(req)
         if not req.done.wait(timeout):
             raise TimeoutError(f"search timed out after {timeout}s")
@@ -241,6 +247,7 @@ class SearchServer:
         timeout: float = 30.0,
         metric: str = "cosine_similarity",
         weights: Optional[dict] = None,
+        flt: Optional[str] = None,
     ) -> List[List[dict]]:
         """Enqueue ALL queries before waiting, so they coalesce into shared
         micro-batches (one encode + one gallery sweep per batch) instead of
@@ -251,7 +258,7 @@ class SearchServer:
             wt = tuple(float(weights.get(k, 1.0 if k == "w_angle" else 0.0))
                        for k in _WEIGHT_KEYS)
         reqs = [
-            _Request(query=q, top_k=top_k, metric=metric, weights=wt)
+            _Request(query=q, top_k=top_k, metric=metric, weights=wt, flt=flt)
             for q in queries
         ]
         for r in reqs:
@@ -311,8 +318,8 @@ class SearchServer:
                 # one index sweep per (metric, weights) group in the batch
                 groups: Dict[tuple, List[int]] = {}
                 for i, r in enumerate(batch):
-                    groups.setdefault((r.metric, r.weights), []).append(i)
-                for (metric, weights), rows in groups.items():
+                    groups.setdefault((r.metric, r.weights, r.flt), []).append(i)
+                for (metric, weights, flt), rows in groups.items():
                     try:
                         k = max(
                             batch[i].top_k
@@ -326,16 +333,18 @@ class SearchServer:
                             dict(zip(_WEIGHT_KEYS, weights))
                             if weights is not None else None
                         )
-                        if self.ann is not None and metric in (
+                        if self.ann is not None and flt is None and metric in (
                             "cosine_similarity", "optimized_similarity",
                         ):
                             vals, idx = self._ann_search(
                                 qn[rows], q_in, k, metric, params
                             )
                         else:
+                            # filters ride the exact masked scan (flt=None
+                            # is the unfiltered fast path, same jit)
                             vals, idx = self.index.search(
                                 q_in, top_k=min(k, len(self.index)),
-                                metric=metric, params=params,
+                                metric=metric, params=params, flt=flt,
                             )
                         for row, i in enumerate(rows):
                             r = batch[i]

@@ -45,6 +45,7 @@ button{font-size:16px;padding:6px 14px}
 <h2>image-retrieval-tpu</h2>
 <form onsubmit="go();return false">
 <input id=q placeholder="a brown dog" autofocus>
+<input id=f placeholder="filter e.g. dir == 'red'" style="width:16em">
 <button>Search</button></form>
 <div id=grid></div>
 <script>
@@ -56,16 +57,26 @@ function render(hits){
     `<div class=score>${h.score.toFixed(4)}<br>${h.path.split('/').pop()}</div></div>`
   ).join('');
 }
+function fexpr(){
+  const f=document.getElementById('f').value.trim();
+  return f?'&filter='+encodeURIComponent(f):'';
+}
 async function go(){
   const q=document.getElementById('q').value;
-  const r=await fetch('/search?q='+encodeURIComponent(q)+'&k=12');
+  const r=await fetch('/search?q='+encodeURIComponent(q)+'&k=12'+fexpr());
   render(await r.json());
 }
 async function similar(p){
-  const r=await fetch('/similar?path='+p+'&k=12');
+  const r=await fetch('/similar?path='+p+'&k=12'+fexpr());
   render(await r.json());
 }
 </script></body></html>"""
+
+
+#: per-request wait budget. The steady-state search is milliseconds, but the
+#: FIRST query of a fresh process pays the remote TPU jit compile (1–5 min on
+#: this tunnel) — a 30 s default would time out every cold start.
+_SEARCH_TIMEOUT_S = 420.0
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -75,11 +86,32 @@ class _Handler(BaseHTTPRequestHandler):
         logger.debug(fmt % args)
 
     def _send(self, code, body, ctype="text/html"):
-        self.send_response(code)
-        self.send_header("Content-Type", ctype)
-        self.send_header("Content-Length", str(len(body)))
-        self.end_headers()
-        self.wfile.write(body)
+        try:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        except (BrokenPipeError, ConnectionResetError):
+            # client gave up while we were computing; nothing to deliver
+            logger.debug("client disconnected before the response was sent")
+
+    def _do_search(self, ctx, qs, query, k, metric, flt):
+        if metric.startswith("optimized"):
+            weights = {
+                key: float((qs.get(key) or [default])[0])
+                for key, default in (("w_angle", "1"), ("w_l1", "0"),
+                                     ("w_l2", "0"), ("w_inf", "0"),
+                                     ("w_mag", "0"))
+            }
+            results = ctx["server"].search(
+                query, top_k=k, metric="optimized_similarity",
+                weights=weights, flt=flt, timeout=_SEARCH_TIMEOUT_S,
+            )
+        else:
+            results = ctx["server"].search(query, top_k=k, flt=flt,
+                                           timeout=_SEARCH_TIMEOUT_S)
+        self._send(200, json.dumps(results).encode(), "application/json")
 
     def do_GET(self):
         ctx = self.server_ctx
@@ -94,19 +126,15 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(400, b"[]", "application/json")
                 return
             metric = (qs.get("metric") or ["cosine"])[0]
-            if metric.startswith("optimized"):
-                weights = {
-                    key: float((qs.get(key) or [default])[0])
-                    for key, default in (("w_angle", "1"), ("w_l1", "0"),
-                                         ("w_l2", "0"), ("w_inf", "0"),
-                                         ("w_mag", "0"))
-                }
-                results = ctx["server"].search(
-                    query, top_k=k, metric="optimized_similarity", weights=weights
-                )
-            else:
-                results = ctx["server"].search(query, top_k=k)
-            self._send(200, json.dumps(results).encode(), "application/json")
+            flt = (qs.get("filter") or [None])[0] or None
+            try:
+                self._do_search(ctx, qs, query, k, metric, flt)
+            except Exception as e:
+                # bad filter expression / unknown field: client error, not
+                # a handler-thread crash
+                self._send(400, json.dumps({"error": str(e)}).encode(),
+                           "application/json")
+            return
         elif parsed.path == "/stats":
             stats = dict(ctx["server"].stats)
             stats["indexed_images"] = len(ctx["known_paths"])
@@ -118,19 +146,27 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(404, b"not found", "text/plain")
                 return
             metric = (qs.get("metric") or ["cosine"])[0]
-            if metric.startswith("optimized"):
-                weights = {
-                    key: float((qs.get(key) or [default])[0])
-                    for key, default in (("w_angle", "1"), ("w_l1", "0"),
-                                         ("w_l2", "0"), ("w_inf", "0"),
-                                         ("w_mag", "0"))
-                }
-                results = ctx["server"].search_similar(
-                    path, top_k=k, metric="optimized_similarity",
-                    weights=weights,
-                )
-            else:
-                results = ctx["server"].search_similar(path, top_k=k)
+            flt = (qs.get("filter") or [None])[0] or None
+            try:
+                if metric.startswith("optimized"):
+                    weights = {
+                        key: float((qs.get(key) or [default])[0])
+                        for key, default in (("w_angle", "1"), ("w_l1", "0"),
+                                             ("w_l2", "0"), ("w_inf", "0"),
+                                             ("w_mag", "0"))
+                    }
+                    results = ctx["server"].search_similar(
+                        path, top_k=k, metric="optimized_similarity",
+                        weights=weights, flt=flt, timeout=_SEARCH_TIMEOUT_S,
+                    )
+                else:
+                    results = ctx["server"].search_similar(
+                        path, top_k=k, flt=flt, timeout=_SEARCH_TIMEOUT_S
+                    )
+            except Exception as e:
+                self._send(400, json.dumps({"error": str(e)}).encode(),
+                           "application/json")
+                return
             self._send(200, json.dumps(results).encode(), "application/json")
         elif parsed.path == "/image":
             path = (qs.get("path") or [""])[0]

@@ -93,12 +93,13 @@ class Collection:
 
     # -- data ----------------------------------------------------------------
 
-    def insert(self, data: Sequence):
+    def insert(self, data: Sequence, attrs: Optional[dict] = None):
         """[paths, embeddings, magnitudes] column layout
-        (reference ImageEmbeddingSystem.py:136)."""
+        (reference ImageEmbeddingSystem.py:136). `attrs` adds scalar
+        fields for boolean-expr filtering (index/filters.py)."""
         paths, embeddings = data[0], np.asarray(data[1], np.float32)
         magnitudes = data[2] if len(data) > 2 else None
-        return self._impl.insert(paths, embeddings, magnitudes)
+        return self._impl.insert(paths, embeddings, magnitudes, attrs=attrs)
 
     def search(
         self,
@@ -107,6 +108,7 @@ class Collection:
         param: Optional[dict] = None,
         limit: int = 10,
         output_fields: Optional[List[str]] = None,
+        expr: Optional[str] = None,
         **_,
     ) -> List[List[_Hit]]:
         param = param or {}
@@ -127,9 +129,11 @@ class Collection:
                 results.append([])  # pymilvus returns empty hits, not an error
                 continue
             vals, idx = self._impl.search(np.asarray(q, np.float32), top_k=limit,
-                                          metric=metric)
+                                          metric=metric, flt=expr)
             hits = []
             for v, i in zip(np.atleast_1d(vals), np.atleast_1d(idx)):
+                if i < 0:  # filtered search pads sub-limit results
+                    continue
                 entity = {}
                 if "image_path" in output_fields:
                     entity["image_path"] = self._impl.paths[int(i)]
@@ -141,6 +145,19 @@ class Collection:
             results.append(hits)
         return results
 
+    def _expr_mask(self, expr: str) -> np.ndarray:
+        """(count,) bool for a boolean expr over scalar attrs plus the
+        virtual `id` (row number) and `image_path` columns."""
+        from image_retrieval_tpu.index.filters import parse_filter
+
+        count = self._impl.count
+        extra = {
+            "id": ("num", np.arange(count, dtype=np.float64)),
+            "image_path": ("rawstr",
+                           np.asarray(self._impl.paths[:count], object)),
+        }
+        return self._impl.attrs.evaluate(parse_filter(expr), count, extra)
+
     def query(
         self,
         expr: str = "id >= 0",
@@ -148,19 +165,35 @@ class Collection:
         limit: int = 1000,
         **_,
     ) -> List[dict]:
+        """`id` is the global row number — the same pk search() hits carry,
+        so query/delete/search ids compose like Milvus primary keys."""
         output_fields = output_fields or ["image_path", "embedding"]
-        rows = self._impl.query(limit, with_magnitude=True)
+        count = self._impl.count
+        mask = (self._expr_mask(expr) if expr
+                else np.ones(count, bool)) & self._impl.live_mask()
+        ids = np.flatnonzero(mask)[:limit]
+        vecs = (self._impl.get_vectors(ids)
+                if "embedding" in output_fields and len(ids) else None)
+        mags = (self._impl.get_magnitudes(ids)
+                if "magnitude" in output_fields and len(ids) else None)
         out = []
-        for i, (path, emb, mag) in enumerate(rows):
-            row = {"id": i}
+        for r, i in enumerate(ids):
+            row = {"id": int(i)}
             if "image_path" in output_fields:
-                row["image_path"] = path
+                row["image_path"] = self._impl.paths[int(i)]
             if "embedding" in output_fields:
-                row["embedding"] = emb
+                row["embedding"] = vecs[r]
             if "magnitude" in output_fields:
-                row["magnitude"] = mag
+                row["magnitude"] = float(mags[r])
             out.append(row)
         return out
+
+    def delete(self, expr: str) -> int:
+        """Milvus delete-by-expr: tombstone rows matching the boolean
+        expression (scalar attrs + virtual id/image_path)."""
+        mask = self._expr_mask(expr) & self._impl.live_mask()
+        paths = [self._impl.paths[int(i)] for i in np.flatnonzero(mask)]
+        return self._impl.delete(paths)
 
 
 def has_collection(name: str) -> bool:

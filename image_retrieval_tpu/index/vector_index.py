@@ -28,6 +28,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 from image_retrieval_tpu.config import IndexConfig
+from image_retrieval_tpu.index.filters import AttributeStore, parse_filter
 from image_retrieval_tpu.parallel.mesh import make_mesh, shard_rows, replicate
 from image_retrieval_tpu.parallel.collectives import (
     multislice_search_topk,
@@ -92,6 +93,13 @@ class ShardedVectorIndex:
         # (insert/delete/compact/load); derived structures (IVF) key their
         # staleness on it — live_count alone misses delete+insert of equal size
         self.generation = 0
+        # scalar attribute columns (Milvus boolean-expr filtering analog);
+        # indexes that never pass attrs= pay nothing
+        self.attrs = AttributeStore()
+        # (expr, generation) -> sharded device mask; repeated serving
+        # traffic with the same filter reuses the mask (and the SAME search
+        # jit — the mask replaces `valid`, identical shape/sharding)
+        self._filter_cache: Dict[str, Tuple[int, jnp.ndarray]] = {}
 
     # -- storage ------------------------------------------------------------
 
@@ -140,10 +148,15 @@ class ShardedVectorIndex:
         paths: Sequence[str],
         embeddings: np.ndarray,
         magnitudes: Optional[Sequence[float]] = None,
+        attrs: Optional[Dict[str, Sequence]] = None,
     ) -> int:
         """Bulk insert. `embeddings` may be unnormalized; they are stored as
         (unit vector, magnitude) exactly like the reference
-        (ImageEmbeddingSystem.py:88-94). Returns number inserted."""
+        (ImageEmbeddingSystem.py:88-94). `attrs` maps field name -> one
+        scalar per row (str or number) for boolean-expr filtered search
+        (Milvus nullable-scalar-field analog; fields are per-insert
+        optional and absent values become missing sentinels that only
+        match != / not in). Returns number inserted."""
         emb = np.asarray(embeddings, np.float32)
         if emb.ndim == 1:
             emb = emb[None]
@@ -154,6 +167,9 @@ class ShardedVectorIndex:
                 "rows — path/row alignment would silently corrupt every "
                 "subsequent search result"
             )
+        # validates schema/lengths and commits only on success, BEFORE the
+        # gallery mutates — a bad attrs dict leaves the index untouched
+        self.attrs.append(attrs, emb.shape[0])
         if magnitudes is None:
             mags = np.linalg.norm(emb, axis=1)
             safe = np.where(mags > 0, mags, 1.0)
@@ -204,6 +220,41 @@ class ShardedVectorIndex:
             self.generation += 1
         return deleted
 
+    def delete_where(self, flt: str) -> int:
+        """Tombstone every live row matching a boolean attribute expression
+        (Milvus `collection.delete(expr)` analog). Returns rows deleted."""
+        mask = self.filter_mask(flt)
+        hit = np.flatnonzero(mask)
+        if len(hit):
+            self._host_valid[hit] = False
+            self._device_dirty = True
+            self.generation += 1
+        return int(len(hit))
+
+    def filter_mask(self, flt: str) -> np.ndarray:
+        """(count,) bool — live rows matching the expression. Vectorized
+        host evaluation over the attribute columns (index/filters.py)."""
+        mask = self.attrs.evaluate(parse_filter(flt), self.count)
+        if self._host_valid is not None:
+            mask = mask & self._host_valid[: self.count]
+        return mask
+
+    def _filtered_valid(self, flt: str) -> jnp.ndarray:
+        """Sharded device mask for a filter expression: (filter AND live),
+        padded to capacity — a drop-in replacement for the `valid` argument
+        of the masked search, so NO new jit signatures. Cached per
+        (expression, generation)."""
+        hit = self._filter_cache.get(flt)
+        if hit is not None and hit[0] == self.generation:
+            return hit[1]
+        full = np.zeros((self.capacity,), bool)
+        full[: self.count] = self.filter_mask(flt)
+        dev = shard_rows(full, self.mesh, self._row_axes)
+        if len(self._filter_cache) >= 16:  # bound device-mask memory
+            self._filter_cache.pop(next(iter(self._filter_cache)))
+        self._filter_cache[flt] = (self.generation, dev)
+        return dev
+
     @property
     def live_count(self) -> int:
         if self._host_valid is None:
@@ -233,6 +284,7 @@ class ShardedVectorIndex:
         self._host_valid[:] = False
         self._host_valid[: len(live)] = True
         self.paths = [self.paths[int(i)] for i in live]
+        self.attrs.take(live)
         self.count = len(live)
         self._device_dirty = True
         self.generation += 1
@@ -359,25 +411,40 @@ class ShardedVectorIndex:
         top_k: int = 5,
         metric: str = "cosine_similarity",
         params: Optional[Dict[str, float]] = None,
+        flt: Optional[str] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Exact top-k. Returns (scores (Q,k), indices (Q,k)) as numpy.
 
         metric: any ops.metrics name or "optimized_similarity" (weighted
         combo per reference geometric_metrics.py:60-94, computed against
         magnitude-reconstructed stored vectors as in image_search.py:103-107).
+
+        flt: optional boolean attribute expression (Milvus expr analog,
+        e.g. "color == 'red' and views >= 100" — index/filters.py). The
+        filter mask replaces the tombstone mask inside the SAME masked-scan
+        jit, so filtered searches compile nothing new; when fewer than
+        top_k rows match, the tail comes back as (-inf, -1).
         """
         if self.count == 0:
             raise ValueError("index is empty")
         self._sync_device()
         if self._stream is not None:
+            if flt is not None:
+                raise ValueError(
+                    "filtered search is not available in the streamed "
+                    "beyond-HBM tier; shard the gallery over a mesh for "
+                    "filtering at this scale, or raise "
+                    "stream_threshold_bytes"
+                )
             return self._search_streamed(queries, top_k, metric)
+        valid = self._valid if flt is None else self._filtered_valid(flt)
         qdev, single, nq = self._prep_queries(queries)
         weights = self._weights_tuple(params) if metric == "optimized_similarity" else None
         if self._multislice:
             vals, idx = multislice_search_topk(
                 qdev,
                 self._gallery,
-                self._valid,
+                valid,
                 self._mags,
                 min(top_k, self.live_count),
                 metric,
@@ -392,7 +459,7 @@ class ShardedVectorIndex:
             vals, idx = sharded_search_topk(
                 qdev,
                 self._gallery,
-                self._valid,
+                valid,
                 self._mags,
                 min(top_k, self.live_count),
                 metric,
@@ -405,6 +472,10 @@ class ShardedVectorIndex:
                 axis=self.axis,
             )
         vals, idx = np.asarray(vals)[:nq], np.asarray(idx)[:nq]
+        if flt is not None:
+            # sub-top_k matches surface as sentinel scores; make the index
+            # column unambiguous for callers (-1, like the streamed tier)
+            idx = np.where(np.isfinite(vals), idx, -1)
         if single:
             return vals[0], idx[0]
         return vals, idx
@@ -433,10 +504,12 @@ class ShardedVectorIndex:
         return (vals[0], idx[0]) if single else (vals, idx)
 
     def multi_metric_topk(
-        self, queries: np.ndarray, top_k: int = 5
+        self, queries: np.ndarray, top_k: int = 5,
+        flt: Optional[str] = None,
     ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
         """Exact per-metric top-k for all five metrics in one gallery pass
-        (parallel/collectives.py sharded_multimetric_topk)."""
+        (parallel/collectives.py sharded_multimetric_topk). `flt` filters
+        rows by attribute expression like search()."""
         if self.count == 0:
             raise ValueError("index is empty")
         self._sync_device()
@@ -448,15 +521,18 @@ class ShardedVectorIndex:
             )
         from image_retrieval_tpu.parallel.collectives import sharded_multimetric_topk
 
+        valid = self._valid if flt is None else self._filtered_valid(flt)
         qdev, single, nq = self._prep_queries(queries)
         out = sharded_multimetric_topk(
-            qdev, self._gallery, self._valid, self._mags,
+            qdev, self._gallery, valid, self._mags,
             min(top_k, self.live_count), self._scales, mesh=self.mesh,
             axis=self._row_axes,
         )
         result = {}
         for name, (vals, idx) in out.items():
             vals, idx = np.asarray(vals)[:nq], np.asarray(idx)[:nq]
+            if flt is not None:
+                idx = np.where(np.isfinite(vals), idx, -1)
             result[name] = (vals[0], idx[0]) if single else (vals, idx)
         return result
 
@@ -555,12 +631,16 @@ class ShardedVectorIndex:
             g = g * self._host_scales[: self.count, None]
         m = (self._host_mags[: self.count].astype(np.float32)
              if self.count else np.zeros((0,), np.float32))
-        np.savez(path, embeddings=g, magnitudes=m)
+        attr_arrays, attr_meta = self.attrs.to_arrays()
+        np.savez(path, embeddings=g, magnitudes=m, **attr_arrays)
         # np.savez appends .npz when absent; key the sidecar off the FINAL
         # npz filename so save('gallery') / load_from('gallery') round-trip
         npz_path = path if path.endswith(".npz") else path + ".npz"
         with open(npz_path + ".paths.json", "w") as f:
             json.dump(self.paths, f)
+        if attr_arrays:
+            with open(npz_path + ".attrs.json", "w") as f:
+                json.dump(attr_meta, f)
 
     @classmethod
     def load_from(cls, path: str, mesh: Optional[Mesh] = None) -> "ShardedVectorIndex":
@@ -572,4 +652,9 @@ class ShardedVectorIndex:
         idx = cls(dim=emb.shape[1] if emb.size else 512, mesh=mesh)
         if len(paths):
             idx.insert(paths, emb, data["magnitudes"])
+        attr_arrays = {k: data[k] for k in data.files if k.startswith("attr__")}
+        if attr_arrays and os.path.exists(npz_path + ".attrs.json"):
+            with open(npz_path + ".attrs.json") as f:
+                meta = json.load(f)
+            idx.attrs = AttributeStore.from_arrays(attr_arrays, meta)
         return idx
