@@ -118,13 +118,44 @@ class StreamingGallerySearch:
 
         self._sweep_chunk = _sweep_chunk
 
+        @jax.jit
+        def _sweep_chunk_masked(state_vals, state_idx, g8, mask, all_scales,
+                                qn16, offset, n_valid):
+            """Like _sweep_chunk but rows where mask is False score -inf —
+            attribute-filtered search at streaming scale. The mask chunk is
+            (chunk_rows,) bool: 1/D of the row payload, so the filtered
+            sweep stays transfer-bound at the same rate."""
+            k = state_vals.shape[1]
+            sc = jax.lax.dynamic_slice_in_dim(all_scales, offset, cr, 0)
+            dots = jax.lax.dot_general(
+                qn16, g8.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            scores = dots * sc[None, :]
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            keep = (col < n_valid) & mask[None, :]
+            scores = jnp.where(keep, scores, -jnp.inf)
+            cv, ci = jax.lax.top_k(scores, min(k, scores.shape[1]))
+            cand_vals = jnp.concatenate([state_vals, cv], axis=1)
+            cand_idx = jnp.concatenate(
+                [state_idx, ci.astype(jnp.int32) + offset], axis=1
+            )
+            mv, mi = jax.lax.top_k(cand_vals, k)
+            return mv, jnp.take_along_axis(cand_idx, mi, axis=1)
+
+        self._sweep_chunk_masked = _sweep_chunk_masked
+
     # -- search ---------------------------------------------------------------
 
     def search(
-        self, queries_unit: np.ndarray, top_k: int = 10
+        self, queries_unit: np.ndarray, top_k: int = 10,
+        mask: np.ndarray = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """queries_unit: (Q, D) L2-normalized f32. Returns (vals, idx) each
-        (Q, top_k), exact over all N rows."""
+        (Q, top_k), exact over all N rows. `mask`: optional (N,) bool —
+        rows where it is False are excluded (score -inf, index may be a
+        sentinel when fewer than top_k rows match)."""
         q = np.asarray(queries_unit, np.float32)
         if q.ndim == 1:
             q = q[None]
@@ -138,6 +169,9 @@ class StreamingGallerySearch:
         )
 
         pad_to = self.chunk_rows
+        if mask is not None:
+            mask = np.asarray(mask, bool)
+            assert mask.shape == (self.n,), mask.shape
         window: list = [None, None]  # double buffer: <=2 chunks on device
 
         def stage(ci):
@@ -147,7 +181,13 @@ class StreamingGallerySearch:
                 g8 = np.concatenate(
                     [g8, np.zeros((pad_to - nv, self.dim), np.int8)], 0
                 )
-            return (s, nv, jax.device_put(g8, self.device))
+            dm = None
+            if mask is not None:
+                m = mask[s:s + nv]
+                if nv < pad_to:
+                    m = np.concatenate([m, np.zeros(pad_to - nv, bool)])
+                dm = jax.device_put(m, self.device)
+            return (s, nv, jax.device_put(g8, self.device), dm)
 
         if self._chunks:
             window[0] = stage(0)
@@ -156,13 +196,24 @@ class StreamingGallerySearch:
             # overlaps this chunk's matmul in the async dispatch stream
             if ci + 1 < len(self._chunks):
                 window[(ci + 1) % 2] = stage(ci + 1)
-            s, nv, dg = window[ci % 2]
-            vals, idx = self._sweep_chunk(
-                vals, idx, dg, self._scales_dev, qn16,
-                jnp.int32(s), jnp.int32(nv),
-            )
+            s, nv, dg, dm = window[ci % 2]
+            if dm is None:
+                vals, idx = self._sweep_chunk(
+                    vals, idx, dg, self._scales_dev, qn16,
+                    jnp.int32(s), jnp.int32(nv),
+                )
+            else:
+                vals, idx = self._sweep_chunk_masked(
+                    vals, idx, dg, dm, self._scales_dev, qn16,
+                    jnp.int32(s), jnp.int32(nv),
+                )
             window[ci % 2] = None  # release this chunk's device buffer
-        return np.asarray(vals), np.asarray(idx)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        if mask is not None:
+            # fewer than top_k matches: sentinel out the -inf tail (its
+            # indices are whatever the merge happened to carry)
+            idx = np.where(np.isfinite(vals), idx, -1)
+        return vals, idx
 
     # -- introspection --------------------------------------------------------
 

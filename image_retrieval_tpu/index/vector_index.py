@@ -429,14 +429,7 @@ class ShardedVectorIndex:
             raise ValueError("index is empty")
         self._sync_device()
         if self._stream is not None:
-            if flt is not None:
-                raise ValueError(
-                    "filtered search is not available in the streamed "
-                    "beyond-HBM tier; shard the gallery over a mesh for "
-                    "filtering at this scale, or raise "
-                    "stream_threshold_bytes"
-                )
-            return self._search_streamed(queries, top_k, metric)
+            return self._search_streamed(queries, top_k, metric, flt=flt)
         valid = self._valid if flt is None else self._filtered_valid(flt)
         qdev, single, nq = self._prep_queries(queries)
         weights = self._weights_tuple(params) if metric == "optimized_similarity" else None
@@ -481,10 +474,14 @@ class ShardedVectorIndex:
         return vals, idx
 
     def _search_streamed(
-        self, queries: np.ndarray, top_k: int, metric: str
+        self, queries: np.ndarray, top_k: int, metric: str,
+        flt: Optional[str] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Beyond-HBM cosine via the chunked streaming engine; results are
-        identical to the resident int8 sweep (same bf16-dot math)."""
+        identical to the resident int8 sweep (same bf16-dot math). An
+        attribute filter becomes a per-chunk bool mask riding the same
+        double-buffered window (1/D of the row payload — the sweep stays
+        transfer-bound at the same rate)."""
         if metric not in ("cosine_similarity", "cosine"):
             raise ValueError(
                 f"metric '{metric}' is not available in the streamed "
@@ -498,7 +495,16 @@ class ShardedVectorIndex:
             q = q[None]
         qn = np.linalg.norm(q, axis=1, keepdims=True)
         qu = q / np.where(qn > 0, qn, 1.0)
-        vals, idx = self._stream.search(qu, top_k=min(top_k, self.live_count))
+        mask = None
+        if flt is not None:
+            # filter_mask is in full row space (already ANDed with
+            # tombstones); the engine holds live rows only when compacted
+            full = self.filter_mask(flt)
+            mask = full[self._stream_live] if self._stream_live is not None \
+                else full
+        vals, idx = self._stream.search(
+            qu, top_k=min(top_k, self.live_count), mask=mask
+        )
         if self._stream_live is not None:  # None = identity (no tombstones)
             idx = np.where(idx >= 0, self._stream_live[np.maximum(idx, 0)], -1)
         return (vals[0], idx[0]) if single else (vals, idx)

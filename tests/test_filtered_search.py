@@ -300,17 +300,58 @@ def test_attrless_insert_composes_with_attributed_index(mesh, rng):
     assert ids[0][0] == 30
 
 
-def test_streamed_tier_rejects_filters(mesh, rng):
-    idx = ShardedVectorIndex(
-        dim=32, mesh=mesh,
-        config=IndexConfig(capacity_step=64, dtype="int8",
-                           stream_threshold_bytes=1),
+def test_streaming_engine_masked(rng):
+    """Direct engine test: per-chunk bool mask over multiple chunks, with
+    a padded final chunk, against a NumPy oracle."""
+    from image_retrieval_tpu.index.streaming import (
+        StreamingGallerySearch,
+        quantize_rows_int8,
     )
-    emb = rng.normal(size=(40, 32)).astype(np.float32)
-    idx.insert([f"i{i}" for i in range(40)], emb,
-               attrs={"color": ["red"] * 40, "views": [0.0] * 40})
-    with pytest.raises(ValueError, match="streamed"):
-        idx.search(emb[0], top_k=3, flt="color == 'red'")
+
+    n, d = 50, 16
+    g = rng.normal(size=(n, d)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    q8, sc = quantize_rows_int8(g)
+    eng = StreamingGallerySearch(q8, sc, chunk_rows=16)  # 4 chunks, last short
+    mask = (np.arange(n) % 3) == 0
+    q = rng.normal(size=(2, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    vals, ids = eng.search(q, top_k=8, mask=mask)
+    deq = q8.astype(np.float64) * sc[:, None]
+    for r in range(2):
+        ref = q[r].astype(np.float64) @ deq.T
+        ref = np.where(mask, ref, -np.inf)
+        want = np.argsort(-ref, kind="stable")[:8]
+        want = want[np.isfinite(ref[want])]
+        np.testing.assert_array_equal(ids[r][: len(want)], want)
+        assert (ids[r][len(want):] == -1).all()
+
+
+def test_streamed_tier_filtered_parity(mesh, rng):
+    """The beyond-HBM streamed tier honors attribute filters (mask rides
+    the chunk window) — parity vs a resident int8 twin, with tombstones
+    exercising the live-row remap."""
+    def build(stream):
+        cfg = IndexConfig(capacity_step=64, dtype="int8",
+                          stream_threshold_bytes=1 if stream else 1 << 40)
+        return ShardedVectorIndex(dim=32, mesh=mesh, config=cfg)
+
+    emb = rng.normal(size=(80, 32)).astype(np.float32)
+    colors = [COLORS[i % 3] for i in range(80)]
+    streamed, resident = build(True), build(False)
+    for idx in (streamed, resident):
+        idx.insert([f"i{i}" for i in range(80)], emb,
+                   attrs={"color": colors, "views": list(range(80))})
+        idx.delete([f"i{i}" for i in range(0, 80, 10)])
+    q = rng.normal(size=(3, 32)).astype(np.float32)
+    expr = "color == 'red' and views >= 8"
+    vs, is_ = streamed.search(q, top_k=6, flt=expr)
+    vr, ir = resident.search(q, top_k=6, flt=expr)
+    np.testing.assert_array_equal(is_, ir)
+    np.testing.assert_allclose(vs, vr, rtol=2e-2, atol=2e-2)
+    finite = np.isfinite(vr)
+    got = np.asarray(is_)[finite]
+    assert all(colors[i] == "red" and i % 10 != 0 for i in got)
 
 
 # -- searcher / facade / server / compat ----------------------------------------
