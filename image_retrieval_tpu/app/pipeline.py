@@ -112,15 +112,28 @@ class ImageSearchApp:
                 data = np.load(embeddings_file, allow_pickle=True)
                 if isinstance(data, np.lib.npyio.NpzFile) and "embeddings" in data:
                     stored = data["embeddings"].item()
-                    by_name = {Path(k).name: v for k, v in stored.items()}
+                    # basename fallback (reference app_pipeline.py filename
+                    # match) is only safe when the name is UNAMBIGUOUS on
+                    # both sides: recursive category trees commonly repeat
+                    # names (red/im1.png, blue/im1.png) and a collision
+                    # would silently assign one cached embedding to every
+                    # same-named file
+                    from collections import Counter
+
+                    stored_names = Counter(Path(k).name for k in stored)
+                    by_name = {Path(k).name: v for k, v in stored.items()
+                               if stored_names[Path(k).name] == 1}
+                    scan_names = Counter(Path(str(p)).name
+                                         for p in image_paths)
                     matched = 0
                     for image_path in image_paths:
                         s = str(image_path)
+                        name = Path(s).name
                         if s in stored:
                             self.embeddings[s] = stored[s]
                             matched += 1
-                        elif Path(s).name in by_name:
-                            self.embeddings[s] = by_name[Path(s).name]
+                        elif scan_names[name] == 1 and name in by_name:
+                            self.embeddings[s] = by_name[name]
                             matched += 1
                     if matched > 0:
                         logger.info(f"Matched {matched}/{len(image_paths)} images")

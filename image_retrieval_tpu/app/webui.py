@@ -96,17 +96,23 @@ class _Handler(BaseHTTPRequestHandler):
             # client gave up while we were computing; nothing to deliver
             logger.debug("client disconnected before the response was sent")
 
+    @staticmethod
+    def _parse_weights(qs):
+        """The 5-weight optimized-similarity params from query-string args
+        (one parser for /search, /similar, and any future endpoint)."""
+        return {
+            key: float((qs.get(key) or [default])[0])
+            for key, default in (("w_angle", "1"), ("w_l1", "0"),
+                                 ("w_l2", "0"), ("w_inf", "0"),
+                                 ("w_mag", "0"))
+        }
+
     def _do_search(self, ctx, qs, query, k, metric, flt):
         if metric.startswith("optimized"):
-            weights = {
-                key: float((qs.get(key) or [default])[0])
-                for key, default in (("w_angle", "1"), ("w_l1", "0"),
-                                     ("w_l2", "0"), ("w_inf", "0"),
-                                     ("w_mag", "0"))
-            }
             results = ctx["server"].search(
                 query, top_k=k, metric="optimized_similarity",
-                weights=weights, flt=flt, timeout=_SEARCH_TIMEOUT_S,
+                weights=self._parse_weights(qs), flt=flt,
+                timeout=_SEARCH_TIMEOUT_S,
             )
         else:
             results = ctx["server"].search(query, top_k=k, flt=flt,
@@ -149,15 +155,10 @@ class _Handler(BaseHTTPRequestHandler):
             flt = (qs.get("filter") or [None])[0] or None
             try:
                 if metric.startswith("optimized"):
-                    weights = {
-                        key: float((qs.get(key) or [default])[0])
-                        for key, default in (("w_angle", "1"), ("w_l1", "0"),
-                                             ("w_l2", "0"), ("w_inf", "0"),
-                                             ("w_mag", "0"))
-                    }
                     results = ctx["server"].search_similar(
                         path, top_k=k, metric="optimized_similarity",
-                        weights=weights, flt=flt, timeout=_SEARCH_TIMEOUT_S,
+                        weights=self._parse_weights(qs), flt=flt,
+                        timeout=_SEARCH_TIMEOUT_S,
                     )
                 else:
                     results = ctx["server"].search_similar(
@@ -198,9 +199,15 @@ class _Handler(BaseHTTPRequestHandler):
             return
         # enqueue all queries before waiting: they coalesce into shared
         # micro-batches (one encode + one sweep) instead of sequential
-        # per-query round-trips
-        out = ctx["server"].search_many(queries, top_k=k)
-        self._send(200, json.dumps(out).encode(), "application/json")
+        # per-query round-trips. Same cold-start budget as /search — the
+        # first request of a fresh process pays the remote jit compile.
+        try:
+            out = ctx["server"].search_many(queries, top_k=k,
+                                            timeout=_SEARCH_TIMEOUT_S)
+            self._send(200, json.dumps(out).encode(), "application/json")
+        except Exception as e:
+            self._send(400, json.dumps({"error": str(e)}).encode(),
+                       "application/json")
 
 
 def serve(search_server, known_paths, host: str = "127.0.0.1", port: int = 8008):

@@ -128,8 +128,11 @@ class Collection:
             if self._impl.live_count == 0:
                 results.append([])  # pymilvus returns empty hits, not an error
                 continue
-            vals, idx = self._impl.search(np.asarray(q, np.float32), top_k=limit,
-                                          metric=metric, flt=expr)
+            # evaluate the expr HERE (not via flt=expr) so the virtual
+            # id/image_path columns work on search like on query/delete
+            vals, idx = self._impl.search(
+                np.asarray(q, np.float32), top_k=limit, metric=metric,
+                flt=self._expr_mask(expr) if expr else None)
             hits = []
             for v, i in zip(np.atleast_1d(vals), np.atleast_1d(idx)):
                 if i < 0:  # filtered search pads sub-limit results
@@ -190,10 +193,11 @@ class Collection:
 
     def delete(self, expr: str) -> int:
         """Milvus delete-by-expr: tombstone rows matching the boolean
-        expression (scalar attrs + virtual id/image_path)."""
+        expression (scalar attrs + virtual id/image_path). Exact on row
+        ids — duplicate paths do NOT drag unmatched rows along (Milvus
+        pk-deletes are exact; delete(paths) is the path-keyed form)."""
         mask = self._expr_mask(expr) & self._impl.live_mask()
-        paths = [self._impl.paths[int(i)] for i in np.flatnonzero(mask)]
-        return self._impl.delete(paths)
+        return self._impl.delete_rows(np.flatnonzero(mask))
 
 
 def has_collection(name: str) -> bool:

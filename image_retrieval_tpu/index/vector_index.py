@@ -220,39 +220,60 @@ class ShardedVectorIndex:
             self.generation += 1
         return deleted
 
-    def delete_where(self, flt: str) -> int:
+    def delete_where(self, flt) -> int:
         """Tombstone every live row matching a boolean attribute expression
         (Milvus `collection.delete(expr)` analog). Returns rows deleted."""
-        mask = self.filter_mask(flt)
-        hit = np.flatnonzero(mask)
-        if len(hit):
-            self._host_valid[hit] = False
+        return self.delete_rows(np.flatnonzero(self.filter_mask(flt)))
+
+    def delete_rows(self, row_indices) -> int:
+        """Tombstone rows by global row index (exact, unlike delete(paths)
+        which tombstones every row sharing a path). Returns rows newly
+        deleted; already-dead and out-of-range indices are ignored."""
+        idx = np.unique(np.asarray(row_indices, np.int64).ravel())
+        idx = idx[(idx >= 0) & (idx < self.count)]
+        idx = idx[self._host_valid[idx]] if self._host_valid is not None else idx
+        if len(idx):
+            self._host_valid[idx] = False
             self._device_dirty = True
             self.generation += 1
-        return int(len(hit))
+        return int(len(idx))
 
-    def filter_mask(self, flt: str) -> np.ndarray:
-        """(count,) bool — live rows matching the expression. Vectorized
-        host evaluation over the attribute columns (index/filters.py)."""
-        mask = self.attrs.evaluate(parse_filter(flt), self.count)
+    def filter_mask(self, flt) -> np.ndarray:
+        """(count,) bool — live rows matching the filter. `flt` is either a
+        boolean expression string (vectorized host evaluation over the
+        attribute columns, index/filters.py) or a precomputed (count,) bool
+        mask (the pymilvus shim evaluates exprs with virtual id/image_path
+        columns itself and passes the mask through)."""
+        if isinstance(flt, np.ndarray):
+            if flt.shape != (self.count,):
+                raise ValueError(
+                    f"filter mask shape {flt.shape} != ({self.count},)"
+                )
+            mask = flt.astype(bool, copy=True)
+        else:
+            mask = self.attrs.evaluate(parse_filter(flt), self.count)
         if self._host_valid is not None:
             mask = mask & self._host_valid[: self.count]
         return mask
 
-    def _filtered_valid(self, flt: str) -> jnp.ndarray:
-        """Sharded device mask for a filter expression: (filter AND live),
-        padded to capacity — a drop-in replacement for the `valid` argument
-        of the masked search, so NO new jit signatures. Cached per
-        (expression, generation)."""
-        hit = self._filter_cache.get(flt)
-        if hit is not None and hit[0] == self.generation:
-            return hit[1]
+    def _filtered_valid(self, flt) -> jnp.ndarray:
+        """Sharded device mask for a filter: (filter AND live), padded to
+        capacity — a drop-in replacement for the `valid` argument of the
+        masked search, so NO new jit signatures. Expression strings are
+        cached per (expression, generation); precomputed mask arrays are
+        shipped fresh each call (unhashable, shim-only path)."""
+        key = flt if isinstance(flt, str) else None
+        if key is not None:
+            hit = self._filter_cache.get(key)
+            if hit is not None and hit[0] == self.generation:
+                return hit[1]
         full = np.zeros((self.capacity,), bool)
         full[: self.count] = self.filter_mask(flt)
         dev = shard_rows(full, self.mesh, self._row_axes)
-        if len(self._filter_cache) >= 16:  # bound device-mask memory
-            self._filter_cache.pop(next(iter(self._filter_cache)))
-        self._filter_cache[flt] = (self.generation, dev)
+        if key is not None:
+            if len(self._filter_cache) >= 16:  # bound device-mask memory
+                self._filter_cache.pop(next(iter(self._filter_cache)))
+            self._filter_cache[key] = (self.generation, dev)
         return dev
 
     @property
@@ -420,10 +441,13 @@ class ShardedVectorIndex:
         magnitude-reconstructed stored vectors as in image_search.py:103-107).
 
         flt: optional boolean attribute expression (Milvus expr analog,
-        e.g. "color == 'red' and views >= 100" — index/filters.py). The
-        filter mask replaces the tombstone mask inside the SAME masked-scan
-        jit, so filtered searches compile nothing new; when fewer than
-        top_k rows match, the tail comes back as (-inf, -1).
+        e.g. "color == 'red' and views >= 100" — index/filters.py), or a
+        precomputed (count,) bool mask. The filter mask replaces the
+        tombstone mask inside the SAME masked-scan jit, so filtered
+        searches compile nothing new; when fewer than top_k rows match,
+        the tail pads with index -1 and the metric's worst-score sentinel
+        (-inf for descending similarity metrics, +inf for ascending
+        distance metrics) — check `idx < 0`, not the score value.
         """
         if self.count == 0:
             raise ValueError("index is empty")

@@ -180,6 +180,37 @@ def test_embedding_cache_discovery(tmp_path, image_folder, monkeypatch):
     assert app.encoder is None  # loaded from cache without constructing encoder
 
 
+def test_embedding_cache_skips_ambiguous_basenames(tmp_path, image_folder,
+                                                   monkeypatch):
+    """Recursive category trees repeat basenames (red/im1.png, blue/im1.png);
+    the filename-match fallback must not assign one cached embedding to
+    every same-named file — ambiguous names fall through to re-encode."""
+    monkeypatch.chdir(tmp_path)
+    enc = FakeEncoder(dim=512)
+    src = sorted(
+        os.path.join(image_folder, f) for f in os.listdir(image_folder)
+    )[:2]
+    scan = []
+    for color in ("red", "blue"):
+        d = tmp_path / "tree" / color
+        d.mkdir(parents=True)
+        for s in src:
+            dst = d / os.path.basename(s)
+            dst.write_bytes(open(s, "rb").read())
+            scan.append(str(dst))
+    # cache keyed by basename only — ambiguous for every scanned file
+    embs = {f"/old/{os.path.basename(s)}": enc.encode_images([s])[0]
+            for s in src}
+    np.savez("color_embeddings.npz", embeddings=np.array(embs, dtype=object))
+    app = ImageSearchApp(encoder=FakeEncoder(dim=512))
+    app.process_images(scan)
+    assert len(app.embeddings) == 4  # re-encoded, not 4 copies of 2 rows
+    reds = [v for k, v in app.embeddings.items() if "/red/" in k]
+    blues = [v for k, v in app.embeddings.items() if "/blue/" in k]
+    # identical pixels still agree; the point is no cross-name aliasing
+    assert len(reds) == 2 and len(blues) == 2
+
+
 def test_cli_search_and_compare(image_folder, capsys):
     rc = cli_main(["search", "--folder", image_folder, "--fake-encoder",
                    "brown dog", "--top-k", "3"])

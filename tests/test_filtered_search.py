@@ -448,3 +448,69 @@ def test_compat_expr_surface(mesh, rng):
     assert col.delete("cat == 'cat'") == 6
     assert col.num_entities == 12  # tombstoned, not compacted
     assert len(col.query(expr="id >= 0")) == 6
+
+
+def test_compat_search_virtual_fields(mesh, rng):
+    """search(expr=...) must honor the virtual id/image_path columns like
+    query/delete do — including the reference's own trivial 'id >= 0'."""
+    from image_retrieval_tpu.index.compat import Collection
+
+    col = Collection("flt_virt", dim=16)
+    emb = rng.normal(size=(10, 16)).astype(np.float32)
+    mags = np.linalg.norm(emb, axis=1)
+    units = emb / mags[:, None]
+    col.insert([[f"v{i}.jpg" for i in range(10)], units, mags])
+    hits = col.search([units[0]], limit=3, expr="id >= 0")[0]
+    assert len(hits) == 3
+    hits = col.search([units[0]], limit=5, expr="id >= 5")[0]
+    assert hits and all(int(h.entity.get("image_path")[1:-4]) >= 5
+                        for h in hits)
+    hits = col.search([units[3]], limit=2,
+                      expr="image_path in ['v3.jpg', 'v4.jpg']")[0]
+    assert [h.entity.get("image_path") for h in hits][0] == "v3.jpg"
+
+
+def test_compat_delete_expr_exact_with_duplicate_paths(mesh, rng):
+    """delete(expr) tombstones exactly the matched row ids — rows sharing
+    a path with a matched row must NOT be dragged along."""
+    from image_retrieval_tpu.index.compat import Collection
+
+    col = Collection("flt_dup", dim=16)
+    emb = rng.normal(size=(3, 16)).astype(np.float32)
+    mags = np.linalg.norm(emb, axis=1)
+    units = emb / mags[:, None]
+    col.insert([["dup.jpg", "other.jpg", "dup.jpg"], units, mags])
+    assert col.delete("id == 0") == 1
+    live = col.query(expr="id >= 0", output_fields=["image_path"])
+    assert [r["id"] for r in live] == [1, 2]
+
+
+def test_delete_rows_exact(mesh, rng):
+    idx, emb, colors, views = make_index(mesh, rng, n=30)
+    assert idx.delete_rows([3, 5, 5, -1, 999]) == 2  # dedup/range-safe
+    assert idx.delete_rows([3]) == 0  # already dead
+    assert idx.live_count == 28
+
+
+def test_filter_accepts_precomputed_mask(mesh, rng):
+    idx, emb, colors, views = make_index(mesh, rng, n=60)
+    mask = (np.arange(60) % 4) == 0
+    vals, ids = idx.search(rng.normal(size=(1, 32)).astype(np.float32),
+                           top_k=5, flt=mask)
+    live = ids[0][ids[0] >= 0]
+    assert len(live) and all(i % 4 == 0 for i in live)
+    with pytest.raises(ValueError, match="mask shape"):
+        idx.search(emb[0], top_k=5, flt=np.ones(7, bool))
+
+
+def test_ascending_metric_pad_sentinel(mesh, rng):
+    """Sub-top_k filtered matches on ascending distance metrics pad with
+    (+inf, -1) — idx < 0 is the documented pad check."""
+    idx, emb, colors, views = make_index(mesh, rng, n=60)
+    n_match = int((views == 7).sum())
+    assert 0 < n_match < 10
+    q = rng.normal(size=(1, 32)).astype(np.float32)
+    vals, ids = idx.search(q, top_k=10, metric="l2_distance", flt="views == 7")
+    assert (ids[0][n_match:] == -1).all()
+    assert (vals[0][n_match:] == np.inf).all()
+    assert np.isfinite(vals[0][:n_match]).all()
