@@ -23,6 +23,7 @@ search is exact, recall is 1.0 by construction.
 
 from __future__ import annotations
 
+import json
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -67,10 +68,12 @@ class Collection:
                     f"requested dim={dim}"
                 )
             self._impl = impl
+            self._partitions = _REGISTRY[name]._partitions
         else:
             self._impl = index if index is not None else ShardedVectorIndex(
                 dim=dim if dim is not None else 512
             )
+            self._partitions = {"_default"}
         _REGISTRY[name] = self
 
     # -- schema/lifecycle no-ops kept for API parity -------------------------
@@ -91,14 +94,69 @@ class Collection:
     def num_entities(self) -> int:
         return len(self._impl)
 
+    # -- partitions -----------------------------------------------------------
+    # Milvus partitions map onto the attribute-filter machinery: every row
+    # carries a hidden dictionary-encoded `_partition` column, and
+    # partition_names= becomes a `_partition in [...]` mask ANDed into the
+    # same masked device scan filters/tombstones ride — so partition-scoped
+    # search costs nothing extra and compiles nothing new.
+
+    def create_partition(self, partition_name: str):
+        if not partition_name or partition_name.startswith("_default"):
+            if partition_name != "_default":
+                raise ValueError(f"invalid partition name {partition_name!r}")
+        self._partitions.add(partition_name)
+
+    def has_partition(self, partition_name: str) -> bool:
+        return partition_name in self._partitions
+
+    @property
+    def partitions(self) -> List[str]:
+        return sorted(self._partitions)
+
+    def drop_partition(self, partition_name: str) -> int:
+        """Drop a partition AND its rows (Milvus drop_partition deletes the
+        partition's data). Returns rows deleted."""
+        if partition_name == "_default":
+            raise ValueError("cannot drop the _default partition")
+        if partition_name not in self._partitions:
+            raise ValueError(f"partition {partition_name!r} does not exist")
+        self._partitions.discard(partition_name)
+        mask = self._partition_mask([partition_name]) & self._impl.live_mask()
+        return self._impl.delete_rows(np.flatnonzero(mask))
+
+    def _partition_mask(self, partition_names: Sequence[str]) -> np.ndarray:
+        from image_retrieval_tpu.index.filters import FilterError, parse_filter
+
+        names = ", ".join(json.dumps(p) for p in partition_names)
+        try:
+            return self._impl.attrs.evaluate(
+                parse_filter(f"_partition in [{names}]"), self._impl.count
+            )
+        except FilterError:
+            # no row ever carried the hidden column (all inserts bypassed
+            # the shim): everything belongs to the default partition
+            return np.full(self._impl.count,
+                           "_default" in partition_names, bool)
+
     # -- data ----------------------------------------------------------------
 
-    def insert(self, data: Sequence, attrs: Optional[dict] = None):
+    def insert(self, data: Sequence, attrs: Optional[dict] = None,
+               partition_name: Optional[str] = None):
         """[paths, embeddings, magnitudes] column layout
         (reference ImageEmbeddingSystem.py:136). `attrs` adds scalar
-        fields for boolean-expr filtering (index/filters.py)."""
+        fields for boolean-expr filtering (index/filters.py);
+        `partition_name` routes the rows to a Milvus-style partition
+        (default `_default`)."""
+        part = partition_name or "_default"
+        if part not in self._partitions:
+            raise ValueError(f"partition {part!r} does not exist; "
+                             f"create_partition first")
         paths, embeddings = data[0], np.asarray(data[1], np.float32)
         magnitudes = data[2] if len(data) > 2 else None
+        attrs = dict(attrs or {})
+        n = embeddings.shape[0] if embeddings.ndim > 1 else 1
+        attrs["_partition"] = [part] * n
         return self._impl.insert(paths, embeddings, magnitudes, attrs=attrs)
 
     def search(
@@ -109,6 +167,7 @@ class Collection:
         limit: int = 10,
         output_fields: Optional[List[str]] = None,
         expr: Optional[str] = None,
+        partition_names: Optional[Sequence[str]] = None,
         **_,
     ) -> List[List[_Hit]]:
         param = param or {}
@@ -123,16 +182,24 @@ class Collection:
             )
         metric = metrics[metric_type]
         output_fields = output_fields or ["image_path"]
+        # evaluate the expr HERE (not via flt=expr) so the virtual
+        # id/image_path columns work on search like on query/delete;
+        # partition scoping ANDs into the same mask
+        flt = self._expr_mask(expr) if expr else None
+        if partition_names:
+            for p in partition_names:
+                if p not in self._partitions:
+                    raise ValueError(f"partition {p!r} does not exist")
+            pm = self._partition_mask(partition_names)
+            flt = pm if flt is None else (flt & pm)
         results = []
         for q in data:
             if self._impl.live_count == 0:
                 results.append([])  # pymilvus returns empty hits, not an error
                 continue
-            # evaluate the expr HERE (not via flt=expr) so the virtual
-            # id/image_path columns work on search like on query/delete
             vals, idx = self._impl.search(
                 np.asarray(q, np.float32), top_k=limit, metric=metric,
-                flt=self._expr_mask(expr) if expr else None)
+                flt=flt)
             hits = []
             for v, i in zip(np.atleast_1d(vals), np.atleast_1d(idx)):
                 if i < 0:  # filtered search pads sub-limit results
@@ -166,6 +233,7 @@ class Collection:
         expr: str = "id >= 0",
         output_fields: Optional[List[str]] = None,
         limit: int = 1000,
+        partition_names: Optional[Sequence[str]] = None,
         **_,
     ) -> List[dict]:
         """`id` is the global row number — the same pk search() hits carry,
@@ -174,6 +242,11 @@ class Collection:
         count = self._impl.count
         mask = (self._expr_mask(expr) if expr
                 else np.ones(count, bool)) & self._impl.live_mask()
+        if partition_names:
+            for p in partition_names:
+                if p not in self._partitions:
+                    raise ValueError(f"partition {p!r} does not exist")
+            mask &= self._partition_mask(partition_names)
         ids = np.flatnonzero(mask)[:limit]
         vecs = (self._impl.get_vectors(ids)
                 if "embedding" in output_fields and len(ids) else None)

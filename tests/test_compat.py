@@ -106,3 +106,77 @@ def test_collection_schema_and_metric_validation(rng):
         c.search([rng.normal(size=32).astype(np.float32)],
                  param={"metric_type": "IP"}, limit=1)
     drop_collection("val_test")
+
+
+def test_partitions_lifecycle_and_scoped_ops(rng):
+    """Milvus partitions: create/has/list, partition-routed insert,
+    partition-scoped search/query, drop_partition deletes its rows.
+    The hidden _partition column rides the same attribute-filter mask as
+    user filters (index/filters.py), so scoped search compiles nothing."""
+    from image_retrieval_tpu.index.compat import Collection, drop_collection
+
+    drop_collection("parts")
+    c = Collection("parts", dim=32)
+    c.create_partition("summer")
+    c.create_partition("winter")
+    assert c.has_partition("summer") and not c.has_partition("autumn")
+    assert c.partitions == ["_default", "summer", "winter"]
+
+    def rows(n, tag):
+        emb = rng.normal(size=(n, 32)).astype(np.float32)
+        mags = np.linalg.norm(emb, axis=1)
+        return [[f"{tag}{i}.jpg" for i in range(n)], emb / mags[:, None], mags]
+
+    c.insert(rows(6, "s"), partition_name="summer")
+    c.insert(rows(6, "w"), partition_name="winter")
+    c.insert(rows(4, "d"))  # -> _default
+    assert c.num_entities == 16
+    with pytest.raises(ValueError, match="does not exist"):
+        c.insert(rows(1, "x"), partition_name="autumn")
+
+    q = rng.normal(size=32).astype(np.float32)
+    hits = c.search([q], limit=16, partition_names=["summer"])[0]
+    assert len(hits) == 6
+    assert all(h.entity.get("image_path").startswith("s") for h in hits)
+    hits = c.search([q], limit=16, partition_names=["summer", "winter"])[0]
+    assert len(hits) == 12
+    # expr AND partition compose
+    hits = c.search([q], limit=16, expr="image_path != 's0.jpg'",
+                    partition_names=["summer"])[0]
+    assert len(hits) == 5
+    with pytest.raises(ValueError, match="does not exist"):
+        c.search([q], limit=3, partition_names=["autumn"])
+
+    rows_q = c.query(expr="id >= 0", partition_names=["winter"],
+                     output_fields=["image_path"])
+    assert len(rows_q) == 6
+    assert all(r["image_path"].startswith("w") for r in rows_q)
+
+    assert c.drop_partition("winter") == 6
+    assert not c.has_partition("winter")
+    assert c.search([q], limit=16)[0].__len__() == 10  # winter rows gone
+    with pytest.raises(ValueError, match="_default"):
+        c.drop_partition("_default")
+    # reopening by name keeps the partition registry
+    again = Collection("parts")
+    assert again.partitions == ["_default", "summer"]
+    drop_collection("parts")
+
+
+def test_partitions_default_when_column_absent(rng):
+    """Rows inserted directly through ShardedVectorIndex (no shim) belong
+    to _default when partition scoping is later used."""
+    from image_retrieval_tpu.index.compat import Collection, drop_collection
+    from image_retrieval_tpu.index.vector_index import ShardedVectorIndex
+
+    drop_collection("parts_raw")
+    idx = ShardedVectorIndex(dim=16)
+    emb = rng.normal(size=(5, 16)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    idx.insert([f"r{i}.jpg" for i in range(5)], emb)
+    c = Collection("parts_raw", index=idx)
+    q = rng.normal(size=16).astype(np.float32)
+    assert len(c.search([q], limit=9, partition_names=["_default"])[0]) == 5
+    c.create_partition("p1")
+    assert c.search([q], limit=9, partition_names=["p1"])[0] == []
+    drop_collection("parts_raw")
