@@ -153,7 +153,21 @@ class IndexConfig:
     #   float32  : oracle ranking parity (default)
     #   bfloat16 : 2x less traffic, ~0.4% relative score error
     #   int8     : 4x less traffic (symmetric per-row scales), ~0.5% error
+    #   int4     : CAPACITY tier — device rows are nibble-packed (D/2
+    #              bytes/dim-pair): ~2x the resident rows per chip vs int8
+    #              (~54M 512-d rows on v5e). Search is two-phase (cosine
+    #              only): packed screen sweep at int8-parity latency
+    #              (1.10 vs 1.12 ms/query at 1M) -> exact int8 rerank of
+    #              the top rerank_c candidates from the host-RAM int8 copy
+    #              (recall@10 0.983 vs int8's 0.984;
+    #              bench_results/int4_probe.json). The host hop costs
+    #              microseconds on production hosts (PCIe gather of
+    #              rerank_c rows/query).
     dtype: str = "float32"
+    # int4 two-phase: candidates screened per query before the exact
+    # rerank. 128 measured recall@10 0.983 at 1M (int8-parity); raise for
+    # deeper galleries or larger top_k.
+    rerank_c: int = 128
     # Beyond-HBM tier: when the (int8) gallery exceeds this many bytes, the
     # cosine path streams host-RAM chunks through a double-buffered device
     # window (index/streaming.py) instead of residing on device. None

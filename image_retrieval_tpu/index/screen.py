@@ -470,6 +470,14 @@ class ScreenedSearch:
         if index.count == 0:
             raise ValueError("cannot screen an empty index")
         index._sync_device()
+        if getattr(index, "_packed4", False):
+            raise ValueError(
+                "the screen tier does not stack on an int4 index — "
+                "dtype='int4' is already a two-phase screened design "
+                "(full-dim int4 screen -> exact rerank, index/vector_index"
+                ".py _search_int4); use dtype='int8' if you want the "
+                "projection screen instead"
+            )
         if index._stream is not None:
             return cls._from_streamed(index, sketch_dims, candidates,
                                       method, seed)

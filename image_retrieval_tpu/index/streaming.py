@@ -60,6 +60,18 @@ class StreamingGallerySearch:
     rows_int8: (N, D) int8, scales: (N,) f32 (see quantize_rows_int8).
     chunk_rows: rows per transfer; device working set is ~2 chunks
     (double buffer) x D bytes plus the (Q, chunk_rows) score tile.
+
+    packed4 mode: rows_int8 is instead a nibble-packed (N, D/2) uint8
+    int4 gallery (ops/int4.py quantize_pack_int4) — each sweep moves HALF
+    the host->device bytes (the streamed tier is transfer-bound, so the
+    sweep time halves on DMA-bound hosts) and host RAM per row halves
+    too. The streamed pass becomes a SCREEN (running top-C instead of
+    top-k); pass `rerank_rows` (an (N, D) int8 ndarray OR np.memmap — the
+    full-precision rows may stay on disk) + `rerank_scales` to finish
+    with an exact device rerank of the top rerank_c candidates
+    (recall@10 0.983 vs the int8 sweep's 0.984 at 1M,
+    bench_results/int4_probe.json). Without rerank_rows the raw screen
+    ranking is returned (recall ~0.75 — probe/analysis use only).
     """
 
     def __init__(
@@ -68,9 +80,25 @@ class StreamingGallerySearch:
         scales: np.ndarray,
         chunk_rows: int = 4_194_304,
         device=None,
+        packed4: bool = False,
+        rerank_rows: np.ndarray = None,
+        rerank_scales: np.ndarray = None,
+        rerank_c: int = 128,
     ):
-        assert rows_int8.dtype == np.int8 and rows_int8.ndim == 2
-        self.n, self.dim = rows_int8.shape
+        self.packed4 = bool(packed4)
+        if self.packed4:
+            assert rows_int8.dtype == np.uint8 and rows_int8.ndim == 2
+            self.n, self.dim = rows_int8.shape[0], rows_int8.shape[1] * 2
+            if rerank_rows is not None:
+                assert rerank_rows.shape == (self.n, self.dim), (
+                    rerank_rows.shape)
+                assert rerank_scales is not None
+        else:
+            assert rows_int8.dtype == np.int8 and rows_int8.ndim == 2
+            self.n, self.dim = rows_int8.shape
+        self._rerank_rows = rerank_rows if self.packed4 else None
+        self._rerank_scales = rerank_scales if self.packed4 else None
+        self.rerank_c = int(rerank_c)
         assert scales.shape == (self.n,)
         self.chunk_rows = int(min(chunk_rows, self.n))
         self.device = device or jax.devices()[0]
@@ -88,7 +116,22 @@ class StreamingGallerySearch:
         )
         self._scales_dev = jax.device_put(sc, self.device)
 
+        # stored chunk layout: packed int4 halves the width and rides uint8
+        self._store_width = self.dim // 2 if self.packed4 else self.dim
+        self._store_dtype = np.uint8 if self.packed4 else np.int8
         cr = self.chunk_rows
+        packed = self.packed4
+
+        def _chunk_dots(qn16, g):
+            if packed:
+                from image_retrieval_tpu.ops.int4 import unpack2_dots
+
+                return unpack2_dots(qn16, g)
+            return jax.lax.dot_general(
+                qn16, g.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
         @jax.jit
         def _sweep_chunk(state_vals, state_idx, g8, all_scales, qn16,
@@ -96,11 +139,7 @@ class StreamingGallerySearch:
             """One chunk: score + chunk top-k + merge into running state."""
             k = state_vals.shape[1]
             sc = jax.lax.dynamic_slice_in_dim(all_scales, offset, cr, 0)
-            dots = jax.lax.dot_general(
-                qn16, g8.astype(jnp.bfloat16),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            dots = _chunk_dots(qn16, g8)
             scores = dots * sc[None, :]
             # pad rows (row >= n_valid) must lose every comparison
             col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
@@ -127,11 +166,7 @@ class StreamingGallerySearch:
             sweep stays transfer-bound at the same rate."""
             k = state_vals.shape[1]
             sc = jax.lax.dynamic_slice_in_dim(all_scales, offset, cr, 0)
-            dots = jax.lax.dot_general(
-                qn16, g8.astype(jnp.bfloat16),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            dots = _chunk_dots(qn16, g8)
             scores = dots * sc[None, :]
             col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
             keep = (col < n_valid) & mask[None, :]
@@ -161,11 +196,15 @@ class StreamingGallerySearch:
             q = q[None]
         qn16 = jax.device_put(q.astype(jnp.bfloat16), self.device)
         k = int(min(top_k, self.n))
+        # packed4 + rerank: the running state carries top-C candidates
+        # (the streamed pass is the SCREEN); plain mode carries top-k
+        rerank = self.packed4 and self._rerank_rows is not None
+        kk = int(min(max(self.rerank_c, k), self.n)) if rerank else k
         vals = jax.device_put(
-            jnp.full((q.shape[0], k), -jnp.inf, jnp.float32), self.device
+            jnp.full((q.shape[0], kk), -jnp.inf, jnp.float32), self.device
         )
         idx = jax.device_put(
-            jnp.full((q.shape[0], k), -1, jnp.int32), self.device
+            jnp.full((q.shape[0], kk), -1, jnp.int32), self.device
         )
 
         pad_to = self.chunk_rows
@@ -179,7 +218,8 @@ class StreamingGallerySearch:
             nv = g8.shape[0]
             if nv < pad_to:
                 g8 = np.concatenate(
-                    [g8, np.zeros((pad_to - nv, self.dim), np.int8)], 0
+                    [g8, np.zeros((pad_to - nv, self._store_width),
+                                  self._store_dtype)], 0
                 )
             dm = None
             if mask is not None:
@@ -209,7 +249,25 @@ class StreamingGallerySearch:
                 )
             window[ci % 2] = None  # release this chunk's device buffer
         vals, idx = np.asarray(vals), np.asarray(idx)
-        if mask is not None:
+        if rerank:
+            # exact phase 2: gather the candidates' int8 rows from the
+            # rerank source (ndarray or np.memmap — fancy indexing pulls
+            # only C rows/query off disk) and rerank on device with the
+            # same bf16-dot math as the resident int8 sweep
+            from image_retrieval_tpu.ops.int4 import rerank_int8_topk
+
+            ok = np.isfinite(vals)
+            safe = np.where(ok, idx, 0)
+            rows = np.asarray(self._rerank_rows[safe])
+            sc8 = np.asarray(self._rerank_scales)[safe].astype(np.float32)
+            rvals, pos = rerank_int8_topk(
+                jnp.asarray(q), jnp.asarray(rows), jnp.asarray(sc8),
+                jnp.asarray(ok), k,
+            )
+            vals = np.asarray(rvals)
+            idx = np.take_along_axis(idx, np.asarray(pos), axis=1)
+            idx = np.where(np.isfinite(vals), idx, -1)
+        elif mask is not None:
             # fewer than top_k matches: sentinel out the -inf tail (its
             # indices are whatever the merge happened to carry)
             idx = np.where(np.isfinite(vals), idx, -1)
@@ -220,8 +278,8 @@ class StreamingGallerySearch:
     @property
     def bytes_per_sweep(self) -> int:
         """Host->device bytes one full gallery pass moves (scales are
-        resident, not re-streamed)."""
-        return self.n * self.dim
+        resident, not re-streamed; packed int4 moves half of int8)."""
+        return self.n * self._store_width
 
     def expected_sweep_seconds(
         self, transfer_gbps: float, compute_s_per_chunk: float

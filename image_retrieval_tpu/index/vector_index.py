@@ -75,12 +75,16 @@ class ShardedVectorIndex:
         self._host_gallery = None  # (capacity, D) numpy
         self._host_mags = None  # (capacity,) numpy
         self._host_valid = None  # (capacity,) numpy bool
-        self._host_scales = None  # (capacity,) numpy, int8 mode only
+        self._host_scales = None  # (capacity,) numpy, int8/int4 modes
+        self._host_packed = None  # (capacity, D/2) uint8, int4 mode only
+        self._host_scales4 = None  # (capacity,) numpy, int4 mode only
         self._gallery = None  # (capacity, D) sharded jax
         self._shadow = None  # (capacity, D) bf16 sharded (config.l1_shadow)
         self._mags = None  # (capacity,) sharded jax
         self._valid = None  # (capacity,) bool sharded jax
         self._scales = None  # (capacity,) sharded jax, int8 mode only
+        self._packed = None  # (capacity, D/2) sharded jax, int4 mode only
+        self._scales4 = None  # (capacity,) sharded jax, int4 mode only
         self._device_dirty = True
         # beyond-HBM tier (config.stream_threshold_bytes): host-resident
         # int8 gallery streamed through the device per search; None while
@@ -109,13 +113,20 @@ class ShardedVectorIndex:
             import ml_dtypes
 
             return ml_dtypes.bfloat16
-        if self.config.dtype == "int8":
+        if self.config.dtype in ("int8", "int4"):
+            # int4 keeps the HOST rows at int8: they are the exact-rerank
+            # source for the two-phase search (and the IVF/save/query
+            # reconstruction source); only the DEVICE copy is nibble-packed
             return np.int8
         return np.float32
 
     @property
     def _quantized(self) -> bool:
-        return self.config.dtype == "int8"
+        return self.config.dtype in ("int8", "int4")
+
+    @property
+    def _packed4(self) -> bool:
+        return self.config.dtype == "int4"
 
     def _grow_to(self, n: int) -> None:
         step = max(self.config.capacity_step, self._nshards)
@@ -131,6 +142,8 @@ class ShardedVectorIndex:
         m = np.zeros((cap,), np.float32)
         v = np.zeros((cap,), bool)
         sc = np.ones((cap,), np.float32) if self._quantized else None
+        pk = np.zeros((cap, self.dim // 2), np.uint8) if self._packed4 else None
+        sc4 = np.ones((cap,), np.float32) if self._packed4 else None
         if self.count:
             g[: self.count] = self._host_gallery[: self.count]
             m[: self.count] = self._host_mags[: self.count]
@@ -138,9 +151,13 @@ class ShardedVectorIndex:
             v[: self.count] = self._host_valid[: self.count]
             if self._quantized:
                 sc[: self.count] = self._host_scales[: self.count]
+            if self._packed4:
+                pk[: self.count] = self._host_packed[: self.count]
+                sc4[: self.count] = self._host_scales4[: self.count]
         self.capacity = cap
         self._host_gallery, self._host_mags, self._host_valid = g, m, v
         self._host_scales = sc
+        self._host_packed, self._host_scales4 = pk, sc4
         self._device_dirty = True
 
     def insert(
@@ -195,6 +212,16 @@ class ShardedVectorIndex:
             qscale = (unorm / np.where(qnorm > 0, qnorm, 1.0)).astype(np.float32)
             self._host_gallery[start : start + n_new] = qrows
             self._host_scales[start : start + n_new] = qscale
+            if self._packed4:
+                # independent int4 quantization of the SAME unit rows (not
+                # a re-quantization of the int8 rows): the packed copy is
+                # the device screen, the int8 rows stay the exact-rerank
+                # source (ops/int4.py)
+                from image_retrieval_tpu.ops.int4 import quantize_pack_int4
+
+                pk, sc4 = quantize_pack_int4(unit)
+                self._host_packed[start : start + n_new] = pk
+                self._host_scales4[start : start + n_new] = sc4
         else:
             self._host_gallery[start : start + n_new] = unit.astype(self._np_dtype)
         self._host_mags[start : start + n_new] = mags
@@ -302,6 +329,9 @@ class ShardedVectorIndex:
         self._host_mags[: len(live)] = self._host_mags[live]
         if self._quantized:
             self._host_scales[: len(live)] = self._host_scales[live]
+        if self._packed4:
+            self._host_packed[: len(live)] = self._host_packed[live]
+            self._host_scales4[: len(live)] = self._host_scales4[live]
         self._host_valid[:] = False
         self._host_valid[: len(live)] = True
         self.paths = [self.paths[int(i)] for i in live]
@@ -313,13 +343,16 @@ class ShardedVectorIndex:
 
     def _stream_active(self) -> bool:
         thr = self.config.stream_threshold_bytes
-        return (
-            thr is not None
-            and self._host_gallery is not None
-            # stored-row bytes, not buffer capacity: a compacted gallery
-            # that fits again returns to the resident path
-            and self.count * self._host_gallery.itemsize * self.dim > thr
-        )
+        if thr is None or self._host_gallery is None:
+            return False
+        # stored DEVICE-row bytes, not host-buffer capacity: a compacted
+        # gallery that fits again returns to the resident path, and the
+        # int4 tier counts its nibble-packed footprint (half of int8 —
+        # packing doubles how far the resident tier stretches before
+        # streaming kicks in)
+        row_bytes = self.dim // 2 if self._packed4 else (
+            self._host_gallery.itemsize * self.dim)
+        return self.count * row_bytes > thr
 
     def _sync_device(self) -> None:
         if not self._device_dirty or self._host_gallery is None:
@@ -352,13 +385,29 @@ class ShardedVectorIndex:
                 # tier exists for (16 GB at 32M int8 rows)
                 rows = self._host_gallery[: self.count]
                 sc = self._host_scales[: self.count]
+                pk = (self._host_packed[: self.count]
+                      if self._packed4 else None)
+                sc4 = (self._host_scales4[: self.count]
+                       if self._packed4 else None)
                 self._stream_live = None  # identity id map
             else:
                 live = np.flatnonzero(self._host_valid[: self.count])
                 rows = self._host_gallery[live]
                 sc = self._host_scales[live].astype(np.float32)
+                pk = self._host_packed[live] if self._packed4 else None
+                sc4 = (self._host_scales4[live].astype(np.float32)
+                       if self._packed4 else None)
                 self._stream_live = live
-            self._stream = StreamingGallerySearch(rows, sc)
+            if self._packed4:
+                # int4 streamed: each sweep moves the nibble-packed rows
+                # (HALF the transfer bytes — the tier is transfer-bound);
+                # the int8 rows stay host-side as the exact-rerank source
+                self._stream = StreamingGallerySearch(
+                    pk, sc4, packed4=True, rerank_rows=rows,
+                    rerank_scales=sc, rerank_c=self.config.rerank_c,
+                )
+            else:
+                self._stream = StreamingGallerySearch(rows, sc)
             # kept for derived engines (index/screen.py streamed mode):
             # views when no tombstones, else the same arrays the engine
             # holds — never an extra copy
@@ -370,6 +419,21 @@ class ShardedVectorIndex:
             return
         self._stream = self._stream_live = None
         self._stream_rows = self._stream_scales = None
+        if self._packed4:
+            # int4 capacity tier: the DEVICE holds only the nibble-packed
+            # screen copy (D/2 bytes per row-pair — ~2x resident rows per
+            # chip); the int8 rows stay in host RAM as the exact-rerank
+            # source. Magnitudes never ship: the tier is cosine-only.
+            self._packed = shard_rows(self._host_packed, self.mesh,
+                                      self._row_axes)
+            self._scales4 = shard_rows(self._host_scales4, self.mesh,
+                                       self._row_axes)
+            self._valid = shard_rows(self._host_valid, self.mesh,
+                                     self._row_axes)
+            self._gallery = self._mags = self._scales = self._shadow = None
+            self._device_dirty = False
+            return
+        self._packed = self._scales4 = None
         self._gallery = shard_rows(self._host_gallery, self.mesh, self._row_axes)
         self._mags = shard_rows(self._host_mags, self.mesh, self._row_axes)
         self._valid = shard_rows(self._host_valid, self.mesh, self._row_axes)
@@ -454,6 +518,8 @@ class ShardedVectorIndex:
         self._sync_device()
         if self._stream is not None:
             return self._search_streamed(queries, top_k, metric, flt=flt)
+        if self._packed4:
+            return self._search_int4(queries, top_k, metric, flt=flt)
         valid = self._valid if flt is None else self._filtered_valid(flt)
         qdev, single, nq = self._prep_queries(queries)
         weights = self._weights_tuple(params) if metric == "optimized_similarity" else None
@@ -493,6 +559,62 @@ class ShardedVectorIndex:
             # sub-top_k matches surface as sentinel scores; make the index
             # column unambiguous for callers (-1, like the streamed tier)
             idx = np.where(np.isfinite(vals), idx, -1)
+        if single:
+            return vals[0], idx[0]
+        return vals, idx
+
+    def _search_int4(
+        self, queries: np.ndarray, top_k: int, metric: str,
+        flt: Optional[str] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """int4 capacity tier: two-phase exact-rerank search.
+
+        Phase 1 (device): two-dot cosine sweep over the nibble-packed
+        sharded gallery -> per-shard top-C -> ICI merge (cosine screen,
+        recall@10 ~0.75 raw). Phase 2: gather the candidates' int8 rows
+        from host RAM and rerank exactly on device (bf16 MXU dot * scale —
+        the identical math to the resident int8 sweep, so returned scores
+        match what dtype='int8' reports for the same rows). Measured
+        end-to-end recall@10 0.983 vs the int8 sweep's 0.984 at 1M
+        (bench_results/int4_probe.json). On production hosts the phase-2
+        host hop is a PCIe gather of rerank_c rows/query (microseconds);
+        tombstones and attribute filters mask inside phase 1.
+        """
+        if metric not in ("cosine_similarity", "cosine"):
+            raise ValueError(
+                f"metric '{metric}' is not available in the int4 capacity "
+                "tier (cosine-only two-phase search); use dtype='int8' for "
+                "multi-metric galleries"
+            )
+        from image_retrieval_tpu.ops.int4 import rerank_int8_topk
+        from image_retrieval_tpu.parallel.collectives import (
+            sharded_int4_screen_topk,
+        )
+
+        valid = self._valid if flt is None else self._filtered_valid(flt)
+        qdev, single, nq = self._prep_queries(queries)
+        k = int(min(top_k, self.live_count))
+        if k == 0:  # fully tombstoned: mirror the resident k=0 shape
+            ev = np.zeros((nq, 0), np.float32)
+            ei = np.zeros((nq, 0), np.int32)
+            return (ev[0], ei[0]) if single else (ev, ei)
+        c = int(min(max(self.config.rerank_c, k), self.count))
+        vals4, gidx = sharded_int4_screen_topk(
+            qdev, self._packed, valid, self._scales4, c,
+            mesh=self.mesh, axis=self._row_axes,
+        )
+        vals4 = np.asarray(vals4)  # (bucket, c) — keep padding rows so the
+        gidx = np.asarray(gidx)    # rerank jit sees only bucketed shapes
+        ok = np.isfinite(vals4)
+        safe = np.where(ok, gidx, 0)
+        rows = self._host_gallery[safe]  # (bucket, c, D) int8 host gather
+        sc8 = self._host_scales[safe].astype(np.float32)
+        vals, pos = rerank_int8_topk(qdev, rows, sc8, ok, k)
+        vals = np.asarray(vals)[:nq]
+        pos = np.asarray(pos)[:nq]
+        idx = np.take_along_axis(gidx[:nq], pos, axis=1)
+        # sub-k matches (filters/tombstones): sentinel like the other tiers
+        idx = np.where(np.isfinite(vals), idx, -1)
         if single:
             return vals[0], idx[0]
         return vals, idx
@@ -549,6 +671,11 @@ class ShardedVectorIndex:
                 "beyond-HBM tier; shard over a mesh or raise "
                 "stream_threshold_bytes"
             )
+        if self._packed4:
+            raise ValueError(
+                "multi-metric search is not available in the int4 capacity "
+                "tier (cosine-only); use dtype='int8'"
+            )
         from image_retrieval_tpu.parallel.collectives import sharded_multimetric_topk
 
         valid = self._valid if flt is None else self._filtered_valid(flt)
@@ -597,6 +724,12 @@ class ShardedVectorIndex:
             raise ValueError(
                 "scores() materializes (Q, count) — not available in the "
                 "streamed beyond-HBM tier (use search()/top-k)"
+            )
+        if self._packed4:
+            raise ValueError(
+                "scores() is not available in the int4 capacity tier "
+                "(two-phase top-k only); use dtype='int8' for full score "
+                "matrices"
             )
         qdev, single, nq = self._prep_queries(queries)
         weights = self._weights_tuple(params) if metric == "optimized_similarity" else None

@@ -1,0 +1,128 @@
+"""Packed int4 gallery representation: quantize/pack + the two-dot sweep.
+
+The int4 tier halves gallery bytes vs int8 — HBM-resident capacity doubles
+(~54M 512-d rows per v5e chip) and the beyond-HBM streamed tier moves half
+the host->device bytes per sweep. Raw int4 ranking is a SCREEN (recall@10
+~0.75 at 1M, bench_results/int4_probe.json); production search is
+two-phase: int4 screen -> top-C candidates -> exact int8 rerank (recall
+0.983 vs int8's 0.984 on the same capture).
+
+Representation notes (measured, bench_results/int4_probe.json):
+  * native jnp.int4 (S4) is unusable on this backend — passing an
+    S4[1M,512] array as a jit argument trips "Recursively calling jit"
+    inside the runtime. Nibble-packed uint8 (N, D/2) is the storage form:
+    lo nibble = even dims, hi nibble = odd dims, biased +8 (values in
+    [1, 15] for quantized [-7, 7]).
+  * scoring unpacks via the TWO-DOT decomposition
+    q . g == q_even . lo + q_odd . hi — each dot's nibble extraction
+    fuses into the MXU operand read. The interleaving unpack
+    (stack+reshape to (N, D)) materializes and measures 2.1 ms vs the
+    two-dot's 1.10 ms at 1M x 512 (int8 baseline: 1.12 ms). XLA reads the
+    packed array once PER DOT, so the sweep moves the same HBM bytes as
+    int8 — int4 is a CAPACITY lever resident, a TRANSFER lever streamed,
+    not a resident-latency lever.
+
+Quantization matches the int8 scheme (index/vector_index.py insert):
+symmetric per-row absmax/7 grid with a norm-preserving scale, so
+raw-int4 dot * scale approximates cosine against unit queries directly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def quantize_pack_int4(rows: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Quantize f32 rows to int4 and nibble-pack.
+
+    Returns (packed (N, D/2) uint8, scales (N,) f32). Scales are
+    norm-preserving: ||int4 row|| * scale == ||original row||, so for unit
+    rows `raw_dot * scale` is the cosine approximation with no grid-norm
+    bias (same property as the int8 path).
+    """
+    rows = np.asarray(rows, np.float32)
+    assert rows.ndim == 2 and rows.shape[1] % 2 == 0, rows.shape
+    absmax = np.maximum(np.abs(rows).max(axis=1), 1e-12)
+    grid = (absmax / 7.0).astype(np.float32)
+    q4 = np.clip(np.rint(rows / grid[:, None]), -7, 7).astype(np.int8)
+    qn = np.linalg.norm(q4.astype(np.float32), axis=1)
+    rn = np.linalg.norm(rows, axis=1)
+    scales = (rn / np.where(qn > 0, qn, 1.0)).astype(np.float32)
+    return pack_nibbles(q4), scales
+
+
+def pack_nibbles(q4: np.ndarray) -> np.ndarray:
+    """(N, D) int8 values in [-8, 7] -> (N, D/2) uint8 nibble-packed
+    (lo = even dims, hi = odd dims, +8 bias)."""
+    u = (np.asarray(q4, np.int16) + 8).astype(np.uint8)
+    return u[:, 0::2] | (u[:, 1::2] << 4)
+
+
+def unpack_nibbles(packed: np.ndarray) -> np.ndarray:
+    """Inverse of pack_nibbles: (N, D/2) uint8 -> (N, D) int8 values."""
+    packed = np.asarray(packed, np.uint8)
+    lo = (packed & 0xF).astype(np.int8) - 8
+    hi = (packed >> 4).astype(np.int8) - 8
+    out = np.empty((packed.shape[0], packed.shape[1] * 2), np.int8)
+    out[:, 0::2] = lo
+    out[:, 1::2] = hi
+    return out
+
+
+def unpack2_dots(queries_bf16: jnp.ndarray, packed: jnp.ndarray) -> jnp.ndarray:
+    """(Q, D) bf16 queries x (Nl, D/2) packed rows -> (Q, Nl) f32 raw dots.
+
+    The two-dot decomposition: the dot product is a sum over dims, so
+    even-dim and odd-dim partial sums add. Each dot's nibble extraction
+    (mask/shift/bias -> bf16) fuses into its MXU operand production —
+    no (Nl, D) intermediate is ever materialized. Multiply the result by
+    the per-row scales for the cosine approximation.
+    """
+    lo = ((packed & 0xF).astype(jnp.int8) - 8).astype(jnp.bfloat16)
+    hi = ((packed >> 4).astype(jnp.int8) - 8).astype(jnp.bfloat16)
+    # jnp.dot(q, X.T) form: XLA folds the transpose into the matmul
+    # (identical HLO to a (1,),(1,) dot_general on TPU); the explicit
+    # dot_general form hits an unsupported mixed-precision DotThunk on
+    # the CPU backend the tests run on
+    return (
+        jnp.dot(queries_bf16[:, 0::2], lo.T,
+                preferred_element_type=jnp.float32)
+        + jnp.dot(queries_bf16[:, 1::2], hi.T,
+                  preferred_element_type=jnp.float32)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def rerank_int8_topk(
+    queries: jnp.ndarray,
+    cand_rows: jnp.ndarray,
+    cand_scales: jnp.ndarray,
+    cand_ok: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Phase 2 of the int4 tier: exact rerank of screened candidates.
+
+    queries (Q, D) f32 (unnormalized fine), cand_rows (Q, C, D) int8
+    gathered from the host int8 gallery, cand_scales (Q, C) f32
+    norm-preserving scales, cand_ok (Q, C) bool (False = screen padding
+    when fewer than C rows matched). Returns (vals (Q, k), pos (Q, k)) —
+    pos indexes into C; the caller maps back to global row ids. The bf16
+    MXU dot * f32 scale matches the resident int8 sweep bitwise, so
+    two-phase scores equal what a resident int8 index reports for the
+    same rows.
+    """
+    qf = queries.astype(jnp.float32)
+    qn = jnp.linalg.norm(qf, axis=-1, keepdims=True)
+    qu = jnp.where(qn > 0, qf / jnp.where(qn > 0, qn, 1.0), 0.0)
+    dots = jnp.einsum(
+        "qd,qcd->qc", qu.astype(jnp.bfloat16),
+        cand_rows.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    scores = jnp.where(cand_ok, dots * cand_scales, -jnp.inf)
+    return jax.lax.top_k(scores, k)

@@ -363,6 +363,61 @@ def multislice_search_topk(
     return fn(queries, gallery, valid, dummy, dummy_sc, dummy_sh)
 
 
+@functools.partial(jax.jit, static_argnames=("c", "mesh", "axis"))
+def sharded_int4_screen_topk(
+    queries: jnp.ndarray,
+    packed: jnp.ndarray,
+    valid: jnp.ndarray,
+    scales: jnp.ndarray,
+    c: int,
+    *,
+    mesh: Mesh,
+    axis="data",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cosine SCREEN over a nibble-packed int4 row-sharded gallery.
+
+    Phase 1 of the two-phase int4 tier (ops/int4.py): per-shard two-dot
+    sweep -> local top-c -> hierarchical merge (innermost axis first, so a
+    ('slice', 'data') sharding merges over ICI before DCN exactly like
+    multislice_search_topk). Returns (approx scores, global indices), each
+    (Q, c) replicated; feed the indices to the exact int8 rerank
+    (ops/int4.py rerank_int8_topk). Rows where `valid` is False (tombstones
+    or an attribute-filter mask) score -inf and surface only as padding
+    when fewer than c rows are live.
+    """
+    from image_retrieval_tpu.ops.int4 import unpack2_dots
+
+    names = axis if isinstance(axis, tuple) else (axis,)
+    nshards = _axis_size(mesh, names)
+    nlocal = packed.shape[0] // nshards
+    cc = min(c, nlocal)
+
+    def local(q, g, v, sc):
+        sid = jnp.int32(0)
+        for a in names:
+            sid = sid * mesh.shape[a] + jax.lax.axis_index(a)
+        qf = q.astype(jnp.float32)
+        qn = jnp.linalg.norm(qf, axis=-1, keepdims=True)
+        qu = jnp.where(qn > 0, qf / jnp.where(qn > 0, qn, 1.0), 0.0)
+        dots = unpack2_dots(qu.astype(jnp.bfloat16), g) * sc[None, :]
+        scores = jnp.where(v[None, :], dots, -jnp.inf)
+        vals, idx = exact_topk(scores, cc, descending=True)
+        gidx = idx + sid * nlocal
+        for a in reversed(names):  # data (ICI) before slice (DCN)
+            vals, gidx = _gather_merge_topk(vals, gidx, a, c, True)
+        return vals, gidx
+
+    row_axes = names if len(names) > 1 else names[0]
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(row_axes, None), P(row_axes), P(row_axes)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, packed, valid, scales)
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "weights", "mesh", "axis"))
 def sharded_scores(
     queries: jnp.ndarray,
