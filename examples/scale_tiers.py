@@ -15,12 +15,17 @@ ARCHITECTURE.md; all share one result contract):
   3. projection screen       — int8 sketch sweep -> exact rerank; rebuild
                                after mutations is one matmul (vs an IVF
                                k-means), no cluster structure assumed
-  4. mesh-sharded exact/IVF  — rows (or cluster slabs) sharded over chips,
+  4. int4 capacity tier      — nibble-packed device rows (~2x resident
+                               rows/chip, ~54M on v5e); two-phase search
+                               (int4 screen -> exact int8 rerank from the
+                               host copy), cosine-only
+  5. mesh-sharded exact/IVF  — rows (or cluster slabs) sharded over chips,
                                k-sized ICI merges; transparent via the mesh
-  5. offloaded IVF           — slabs in host RAM, only PROBED slabs move
+  6. offloaded IVF           — slabs in host RAM, only PROBED slabs move
                                per query batch (beyond-HBM ANN)
-  6. streamed exact          — whole gallery chunks double-buffered from
-                               host RAM (beyond-HBM, recall 1.0)
+  7. streamed exact          — whole gallery chunks double-buffered from
+                               host RAM (beyond-HBM, recall 1.0; int4
+                               galleries stream packed: half the bytes)
 """
 
 import numpy as np
@@ -70,26 +75,38 @@ def main():
     print(f"[3] projection screen (ds=16, C=128): recall@10 {s_recall:.2f}, "
           f"phase-1 reads {16 / d:.0%} of the exact sweep's bytes")
 
-    # 4) mesh-sharded: all engines ride the index's mesh transparently.
+    # 4) int4 capacity tier: device rows nibble-packed (half of int8's
+    #    HBM), search two-phase — the packed screen's top rerank_c rows
+    #    rerank EXACTLY against the host int8 copy, so scores match the
+    #    int8 index for the same rows.
+    i4 = ShardedVectorIndex(
+        dim=d, config=IndexConfig(dtype="int4", rerank_c=128))
+    i4.insert(paths, emb)
+    qv, qi = i4.search(queries, top_k=10)
+    i4_recall = len(set(qi[0].tolist()) & set(ei[0].tolist())) / 10
+    print(f"[4] int4 two-phase: recall@10 {i4_recall:.2f} vs int8, device "
+          f"rows at {d // 2}/{d} bytes (2x resident capacity)")
+
+    # 5) mesh-sharded: all engines ride the index's mesh transparently.
     #    ShardedVectorIndex shards rows over the data axis at insert;
     #    from_index attaches the same mesh to the IVF (cluster-granular);
     #    the screen's sketch shards alongside the gallery rows.
     ndev = len(jax.devices())
     where = (ivf._mesh is not None
              and ivf._mesh.shape[ivf._mesh_axis] > 1)
-    print(f"[4] mesh: {ndev} device(s); exact rows sharded, "
+    print(f"[5] mesh: {ndev} device(s); exact rows sharded, "
           f"IVF cluster-sharded={where}")
 
-    # 5) offloaded IVF: beyond-HBM ANN. Slabs live in host RAM; a search
+    # 6) offloaded IVF: beyond-HBM ANN. Slabs live in host RAM; a search
     #    moves only the query batch's unique probed slabs to the device.
     off = IVFIndex.from_index(idx, nlist=64, nprobe=8).offload()
     ov, oi = off.search(queries, top_k=10)
     assert set(oi[0].tolist()) == set(ai[0].tolist())
     moved = 8 * off._lmax * d  # worst-case bytes per single query (int8)
-    print(f"[5] offloaded IVF: identical results, <= {moved / 1e6:.1f} MB "
+    print(f"[6] offloaded IVF: identical results, <= {moved / 1e6:.1f} MB "
           f"moved per query vs {n * d / 1e6:.1f} MB full-gallery stream")
 
-    # 6) streamed exact: the whole-gallery beyond-HBM fallback (recall 1.0
+    # 7) streamed exact: the whole-gallery beyond-HBM fallback (recall 1.0
     #    for adversarially unclustered data). Threshold-gated in config.
     sidx = ShardedVectorIndex(
         dim=d, config=IndexConfig(dtype="int8", stream_threshold_bytes=1)
@@ -97,7 +114,7 @@ def main():
     sidx.insert(paths, emb)
     sv, si = sidx.search(queries, top_k=10)
     assert list(si[0]) == list(ei[0])
-    print(f"[6] streamed exact: streamed={sidx._stream is not None}, "
+    print(f"[7] streamed exact: streamed={sidx._stream is not None}, "
           "results identical to resident")
 
 

@@ -1,0 +1,292 @@
+"""TPU probe: int4 capacity tier at scale (bench_results/int4_scale_probe.json).
+
+What this captures:
+  resident_int8_16M   — baseline batched int8 sweep (64-query dispatch).
+  int4_screen_16M     — batched packed screen sweep at the same rows.
+  int4_screen1q_16M   — single-query screen latency (lax.scan over 64
+                        queries inside one dispatch, like the 1M probe).
+  int4_rerank_16M     — device rerank compute for (64, C) pre-staged
+                        candidates; the two-phase device time is
+                        screen + rerank. The host gather (numpy fancy
+                        index of C rows/query from the 8 GB int8 array)
+                        is timed host-side and reported separately — on
+                        this box the tunnel RTT (~35-45 ms) dominates any
+                        mid-query host hop, which production PCIe hosts
+                        do not pay.
+  recall_16M          — two-phase recall@10 vs the RESIDENT int8 sweep
+                        at 16M (the tier's replacement target).
+  int4_screen_32M     — the capacity headline: 32M x 512 rows resident as
+                        8 GB packed int4 (int8 would need 16 GB and not
+                        fit v5e's usable HBM); batched sweep timing +
+                        memory_stats deltas.
+  recall_32M          — two-phase recall@10 at 32M vs a STREAMED int8
+                        exact oracle (one ~286 s sweep, 16 queries).
+  streamed_4M         — int8 vs packed int4 streamed sweep wall time at
+                        4M rows (the transfer-bytes halving, which the
+                        RTT-dominated dev tunnel only partially rewards;
+                        DMA-bound production hosts see ~2x).
+
+Methodology: one-vs-two-dispatch differencing (the tunnel's fetch RTT
+drifts between sessions; the difference cancels it).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+D = 512
+K = 10
+NQ = 64
+C = 128
+
+OUT_PATH = os.path.join(os.path.dirname(__file__), "..",
+                        "bench_results", "int4_scale_probe.json")
+out = {"d": D, "k": K, "nq": NQ, "c": C, "cases": {}}
+
+
+def flush():
+    with open(OUT_PATH, "w") as f:
+        json.dump(out, f, indent=1)
+
+
+def rec(name, **kw):
+    out["cases"][name] = kw
+    print(json.dumps({name: kw}), flush=True)
+    flush()
+
+
+def mem_bytes():
+    try:
+        return jax.devices()[0].memory_stats()["bytes_in_use"]
+    except Exception:
+        return None
+
+
+def device_seconds(enqueue, fetch, repeats=5):
+    _ = fetch(enqueue(0))
+    ts = []
+    tag = 1
+    for _r in range(repeats):
+        a = enqueue(tag); tag += 1
+        t0 = time.perf_counter(); _ = fetch(a); t1 = time.perf_counter()
+        b = enqueue(tag); tag += 1
+        c = enqueue(tag); tag += 1
+        t2 = time.perf_counter(); _ = fetch(c); t3 = time.perf_counter()
+        del b
+        ts.append(max((t3 - t2) - (t1 - t0), 1e-9))
+    return float(np.median(ts))
+
+
+def make_gallery(n_rows, want_int8=True):
+    """Chunkwise host generation: unit rows -> int8 + packed int4 (+scales).
+    Returns (g8, s8, pk, s4); g8/s8 are None when want_int8 is False."""
+    from image_retrieval_tpu.ops.int4 import quantize_pack_int4
+
+    rng = np.random.default_rng(3)
+    g8 = np.empty((n_rows, D), np.int8) if want_int8 else None
+    s8 = np.empty(n_rows, np.float32) if want_int8 else None
+    pk = np.empty((n_rows, D // 2), np.uint8)
+    s4 = np.empty(n_rows, np.float32)
+    step = 1 << 20
+    for s in range(0, n_rows, step):
+        e = min(s + step, n_rows)
+        rows = rng.normal(size=(e - s, D)).astype(np.float32)
+        rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+        if want_int8:
+            grid = np.maximum(np.abs(rows).max(axis=1), 1e-12) / 127.0
+            q8 = np.clip(np.rint(rows / grid[:, None]), -127, 127
+                         ).astype(np.int8)
+            qn = np.linalg.norm(q8.astype(np.float32), axis=1)
+            g8[s:e] = q8
+            s8[s:e] = 1.0 / np.where(qn > 0, qn, 1.0)
+        pk[s:e], s4[s:e] = quantize_pack_int4(rows)
+    return g8, s8, pk, s4
+
+
+def batched_int8_step(g, sc, qs):
+    qn = qs / jnp.linalg.norm(qs, axis=-1, keepdims=True)
+    dots = jax.lax.dot_general(
+        qn.astype(jnp.bfloat16), g.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    return jax.lax.top_k(dots * sc[None, :], K)
+
+
+def batched_int4_step(g, sc, qs, k=C):
+    from image_retrieval_tpu.ops.int4 import unpack2_dots
+
+    qn = (qs / jnp.linalg.norm(qs, axis=-1, keepdims=True)
+          ).astype(jnp.bfloat16)
+    return jax.lax.top_k(unpack2_dots(qn, g) * sc[None, :], k)
+
+
+def time_batched(name, step, g, sc, extra=None):
+    run = jax.jit(step)
+    mk = jax.jit(lambda key: jax.random.normal(key, (NQ, D), jnp.float32))
+    pool = [mk(jax.random.PRNGKey(10 + i)) for i in range(16)]
+    _ = jax.device_get(pool[-1][0, 0])
+    sec = device_seconds(lambda i: run(g, sc, pool[i]),
+                         lambda a: jax.device_get(a[0][0, 0]))
+    kw = dict(rows=int(g.shape[0]), sweep_ms=round(sec * 1e3, 3),
+              ms_per_query=round(sec / NQ * 1e3, 4),
+              qps=round(NQ / sec, 1),
+              hbm_gbps=round(g.shape[0] * g.shape[1] / sec / 1e9, 1))
+    if extra:
+        kw.update(extra)
+    rec(name, **kw)
+    return run, pool
+
+
+def main():
+    dev = jax.devices()[0]
+    out["device"] = str(dev)
+    flush()
+
+    # ---------------- 16M: head-to-head + recall --------------------------
+    n16 = 1 << 24
+    print("generating 16M gallery...", flush=True)
+    g8h, s8h, pkh, s4h = make_gallery(n16)
+
+    base = mem_bytes()
+    g8 = jax.device_put(g8h)
+    s8 = jax.device_put(s8h)
+    _ = jax.device_get(g8[0, 0])
+    m_int8 = mem_bytes()
+    time_batched("resident_int8_16M", batched_int8_step, g8, s8)
+
+    pk = jax.device_put(pkh)
+    s4 = jax.device_put(s4h)
+    _ = jax.device_get(pk[0, 0])
+    m_both = mem_bytes()
+    if base is not None:
+        rec("hbm_16M", int8_bytes=int(m_int8 - base),
+            packed_bytes=int(m_both - m_int8))
+
+    run4, pool = time_batched(
+        "int4_screen_16M", lambda g, sc, qs: batched_int4_step(g, sc, qs),
+        pk, s4)
+
+    # single-query screen latency: scan over NQ queries inside one dispatch
+    @jax.jit
+    def scan1q(g, sc, qs):
+        def body(_, q):
+            return None, batched_int4_step(g, sc, q[None])
+        _, o = jax.lax.scan(body, None, qs)
+        return o
+    sec = device_seconds(lambda i: scan1q(pk, s4, pool[i]),
+                         lambda a: jax.device_get(a[0][0, 0, 0]))
+    rec("int4_screen1q_16M", ms_per_query=round(sec / NQ * 1e3, 4))
+
+    # two-phase: screen cand -> host gather (timed) -> device rerank (timed)
+    from image_retrieval_tpu.ops.int4 import rerank_int8_topk
+
+    cv, ci = jax.device_get(run4(pk, s4, pool[0]))
+    t0 = time.perf_counter()
+    rows = g8h[ci]            # (NQ, C, D) int8 host gather
+    sc8 = s8h[ci]
+    t_gather = time.perf_counter() - t0
+    rows_d = jax.device_put(rows)
+    sc8_d = jax.device_put(sc8.astype(np.float32))
+    ok_d = jax.device_put(np.ones((NQ, C), bool))
+    qs_d = pool[0]
+    _ = jax.device_get(rows_d[0, 0, 0])
+    sec_rr = device_seconds(
+        lambda i: rerank_int8_topk(qs_d, rows_d, sc8_d, ok_d, K),
+        lambda a: jax.device_get(a[0][0, 0]))
+    rec("int4_rerank_16M", rerank_ms=round(sec_rr * 1e3, 3),
+        rerank_ms_per_query=round(sec_rr / NQ * 1e3, 4),
+        host_gather_s=round(t_gather, 4),
+        gather_bytes=int(rows.nbytes))
+
+    # recall vs the resident int8 oracle (the tier's replacement target)
+    run8 = jax.jit(batched_int8_step)
+    _, oi = jax.device_get(run8(g8, s8, pool[0]))
+    rv, ri = jax.device_get(
+        rerank_int8_topk(qs_d, rows_d, sc8_d, ok_d, K))
+    final = np.take_along_axis(np.asarray(ci), np.asarray(ri), axis=1)
+    recall = float(np.mean([len(set(a) & set(b)) / K
+                            for a, b in zip(oi, final)]))
+    raw = float(np.mean([len(set(a) & set(b[:K])) / K
+                         for a, b in zip(oi, ci)]))
+    rec("recall_16M", two_phase_at_10=round(recall, 4),
+        raw_int4_at_10=round(raw, 4))
+    del g8, s8, rows_d, sc8_d, ok_d
+    del pk, s4
+
+    # ---------------- 32M: the capacity headline --------------------------
+    n32 = 1 << 25
+    print("generating 32M gallery...", flush=True)
+    # int8 rows stay HOST-side only (16 GB — the point: they cannot be
+    # resident; they are the rerank source)
+    g8h32, s8h32, pkh32, s4h32 = make_gallery(n32)
+    base = mem_bytes()
+    pk32 = jax.device_put(pkh32)
+    s432 = jax.device_put(s4h32)
+    _ = jax.device_get(pk32[0, 0])
+    m_pk = mem_bytes()
+    run432, pool = time_batched(
+        "int4_screen_32M", lambda g, sc, qs: batched_int4_step(g, sc, qs),
+        pk32, s432,
+        extra={"packed_hbm_bytes": (int(m_pk - base)
+                                    if base is not None else None),
+               "int8_equiv_bytes": n32 * D})
+
+    # recall at 32M vs a streamed int8 exact oracle (16 queries, one sweep)
+    from image_retrieval_tpu.index.streaming import StreamingGallerySearch
+
+    nq_o = 16
+    qs_h = np.asarray(jax.device_get(pool[0]))[:nq_o]
+    qu = qs_h / np.linalg.norm(qs_h, axis=1, keepdims=True)
+    t0 = time.perf_counter()
+    eng = StreamingGallerySearch(g8h32, s8h32, chunk_rows=4 << 20)
+    ov, oi32 = eng.search(qu, top_k=K)
+    t_oracle = time.perf_counter() - t0
+    cv32, ci32 = jax.device_get(run432(pk32, s432, pool[0]))
+    ci32 = ci32[:nq_o]
+    rows32 = g8h32[ci32]
+    sc832 = s8h32[ci32].astype(np.float32)
+    from image_retrieval_tpu.ops.int4 import rerank_int8_topk as rr
+    rv32, ri32 = jax.device_get(
+        rr(jnp.asarray(qs_h), jnp.asarray(rows32), jnp.asarray(sc832),
+           jnp.asarray(np.ones((nq_o, C), bool)), K))
+    final32 = np.take_along_axis(ci32, np.asarray(ri32), axis=1)
+    recall32 = float(np.mean([len(set(a) & set(b)) / K
+                              for a, b in zip(oi32, final32)]))
+    rec("recall_32M", two_phase_at_10=round(recall32, 4),
+        oracle="streamed int8 exact", oracle_sweep_s=round(t_oracle, 1),
+        nq=nq_o)
+    del pk32, s432, g8h32, s8h32, pkh32, s4h32
+
+    # ---------------- streamed transfer halving at 4M ----------------------
+    n4 = 1 << 22
+    g8s = g8h[:n4]
+    s8s = s8h[:n4]
+    pks = pkh[:n4]
+    s4s = s4h[:n4]
+    qu64 = np.asarray(jax.device_get(pool[1]))
+    qu64 = qu64 / np.linalg.norm(qu64, axis=1, keepdims=True)
+    for tag, eng in (
+        ("int8", StreamingGallerySearch(g8s, s8s, chunk_rows=1 << 21)),
+        ("int4", StreamingGallerySearch(
+            pks, s4s, chunk_rows=1 << 21, packed4=True,
+            rerank_rows=g8s, rerank_scales=s8s, rerank_c=C)),
+    ):
+        t0 = time.perf_counter()
+        _v, _i = eng.search(qu64, top_k=K)
+        sec = time.perf_counter() - t0
+        rec(f"streamed_4M_{tag}", rows=n4, sweep_s=round(sec, 2),
+            bytes_moved=int(eng.bytes_per_sweep),
+            gbps=round(eng.bytes_per_sweep / sec / 1e9, 3))
+    flush()
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
