@@ -385,6 +385,61 @@ def main():
     except Exception as e:  # pragma: no cover
         extra["compressed_error"] = str(e)[:200]
 
+    # --- int4 capacity tier: packed screen + two-phase recall ----------------
+    # (ops/int4.py; resident capacity 2x int8 at screen latency ~= int8's
+    # sweep — the rerank is a C-row gather, timed in the scale probe)
+    try:
+        from image_retrieval_tpu.ops.int4 import unpack2_dots
+
+        @jax.jit
+        def pack4(g):
+            grid = jnp.maximum(jnp.abs(g).max(axis=1), 1e-12) / 7.0
+            q4 = jnp.clip(jnp.round(g / grid[:, None]), -7, 7).astype(jnp.int8)
+            qn4 = jnp.linalg.norm(q4.astype(jnp.float32), axis=1)
+            sc4 = (1.0 / jnp.where(qn4 > 0, qn4, 1.0)).astype(jnp.float32)
+            u = (q4 + 8).astype(jnp.uint8)
+            return u[:, 0::2] | (u[:, 1::2] << 4), sc4
+
+        gp, s4 = pack4(gallery)
+
+        @jax.jit
+        def cos4_scan(g, s, qs):
+            def step(_, q):
+                qn = (q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+                      ).astype(jnp.bfloat16)
+                return None, jax.lax.top_k(unpack2_dots(qn, g) * s[None, :], k)
+            return jax.lax.scan(step, None, qs)[1]
+
+        t4 = timed_per_query(lambda qs: cos4_scan(gp, s4, qs), repeats=3)
+        extra["cosine_int4_screen_p50_ms"] = round(
+            float(np.percentile(t4, 50) * 1e3), 4)
+
+        # two-phase recall vs the int8 sweep on one query scan (C=128
+        # screen -> exact rerank, all device-resident here)
+        @jax.jit
+        def int4_two_phase_scan(g, s, g8_, s8_, qs):
+            def step(_, q):
+                qn = (q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+                      ).astype(jnp.bfloat16)
+                cand = jax.lax.top_k(unpack2_dots(qn, g) * s[None, :], 128)[1][0]
+                rows = jnp.take(g8_, cand, axis=0).astype(jnp.bfloat16)
+                ex = jnp.dot(qn, rows.T, preferred_element_type=jnp.float32)
+                ex = ex * s8_[cand][None, :]
+                _v, i = jax.lax.top_k(ex, k)
+                return None, jnp.take(cand, i[0])[None, :]
+            return jax.lax.scan(step, None, qs)[1]
+
+        qs0 = make_queries(jax.random.PRNGKey(100))  # same as pool tag 0
+        ids4 = np.asarray(
+            jax.device_get(int4_two_phase_scan(gp, s4, g8, g_scale, qs0))
+        )[:, 0, :]
+        ids8 = np.asarray(jax.device_get(cos8_scan(g8, g_scale, qs0))[1])[:, 0, :]
+        extra["int4_two_phase_recall_at_10_vs_int8"] = round(float(np.mean(
+            [len(set(a) & set(b)) / k for a, b in zip(ids4, ids8)])), 4)
+        del gp, s4
+    except Exception as e:  # pragma: no cover
+        extra["int4_error"] = str(e)[:200]
+
     # --- embed throughput: CLIP ViT-B/32 image encode ------------------------
     try:
         from image_retrieval_tpu.config import ModelConfig
