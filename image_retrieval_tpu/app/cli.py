@@ -280,6 +280,20 @@ def cmd_analyze(args) -> int:
     return 0 if results else 1
 
 
+def cmd_plan(args) -> int:
+    """Print the measured-best index tier for a corpus size."""
+    from image_retrieval_tpu.index.plan import plan_index
+
+    plan = plan_index(
+        n_rows=args.rows, dim=args.dim, n_devices=args.devices,
+        recall_floor=args.recall_floor, clustered=args.clustered,
+        exact_scores=args.exact_scores,
+        host_to_device_gbps=args.link_gbps,
+    )
+    print(plan.describe())
+    return 0
+
+
 def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="image-retrieval-tpu",
@@ -384,6 +398,29 @@ def make_parser() -> argparse.ArgumentParser:
     sp.add_argument("--fake-encoder", dest="fake_encoder", action="store_true")
     sp.add_argument("--num_examples", type=int, default=5)
     sp.set_defaults(fn=cmd_analyze)
+
+    sp = sub.add_parser(
+        "plan",
+        help="Pick the measured-best index tier for a corpus size "
+             "(resident f32/bf16/int8/int4, streamed, offloaded IVF)")
+    sp.add_argument("--rows", type=int, required=True,
+                    help="corpus size in vectors")
+    sp.add_argument("--dim", type=int, default=512)
+    sp.add_argument("--devices", type=int, default=1,
+                    help="chips in the mesh (rows shard over 'data')")
+    sp.add_argument("--recall-floor", type=float, default=0.98,
+                    help="min recall@10 vs the f32 oracle; 1.0 forces "
+                         "exact tiers, 0.98 admits int8/int4 (measured "
+                         "0.984/0.983)")
+    sp.add_argument("--clustered", action="store_true",
+                    help="corpus has cluster structure (gates IVF tiers; "
+                         "IVF recall collapses on i.i.d. data)")
+    sp.add_argument("--exact-scores", action="store_true",
+                    help="require bit-faithful f32 similarity values "
+                         "(e.g. MI analysis), not just top-k recall")
+    sp.add_argument("--link-gbps", type=float, default=16.0,
+                    help="host->device GB/s for beyond-HBM estimates")
+    sp.set_defaults(fn=cmd_plan)
     return p
 
 
