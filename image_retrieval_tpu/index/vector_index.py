@@ -18,6 +18,7 @@ Milvus API semantics preserved (SURVEY §5):
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -804,15 +805,35 @@ class ShardedVectorIndex:
         if attr_arrays:
             with open(npz_path + ".attrs.json", "w") as f:
                 json.dump(attr_meta, f)
+        # Persist the tier configuration: embeddings are stored as portable
+        # dequantized f32, but without the config a reloaded int8/int4
+        # index would silently come back as the float32 tier (and lose
+        # rerank_c / l1_shadow / stream_threshold_bytes with it).
+        with open(npz_path + ".config.json", "w") as f:
+            json.dump(dataclasses.asdict(self.config), f)
 
     @classmethod
-    def load_from(cls, path: str, mesh: Optional[Mesh] = None) -> "ShardedVectorIndex":
+    def load_from(
+        cls, path: str, mesh: Optional[Mesh] = None,
+        config: Optional[IndexConfig] = None,
+    ) -> "ShardedVectorIndex":
+        """Rebuild from save(). The saved tier configuration is restored
+        by default (insert() re-quantizes the portable f32 rows per the
+        config); pass config= to override, e.g. to re-tier on load."""
         npz_path = path if path.endswith(".npz") else path + ".npz"
         data = np.load(npz_path)
         with open(npz_path + ".paths.json") as f:
             paths = json.load(f)
+        if config is None and os.path.exists(npz_path + ".config.json"):
+            with open(npz_path + ".config.json") as f:
+                saved = json.load(f)
+            known = {fl.name for fl in dataclasses.fields(IndexConfig)}
+            config = IndexConfig(
+                **{k: v for k, v in saved.items() if k in known})
         emb = data["embeddings"]
-        idx = cls(dim=emb.shape[1] if emb.size else 512, mesh=mesh)
+        dim = (emb.shape[1] if emb.size
+               else (config.embedding_dim if config else 512))
+        idx = cls(dim=dim, mesh=mesh, config=config)
         if len(paths):
             idx.insert(paths, emb, data["magnitudes"])
         attr_arrays = {k: data[k] for k in data.files if k.startswith("attr__")}

@@ -148,6 +148,38 @@ def test_int4_delete_compact_save_load(trio, rng, tmp_path):
     assert len(re) == len(i4)
 
 
+def test_save_load_preserves_tier_config(trio, rng, tmp_path):
+    """The tier must survive the save/load cycle: a saved int4 index that
+    reloads as float32 would silently 2x its HBM footprint (and an int8
+    one 4x). The sidecar config restores dtype/rerank_c; an explicit
+    config= re-tiers on load."""
+    i4, i8, _f32, emb = trio
+    q = rng.normal(size=(3, emb.shape[1])).astype(np.float32)
+
+    i4.save(str(tmp_path / "g4"))
+    r4 = ShardedVectorIndex.load_from(str(tmp_path / "g4"))
+    assert r4.config.dtype == "int4" and r4.config.rerank_c == 64
+    # the reloaded screen re-quantizes from the saved (already int8-
+    # quantized) rows, so candidate sets can differ at the margin; the
+    # exact rerank keeps top-10 essentially identical
+    v_a, i_a = i4.search(q, top_k=10)
+    v_b, i_b = r4.search(q, top_k=10)
+    rec = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i_a, i_b)])
+    assert rec >= 0.9
+    np.testing.assert_allclose(v_a[:, 0], v_b[:, 0], rtol=1e-4, atol=1e-5)
+
+    i8.save(str(tmp_path / "g8"))
+    r8 = ShardedVectorIndex.load_from(str(tmp_path / "g8"))
+    assert r8.config.dtype == "int8"
+
+    # explicit override wins: re-tier the saved int4 rows as float32
+    rf = ShardedVectorIndex.load_from(
+        str(tmp_path / "g4"),
+        config=IndexConfig(embedding_dim=emb.shape[1], dtype="float32"))
+    assert rf.config.dtype == "float32"
+    rf.scores(q[0])  # full-matrix API exists again on the f32 tier
+
+
 def test_int4_rejects_non_cosine_and_matrix_apis(trio, rng):
     i4, _, _, emb = trio
     q = rng.normal(size=emb.shape[1]).astype(np.float32)
