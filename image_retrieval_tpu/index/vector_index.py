@@ -19,8 +19,10 @@ Milvus API semantics preserved (SURVEY §5):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
+import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -40,6 +42,25 @@ from image_retrieval_tpu.parallel.collectives import (
 _WEIGHT_KEYS = ("w_angle", "w_l1", "w_l2", "w_inf", "w_mag")
 
 
+def _locked(fn):
+    """Serialize public index operations under the per-index RLock.
+
+    Milvus handles concurrent insert/search server-side (reference C13);
+    in-process, a mutation mid-search would race `_sync_device` (host
+    buffers and device arrays swap underneath the sweep). The lock is
+    reentrant so compound operations (save->compact, search_paths->search)
+    compose; search holds it only for dispatch+fetch of its own batch, and
+    the micro-batching server already funnels searches through one worker,
+    so serving throughput is unaffected."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._lock:
+            return fn(self, *args, **kwargs)
+
+    return wrapper
+
+
 class ShardedVectorIndex:
     """Exact vector index sharded over a device mesh.
 
@@ -54,6 +75,7 @@ class ShardedVectorIndex:
         config: Optional[IndexConfig] = None,
     ):
         self.config = config or IndexConfig(embedding_dim=dim)
+        self._lock = threading.RLock()  # see _locked
         self.dim = dim
         self.mesh = mesh if mesh is not None else make_mesh()
         self.axis = self.config.shard_axis
@@ -161,6 +183,7 @@ class ShardedVectorIndex:
         self._host_packed, self._host_scales4 = pk, sc4
         self._device_dirty = True
 
+    @_locked
     def insert(
         self,
         paths: Sequence[str],
@@ -233,6 +256,7 @@ class ShardedVectorIndex:
         self.count += n_new
         return n_new
 
+    @_locked
     def delete(self, paths: Sequence[str]) -> int:
         """Tombstone rows by path (Milvus delete-by-expr analog). Removed
         rows never appear in search results; storage is reclaimed on the
@@ -248,11 +272,13 @@ class ShardedVectorIndex:
             self.generation += 1
         return deleted
 
+    @_locked
     def delete_where(self, flt) -> int:
         """Tombstone every live row matching a boolean attribute expression
         (Milvus `collection.delete(expr)` analog). Returns rows deleted."""
         return self.delete_rows(np.flatnonzero(self.filter_mask(flt)))
 
+    @_locked
     def delete_rows(self, row_indices) -> int:
         """Tombstone rows by global row index (exact, unlike delete(paths)
         which tombstones every row sharing a path). Returns rows newly
@@ -266,6 +292,7 @@ class ShardedVectorIndex:
             self.generation += 1
         return int(len(idx))
 
+    @_locked
     def filter_mask(self, flt) -> np.ndarray:
         """(count,) bool — live rows matching the filter. `flt` is either a
         boolean expression string (vectorized host evaluation over the
@@ -317,6 +344,7 @@ class ShardedVectorIndex:
             return np.zeros((0,), bool)
         return self._host_valid[: self.count].copy()
 
+    @_locked
     def compact(self) -> int:
         """Reclaim tombstoned rows in place: live rows slide down, paths and
         per-row sidecars stay aligned. Returns rows reclaimed."""
@@ -454,6 +482,7 @@ class ShardedVectorIndex:
 
     # Milvus load() now has real work: it stages the gallery onto the mesh
     # (the reference's collection.load() pulls segments into Milvus memory).
+    @_locked
     def load(self) -> None:
         self._sync_device()
 
@@ -491,6 +520,7 @@ class ShardedVectorIndex:
             q = np.concatenate([q, np.zeros((bucket - nq, q.shape[1]), np.float32)])
         return replicate(jnp.asarray(q), self.mesh), single, nq
 
+    @_locked
     def search(
         self,
         queries: np.ndarray,
@@ -656,6 +686,7 @@ class ShardedVectorIndex:
             idx = np.where(idx >= 0, self._stream_live[np.maximum(idx, 0)], -1)
         return (vals[0], idx[0]) if single else (vals, idx)
 
+    @_locked
     def multi_metric_topk(
         self, queries: np.ndarray, top_k: int = 5,
         flt: Optional[str] = None,
@@ -694,6 +725,7 @@ class ShardedVectorIndex:
             result[name] = (vals[0], idx[0]) if single else (vals, idx)
         return result
 
+    @_locked
     def search_paths(
         self,
         queries: np.ndarray,
@@ -711,6 +743,7 @@ class ShardedVectorIndex:
             for v, i in zip(vals, idx)
         ]
 
+    @_locked
     def scores(
         self,
         queries: np.ndarray,
@@ -742,6 +775,7 @@ class ShardedVectorIndex:
         )[:nq, : self.count]
         return s[0] if single else s
 
+    @_locked
     def get_vectors(self, indices: Sequence[int]) -> np.ndarray:
         """Stored unit vectors for global indices (candidate fetch for
         overfetch->rerank parity with reference image_search.py:94-101)."""
@@ -750,11 +784,13 @@ class ShardedVectorIndex:
             rows *= self._host_scales[np.asarray(indices, int)][:, None]
         return rows
 
+    @_locked
     def get_magnitudes(self, indices: Sequence[int]) -> np.ndarray:
         return self._host_mags[np.asarray(indices, int)].astype(np.float32)
 
     # -- Milvus-style retrieval of stored data ------------------------------
 
+    @_locked
     def query(self, limit: int = 1000, with_magnitude: bool = False):
         """Return stored (path, unit_embedding[, magnitude]) tuples
         (reference ImageEmbeddingSystem.py:147-202). Tombstoned (deleted)
@@ -775,6 +811,7 @@ class ShardedVectorIndex:
                 out.append((self.paths[i], g_all[i]))
         return out
 
+    @_locked
     def reconstruct_original_embeddings(self, limit: int = 1000):
         """(path, unit*magnitude) round-trip (ImageEmbeddingSystem.py:204-215)."""
         return [
@@ -783,6 +820,7 @@ class ShardedVectorIndex:
 
     # -- persistence --------------------------------------------------------
 
+    @_locked
     def save(self, path: str) -> None:
         """Persist as npz + json sidecar (replaces Milvus server-side
         persistence, docker-compose.yml:11-12). Tombstoned rows are
