@@ -54,13 +54,17 @@ class Collection:
     server-side collection namespace)."""
 
     def __init__(self, name: str, dim: Optional[int] = None,
-                 index: Optional[ShardedVectorIndex] = None):
+                 index: Optional[ShardedVectorIndex] = None,
+                 journal_dir: Optional[str] = None):
         """`Collection(name)` opens an existing collection (pymilvus
         semantics); pass `dim` to declare the schema — an EXPLICIT dim that
         conflicts with the registered collection raises here instead of as
-        a bare assert deep inside a later insert."""
+        a bare assert deep inside a later insert. `journal_dir` makes the
+        collection durable across processes (the Milvus WAL+volume analog,
+        index/journal.py): existing state is recovered from the directory
+        and every mutation is logged; flush() becomes a real barrier."""
         self.name = name
-        if name in _REGISTRY and index is None:
+        if name in _REGISTRY and index is None and journal_dir is None:
             impl = _REGISTRY[name]._impl
             if dim is not None and impl.dim != dim:
                 raise ValueError(
@@ -70,10 +74,30 @@ class Collection:
             self._impl = impl
             self._partitions = _REGISTRY[name]._partitions
         else:
-            self._impl = index if index is not None else ShardedVectorIndex(
-                dim=dim if dim is not None else 512
-            )
+            if index is not None:
+                self._impl = index
+            elif journal_dir is not None:
+                from image_retrieval_tpu.config import IndexConfig
+
+                cfg = IndexConfig(embedding_dim=dim) if dim else None
+                self._impl = ShardedVectorIndex.open(journal_dir, config=cfg)
+            else:
+                self._impl = ShardedVectorIndex(
+                    dim=dim if dim is not None else 512
+                )
             self._partitions = {"_default"}
+            if journal_dir is not None:
+                # recover partition names from the journaled _partition
+                # column (partitions with live rows; empty partitions do
+                # not survive a restart — create_partition is idempotent)
+                vocab = self._impl.attrs.vocab.get("_partition", {})
+                if vocab and self._impl.count:
+                    col = self._impl.attrs.columns["_partition"][
+                        : self._impl.count]
+                    present = set(
+                        np.asarray(col)[self._impl.live_mask()].tolist())
+                    self._partitions |= {
+                        s for s, c in vocab.items() if c in present}
         _REGISTRY[name] = self
 
     # -- schema/lifecycle no-ops kept for API parity -------------------------

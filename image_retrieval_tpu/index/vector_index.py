@@ -76,6 +76,10 @@ class ShardedVectorIndex:
     ):
         self.config = config or IndexConfig(embedding_dim=dim)
         self._lock = threading.RLock()  # see _locked
+        # write-ahead journal (index/journal.py); attached by open().
+        # _replaying suppresses re-logging while ops are applied FROM it.
+        self._journal = None
+        self._replaying = False
         self.dim = dim
         self.mesh = mesh if mesh is not None else make_mesh()
         self.axis = self.config.shard_axis
@@ -254,6 +258,10 @@ class ShardedVectorIndex:
         self.generation += 1
         self.paths.extend(str(p) for p in paths)
         self.count += n_new
+        if self._journal is not None and not self._replaying:
+            # journal the (unit, mags) form: replaying it through insert()
+            # re-quantizes identically for every tier
+            self._journal.log_insert(paths, unit, mags, attrs)
         return n_new
 
     @_locked
@@ -270,6 +278,8 @@ class ShardedVectorIndex:
         if deleted:
             self._device_dirty = True
             self.generation += 1
+            if self._journal is not None and not self._replaying:
+                self._journal.log_delete(paths)
         return deleted
 
     @_locked
@@ -290,6 +300,8 @@ class ShardedVectorIndex:
             self._host_valid[idx] = False
             self._device_dirty = True
             self.generation += 1
+            if self._journal is not None and not self._replaying:
+                self._journal.log_delete_rows(idx)
         return int(len(idx))
 
     @_locked
@@ -368,6 +380,8 @@ class ShardedVectorIndex:
         self.count = len(live)
         self._device_dirty = True
         self.generation += 1
+        if self._journal is not None and not self._replaying:
+            self._journal.log_compact()
         return reclaimed
 
     def _stream_active(self) -> bool:
@@ -489,8 +503,14 @@ class ShardedVectorIndex:
     def release(self) -> None:
         pass
 
+    @_locked
     def flush(self) -> None:
-        pass
+        """Durability barrier (Milvus collection.flush(),
+        ImageEmbeddingSystem.py:137): when the index was opened with a
+        journal, fsync the op log so every mutation so far survives a
+        process crash. No-op without a journal."""
+        if self._journal is not None:
+            self._journal.flush()
 
     def __len__(self) -> int:
         return self.count
@@ -849,6 +869,60 @@ class ShardedVectorIndex:
         # rerank_c / l1_shadow / stream_threshold_bytes with it).
         with open(npz_path + ".config.json", "w") as f:
             json.dump(dataclasses.asdict(self.config), f)
+
+    @_locked
+    def checkpoint(self) -> None:
+        """Seal the journal: write a full snapshot into the journal
+        directory, atomically publish it, truncate the op log and GC
+        consumed segments (the Milvus segment-seal analog). Requires an
+        index opened with open()."""
+        if self._journal is None:
+            raise ValueError(
+                "checkpoint() requires a journaled index — use "
+                "ShardedVectorIndex.open(journal_dir)")
+        seq, base = self._journal.begin_checkpoint()
+        # save() compacts; suppress journaling of that compact — the
+        # snapshot embodies its effect and the log is truncated anyway
+        self._replaying = True
+        try:
+            self.save(base)
+        finally:
+            self._replaying = False
+        self._journal.commit_checkpoint(seq)
+
+    @classmethod
+    def open(
+        cls, journal_dir: str, mesh: Optional[Mesh] = None,
+        config: Optional[IndexConfig] = None,
+    ) -> "ShardedVectorIndex":
+        """Open (or create) a journaled index: load the newest checkpoint
+        under `journal_dir` if one exists, replay the pending op log on
+        top, and attach the journal so every subsequent mutation is
+        logged. flush() is the durability barrier; checkpoint() seals.
+        `config` applies when creating a fresh directory (afterwards the
+        checkpoint's saved config wins unless overridden)."""
+        from image_retrieval_tpu.index.journal import IndexJournal
+
+        journal = IndexJournal(journal_dir)
+        snap = journal.snapshot_path()
+        if snap is not None:
+            idx = cls.load_from(snap, mesh=mesh, config=config)
+        else:
+            cfg = config or IndexConfig()
+            idx = cls(dim=cfg.embedding_dim, mesh=mesh, config=config)
+        for rec in journal.pending():
+            op = rec["op"]
+            if op == "insert":
+                unit, mags = journal.load_segment(rec["seq"])
+                idx.insert(rec["paths"], unit, mags, attrs=rec.get("attrs"))
+            elif op == "delete":
+                idx.delete(rec["paths"])
+            elif op == "delete_rows":
+                idx.delete_rows(rec["rows"])
+            elif op == "compact":
+                idx.compact()
+        idx._journal = journal
+        return idx
 
     @classmethod
     def load_from(
