@@ -9,6 +9,11 @@ Runs self-contained on the CPU mesh in a few seconds:
     python examples/filtered_search.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 

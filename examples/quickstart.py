@@ -9,6 +9,9 @@ Runs self-contained (synthetic images, deterministic encoder unless
 import argparse
 import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

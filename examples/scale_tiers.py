@@ -28,6 +28,11 @@ ARCHITECTURE.md; all share one result contract):
                                galleries stream packed: half the bytes)
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 

@@ -93,6 +93,21 @@ class IndexJournal:
         """Records not covered by the snapshot, in append order."""
         return [r for r in self._records if r["seq"] > self.covered_seq]
 
+    def load_config(self) -> Optional[dict]:
+        """Index tier config persisted at first open (a journal-only
+        directory with no checkpoint yet must still know its dim/dtype)."""
+        path = os.path.join(self.dir, "config.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def store_config(self, config: dict) -> None:
+        tmp = os.path.join(self.dir, "config.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(config, f)
+        os.replace(tmp, os.path.join(self.dir, "config.json"))
+
     def snapshot_path(self) -> Optional[str]:
         """Base path (save()/load_from() form) of the live snapshot."""
         if self.snapshot_dirname is None:

@@ -908,8 +908,18 @@ class ShardedVectorIndex:
         if snap is not None:
             idx = cls.load_from(snap, mesh=mesh, config=config)
         else:
+            # no checkpoint yet: the tier config must come from the journal
+            # directory itself, or a 64-dim int8 index would replay into a
+            # fresh 512-dim f32 one
+            if config is None:
+                saved = journal.load_config()
+                if saved is not None:
+                    known = {fl.name for fl in dataclasses.fields(IndexConfig)}
+                    config = IndexConfig(
+                        **{k: v for k, v in saved.items() if k in known})
             cfg = config or IndexConfig()
             idx = cls(dim=cfg.embedding_dim, mesh=mesh, config=config)
+        journal.store_config(dataclasses.asdict(idx.config))
         for rec in journal.pending():
             op = rec["op"]
             if op == "insert":

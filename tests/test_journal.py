@@ -163,6 +163,18 @@ def test_unjournaled_index_checkpoint_raises(tmp_path):
     idx.flush()  # no-op, must not raise
 
 
+def test_reopen_without_config_recovers_tier(tmp_path):
+    """A journal-only directory (no checkpoint yet) must still know its
+    dim/dtype on reopen — the config is persisted at first open."""
+    idx = _mk(tmp_path / "j", dtype="int8", dim=64)
+    idx.insert(["a"], _rows(1, dim=64))
+    del idx
+    re = ShardedVectorIndex.open(str(tmp_path / "j"))  # no config arg
+    assert re.dim == 64
+    assert re.config.dtype == "int8"
+    assert re.paths == ["a"]
+
+
 def test_shim_collection_durable_across_processes(tmp_path):
     """pymilvus-shim surface: Collection(journal_dir=...) recovers state,
     including partition routing, exactly like a restarted Milvus server."""
