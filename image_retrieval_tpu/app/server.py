@@ -139,6 +139,15 @@ class SearchServer:
 
         limit = min(k * self.overfetch, len(self.index))
         cos, cand = self.ann.search(q_unit, top_k=limit)
+        # drop candidates tombstoned in the base index since the ANN was
+        # built/extended (live remove_images deletes base rows only; the
+        # exact path masks tombstones in-sweep, this is the ANN analog)
+        live = self.index.live_mask()
+        if len(live):
+            dead = (cand >= 0) & ~live[np.clip(cand, 0, len(live) - 1)]
+            if dead.any():
+                cos = np.where(dead, -np.inf, cos)
+                cand = np.where(dead, -1, cand)
         width = min(k, limit)
         vals = np.full((len(q_unit), width), -np.inf, np.float32)
         idx = np.full((len(q_unit), width), -1, np.int64)
@@ -167,6 +176,41 @@ class SearchServer:
             vals[r, : len(order)] = s[order]
             idx[r, : len(order)] = cr[order]
         return vals, idx
+
+    # -- live ingest ---------------------------------------------------------
+
+    def add_images(self, image_paths: Sequence, batch_size: Optional[int] = None,
+                   attrs_fn=None):
+        """Live ingest: decode + batch-embed + insert into the serving index
+        with no restart (Milvus serves insert and search concurrently;
+        reference ImageEmbeddingSystem.py:100-137). Safe against in-flight
+        micro-batches via the index RLock; new rows appear in results from
+        the next batch after the insert commits. An attached IVF ANN gets
+        the new rows via its exactly-swept tail (IVFIndex.add). Inserts
+        only change the jit signature when the gallery crosses a
+        capacity_step boundary, so steady drip-feeding recompiles nothing.
+        Returns (inserted, failed)."""
+        from image_retrieval_tpu.app.embed import ImageEmbeddingSystem
+
+        start = len(self.index)
+        emb = ImageEmbeddingSystem(self.encoder, index=self.index,
+                                   attrs_fn=attrs_fn)
+        ok, failed = emb.process_and_store_images(
+            list(image_paths), batch_size=batch_size)
+        if self.ann is not None and ok:
+            self.ann.add(self.index.get_vectors(range(start, start + ok)))
+        self.stats["ingested"] = self.stats.get("ingested", 0) + ok
+        return ok, failed
+
+    def remove_images(self, image_paths: Sequence) -> int:
+        """Live delete: tombstone rows by path. The exact path masks
+        tombstones in-sweep; ANN candidates referencing dead rows are
+        filtered in _ann_search. Storage is reclaimed by a later
+        compact()/save() — do NOT compact while an ANN is attached (row
+        ids shift; rebuild the ANN after). Returns rows deleted."""
+        n = self.index.delete(list(image_paths))
+        self.stats["removed"] = self.stats.get("removed", 0) + n
+        return n
 
     # -- client API ----------------------------------------------------------
 

@@ -186,28 +186,53 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         ctx = self.server_ctx
-        if self.path != "/batch_search":
-            self._send(404, b"not found", "text/plain")
-            return
         length = int(self.headers.get("Content-Length", 0))
         try:
             body = json.loads(self.rfile.read(length) or b"{}")
-            queries = list(body.get("queries") or [])
-            k = int(body.get("k", 10))
         except (ValueError, TypeError):
             self._send(400, b"bad request", "text/plain")
             return
-        # enqueue all queries before waiting: they coalesce into shared
-        # micro-batches (one encode + one sweep) instead of sequential
-        # per-query round-trips. Same cold-start budget as /search — the
-        # first request of a fresh process pays the remote jit compile.
-        try:
-            out = ctx["server"].search_many(queries, top_k=k,
-                                            timeout=_SEARCH_TIMEOUT_S)
-            self._send(200, json.dumps(out).encode(), "application/json")
-        except Exception as e:
-            self._send(400, json.dumps({"error": str(e)}).encode(),
-                       "application/json")
+        if self.path == "/batch_search":
+            # enqueue all queries before waiting: they coalesce into shared
+            # micro-batches (one encode + one sweep) instead of sequential
+            # per-query round-trips. Same cold-start budget as /search — the
+            # first request of a fresh process pays the remote jit compile.
+            try:
+                queries = list(body.get("queries") or [])
+                k = int(body.get("k", 10))
+                out = ctx["server"].search_many(queries, top_k=k,
+                                                timeout=_SEARCH_TIMEOUT_S)
+                self._send(200, json.dumps(out).encode(), "application/json")
+            except Exception as e:
+                self._send(400, json.dumps({"error": str(e)}).encode(),
+                           "application/json")
+        elif self.path == "/add":
+            # live ingest: {"paths": [server-local image paths]} — embeds
+            # and inserts into the serving index without a restart
+            try:
+                paths = [str(p) for p in (body.get("paths") or [])]
+                ok, failed = ctx["server"].add_images(paths)
+                inserted = [p for p in paths
+                            if p in set(ctx["server"].index.paths)]
+                ctx["known_paths"].update(inserted)
+                self._send(200, json.dumps(
+                    {"inserted": ok, "failed": failed}).encode(),
+                    "application/json")
+            except Exception as e:
+                self._send(400, json.dumps({"error": str(e)}).encode(),
+                           "application/json")
+        elif self.path == "/remove":
+            try:
+                paths = [str(p) for p in (body.get("paths") or [])]
+                n = ctx["server"].remove_images(paths)
+                ctx["known_paths"].difference_update(paths)
+                self._send(200, json.dumps({"removed": n}).encode(),
+                           "application/json")
+            except Exception as e:
+                self._send(400, json.dumps({"error": str(e)}).encode(),
+                           "application/json")
+        else:
+            self._send(404, b"not found", "text/plain")
 
 
 def serve(search_server, known_paths, host: str = "127.0.0.1", port: int = 8008):

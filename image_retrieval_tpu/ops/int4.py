@@ -97,6 +97,76 @@ def unpack2_dots(queries_bf16: jnp.ndarray, packed: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def screen_int4_topc(
+    queries_bf16: jnp.ndarray,
+    packed: jnp.ndarray,
+    scales: jnp.ndarray,
+    valid: jnp.ndarray,
+    c: int,
+    block: int = 1 << 21,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-c int4 cosine screen, tiled so the nibble unpack stays fused.
+
+    The direct `unpack2_dots` form is at int8-parity bandwidth at 1M rows
+    (1.10 vs 1.12 ms, bench_results/int4_probe.json) but COLLAPSES at
+    16M — 431.8 ms vs int8's 57.2 ms, ~10 GB/s effective — because XLA
+    stops fusing the mask/shift/bias unpack into the MXU operand read at
+    that size and materializes the (N, D) bf16 operands through HBM
+    (bench_results/int4_scale_probe.json, first capture). Tiling the sweep
+    into `block`-row slabs (lax.scan + running top-c merge, one static
+    tail step — the index/screen.py phase-1 pattern) keeps every tile in
+    the proven-fused regime at any gallery size, with O(Q*block) peak
+    memory instead of O(Q*N).
+
+    `valid` rows score -inf (tombstones / attribute filters). Returns
+    (scores, indices), each (Q, min(c, live-ish n)); callers treat -inf
+    rows as padding.
+    """
+    from image_retrieval_tpu.ops.topk import exact_topk
+
+    n = packed.shape[0]
+    cc = min(c, n)
+
+    def tile(pk, sc, v, off):
+        s = unpack2_dots(queries_bf16, pk) * sc[None, :]
+        s = jnp.where(v[None, :], s, -jnp.inf)
+        tv, ti = exact_topk(s, min(cc, pk.shape[0]), descending=True)
+        return tv, ti.astype(jnp.int32) + off
+
+    if n <= block or cc > block:
+        return tile(packed, scales, valid, 0)
+
+    nb = n // block
+    tail = n - nb * block
+
+    def merge(carry, tv, ti):
+        vals, ids = carry
+        cand_v = jnp.concatenate([vals, tv], axis=1)
+        cand_i = jnp.concatenate([ids, ti], axis=1)
+        mv, mi = jax.lax.top_k(cand_v, cc)
+        return mv, jnp.take_along_axis(cand_i, mi, axis=1)
+
+    def step(carry, i):
+        off = i * block
+        tv, ti = tile(
+            jax.lax.dynamic_slice_in_dim(packed, off, block, 0),
+            jax.lax.dynamic_slice_in_dim(scales, off, block, 0),
+            jax.lax.dynamic_slice_in_dim(valid, off, block, 0),
+            off,
+        )
+        return merge(carry, tv, ti), None
+
+    q_n = queries_bf16.shape[0]
+    init = (jnp.full((q_n, cc), -jnp.inf, jnp.float32),
+            jnp.zeros((q_n, cc), jnp.int32))
+    carry, _ = jax.lax.scan(step, init, jnp.arange(nb))
+    if tail:
+        tv, ti = tile(packed[nb * block:], scales[nb * block:],
+                      valid[nb * block:], nb * block)
+        carry = merge(carry, tv, ti)
+    return carry
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def rerank_int8_topk(
     queries: jnp.ndarray,

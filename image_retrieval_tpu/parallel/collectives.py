@@ -385,7 +385,7 @@ def sharded_int4_screen_topk(
     or an attribute-filter mask) score -inf and surface only as padding
     when fewer than c rows are live.
     """
-    from image_retrieval_tpu.ops.int4 import unpack2_dots
+    from image_retrieval_tpu.ops.int4 import screen_int4_topc
 
     names = axis if isinstance(axis, tuple) else (axis,)
     nshards = _axis_size(mesh, names)
@@ -399,9 +399,9 @@ def sharded_int4_screen_topk(
         qf = q.astype(jnp.float32)
         qn = jnp.linalg.norm(qf, axis=-1, keepdims=True)
         qu = jnp.where(qn > 0, qf / jnp.where(qn > 0, qn, 1.0), 0.0)
-        dots = unpack2_dots(qu.astype(jnp.bfloat16), g) * sc[None, :]
-        scores = jnp.where(v[None, :], dots, -jnp.inf)
-        vals, idx = exact_topk(scores, cc, descending=True)
+        # tiled sweep: the direct two-dot form loses unpack fusion (and
+        # ~15x bandwidth) on multi-M-row shards — ops/int4.py
+        vals, idx = screen_int4_topc(qu.astype(jnp.bfloat16), g, sc, v, cc)
         gidx = idx + sid * nlocal
         for a in reversed(names):  # data (ICI) before slice (DCN)
             vals, gidx = _gather_merge_topk(vals, gidx, a, c, True)

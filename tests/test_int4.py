@@ -331,3 +331,33 @@ def test_index_streams_packed_when_over_threshold(rng):
     assert not at_edge._stream_active()
     at_edge.search(q[0], top_k=3)
     assert at_edge._stream is None and at_edge._packed is not None
+
+
+def test_blocked_screen_matches_direct():
+    """screen_int4_topc tiled path == direct path, bit for bit (ids and
+    scores) — including the static tail tile and masked (invalid) rows.
+    The tiled form exists because XLA drops the nibble-unpack fusion on
+    multi-M-row galleries (int4_scale_probe.json)."""
+    import jax.numpy as jnp
+
+    from image_retrieval_tpu.ops.int4 import quantize_pack_int4, screen_int4_topc
+
+    rng = np.random.default_rng(17)
+    n, d, c = 1000, 32, 16  # block=256: 3 full tiles + 232-row tail
+    rows = rng.normal(size=(n, d)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    pk, sc = quantize_pack_int4(rows)
+    q = rng.normal(size=(4, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    valid = np.ones(n, bool)
+    valid[rng.choice(n, 100, replace=False)] = False
+
+    q16 = jnp.asarray(q).astype(jnp.bfloat16)
+    dv, di = screen_int4_topc(q16, jnp.asarray(pk), jnp.asarray(sc),
+                              jnp.asarray(valid), c, block=n + 1)
+    bv, bi = screen_int4_topc(q16, jnp.asarray(pk), jnp.asarray(sc),
+                              jnp.asarray(valid), c, block=256)
+    np.testing.assert_array_equal(np.asarray(di), np.asarray(bi))
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(bv), rtol=1e-6)
+    # none of the returned ids may be masked rows
+    assert valid[np.asarray(bi).ravel()].all()

@@ -50,6 +50,19 @@ C = 128
 OUT_PATH = os.path.join(os.path.dirname(__file__), "..",
                         "bench_results", "int4_scale_probe.json")
 out = {"d": D, "k": K, "nq": NQ, "c": C, "cases": {}}
+# resumable: each case flushes on capture; a relaunch (after a timeout or
+# tunnel wedge) skips sections whose cases are all present
+if os.path.exists(OUT_PATH):
+    try:
+        with open(OUT_PATH) as _f:
+            _prev = json.load(_f)
+        out["cases"].update(_prev.get("cases", {}))
+    except Exception:
+        pass
+
+
+def have(*names):
+    return all(n in out["cases"] for n in names)
 
 
 def flush():
@@ -127,51 +140,69 @@ def batched_int4_step(g, sc, qs, k=C):
     return jax.lax.top_k(unpack2_dots(qn, g) * sc[None, :], k)
 
 
-def time_batched(name, step, g, sc, extra=None):
-    run = jax.jit(step)
-    mk = jax.jit(lambda key: jax.random.normal(key, (NQ, D), jnp.float32))
-    pool = [mk(jax.random.PRNGKey(10 + i)) for i in range(16)]
+def make_pool(nq=NQ, n=16):
+    mk = jax.jit(lambda key: jax.random.normal(key, (nq, D), jnp.float32))
+    pool = [mk(jax.random.PRNGKey(10 + i)) for i in range(n)]
     _ = jax.device_get(pool[-1][0, 0])
+    return pool
+
+
+def time_batched(name, step, g, sc, pool, extra=None):
+    run = jax.jit(step)
+    nq = int(pool[0].shape[0])
     sec = device_seconds(lambda i: run(g, sc, pool[i]),
                          lambda a: jax.device_get(a[0][0, 0]))
-    kw = dict(rows=int(g.shape[0]), sweep_ms=round(sec * 1e3, 3),
-              ms_per_query=round(sec / NQ * 1e3, 4),
-              qps=round(NQ / sec, 1),
+    kw = dict(rows=int(g.shape[0]), nq=nq, sweep_ms=round(sec * 1e3, 3),
+              ms_per_query=round(sec / nq * 1e3, 4),
+              qps=round(nq / sec, 1),
               hbm_gbps=round(g.shape[0] * g.shape[1] / sec / 1e9, 1))
     if extra:
         kw.update(extra)
     rec(name, **kw)
-    return run, pool
+    return run
 
 
-def main():
-    dev = jax.devices()[0]
-    out["device"] = str(dev)
-    flush()
+SEC16 = ("resident_int8_16M", "int4_screen_16M", "int4_screen1q_16M",
+         "int4_rerank_16M", "recall_16M")
+SEC32 = ("int4_screen_32M", "recall_32M")
+SEC4 = ("streamed_4M_int8", "streamed_4M_int4")
 
+
+def run_16m():
     # ---------------- 16M: head-to-head + recall --------------------------
+    # HBM budget forces sequencing: int8 (8 GB) and packed int4 (4 GB)
+    # cannot be co-resident with a (64, 16M) f32 score buffer (4.3 GB) on a
+    # 16 GB chip — the first attempt OOM'd exactly there. Time int8, take
+    # the oracle top-k, FREE the int8 gallery, then run the int4 legs.
     n16 = 1 << 24
     print("generating 16M gallery...", flush=True)
     g8h, s8h, pkh, s4h = make_gallery(n16)
+    pool = make_pool()
 
     base = mem_bytes()
     g8 = jax.device_put(g8h)
     s8 = jax.device_put(s8h)
     _ = jax.device_get(g8[0, 0])
     m_int8 = mem_bytes()
-    time_batched("resident_int8_16M", batched_int8_step, g8, s8)
+    time_batched("resident_int8_16M", batched_int8_step, g8, s8, pool)
+
+    # resident int8 oracle for recall_16M, before freeing the gallery
+    run8 = jax.jit(batched_int8_step)
+    _, oi = jax.device_get(run8(g8, s8, pool[0]))
+    g8.delete(); s8.delete()
+    del g8, s8
 
     pk = jax.device_put(pkh)
     s4 = jax.device_put(s4h)
     _ = jax.device_get(pk[0, 0])
-    m_both = mem_bytes()
+    m_pk16 = mem_bytes()
     if base is not None:
         rec("hbm_16M", int8_bytes=int(m_int8 - base),
-            packed_bytes=int(m_both - m_int8))
+            packed_bytes=int(m_pk16 - base))
 
-    run4, pool = time_batched(
+    run4 = time_batched(
         "int4_screen_16M", lambda g, sc, qs: batched_int4_step(g, sc, qs),
-        pk, s4)
+        pk, s4, pool)
 
     # single-query screen latency: scan over NQ queries inside one dispatch
     @jax.jit
@@ -205,9 +236,7 @@ def main():
         host_gather_s=round(t_gather, 4),
         gather_bytes=int(rows.nbytes))
 
-    # recall vs the resident int8 oracle (the tier's replacement target)
-    run8 = jax.jit(batched_int8_step)
-    _, oi = jax.device_get(run8(g8, s8, pool[0]))
+    # recall vs the resident int8 oracle (computed above, pre-free)
     rv, ri = jax.device_get(
         rerank_int8_topk(qs_d, rows_d, sc8_d, ok_d, K))
     final = np.take_along_axis(np.asarray(ci), np.asarray(ri), axis=1)
@@ -217,23 +246,31 @@ def main():
                          for a, b in zip(oi, ci)]))
     rec("recall_16M", two_phase_at_10=round(recall, 4),
         raw_int4_at_10=round(raw, 4))
-    del g8, s8, rows_d, sc8_d, ok_d
+    rows_d.delete(); del rows_d, sc8_d, ok_d
+    pk.delete(); s4.delete()
     del pk, s4
+    return g8h, s8h, pkh, s4h
 
+
+def run_32m():
     # ---------------- 32M: the capacity headline --------------------------
+    # 8.6 GB packed + the f32 score buffer: a 64-query dispatch would need
+    # another 8.6 GB — dispatch 16 queries instead (2.1 GB scores).
     n32 = 1 << 25
+    nq32 = 16
     print("generating 32M gallery...", flush=True)
     # int8 rows stay HOST-side only (16 GB — the point: they cannot be
     # resident; they are the rerank source)
     g8h32, s8h32, pkh32, s4h32 = make_gallery(n32)
+    pool = make_pool(nq=nq32)
     base = mem_bytes()
     pk32 = jax.device_put(pkh32)
     s432 = jax.device_put(s4h32)
     _ = jax.device_get(pk32[0, 0])
     m_pk = mem_bytes()
-    run432, pool = time_batched(
+    run432 = time_batched(
         "int4_screen_32M", lambda g, sc, qs: batched_int4_step(g, sc, qs),
-        pk32, s432,
+        pk32, s432, pool,
         extra={"packed_hbm_bytes": (int(m_pk - base)
                                     if base is not None else None),
                "int8_equiv_bytes": n32 * D})
@@ -262,15 +299,23 @@ def main():
     rec("recall_32M", two_phase_at_10=round(recall32, 4),
         oracle="streamed int8 exact", oracle_sweep_s=round(t_oracle, 1),
         nq=nq_o)
+    pk32.delete(); s432.delete()
     del pk32, s432, g8h32, s8h32, pkh32, s4h32
 
+
+def run_streamed_4m(g16=None):
     # ---------------- streamed transfer halving at 4M ----------------------
+    from image_retrieval_tpu.index.streaming import StreamingGallerySearch
+
     n4 = 1 << 22
-    g8s = g8h[:n4]
-    s8s = s8h[:n4]
-    pks = pkh[:n4]
-    s4s = s4h[:n4]
-    qu64 = np.asarray(jax.device_get(pool[1]))
+    if g16 is not None:
+        g8h, s8h, pkh, s4h = g16
+        g8s, s8s, pks, s4s = g8h[:n4], s8h[:n4], pkh[:n4], s4h[:n4]
+    else:
+        # chunked rng: the first 4M rows equal the 16M gallery's first 4M
+        print("generating 4M gallery...", flush=True)
+        g8s, s8s, pks, s4s = make_gallery(n4)
+    qu64 = np.asarray(jax.device_get(make_pool(n=2)[1]))
     qu64 = qu64 / np.linalg.norm(qu64, axis=1, keepdims=True)
     for tag, eng in (
         ("int8", StreamingGallerySearch(g8s, s8s, chunk_rows=1 << 21)),
@@ -284,6 +329,23 @@ def main():
         rec(f"streamed_4M_{tag}", rows=n4, sweep_s=round(sec, 2),
             bytes_moved=int(eng.bytes_per_sweep),
             gbps=round(eng.bytes_per_sweep / sec / 1e9, 3))
+
+
+def main():
+    dev = jax.devices()[0]
+    out["device"] = str(dev)
+    flush()
+    g16 = None
+    if not have(*SEC16):
+        g16 = run_16m()
+    else:
+        print("16M section already captured, skipping", flush=True)
+    if not have(*SEC4):
+        run_streamed_4m(g16)  # before 32M: reuses the 16M host arrays
+    if g16 is not None:
+        del g16
+    if not have(*SEC32):
+        run_32m()
     flush()
     print("DONE", flush=True)
 
