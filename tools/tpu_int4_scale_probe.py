@@ -133,11 +133,15 @@ def batched_int8_step(g, sc, qs):
 
 
 def batched_int4_step(g, sc, qs, k=C):
-    from image_retrieval_tpu.ops.int4 import unpack2_dots
+    # the tiled screen (ops/int4.py screen_int4_topc): the direct two-dot
+    # form loses unpack fusion at multi-M rows (431.8 ms at 16M, first
+    # capture in this file's history) — production now tiles
+    from image_retrieval_tpu.ops.int4 import screen_int4_topc
 
     qn = (qs / jnp.linalg.norm(qs, axis=-1, keepdims=True)
           ).astype(jnp.bfloat16)
-    return jax.lax.top_k(unpack2_dots(qn, g) * sc[None, :], k)
+    valid = jnp.ones((g.shape[0],), bool)
+    return screen_int4_topc(qn, g, sc, valid, k)
 
 
 def make_pool(nq=NQ, n=16):
