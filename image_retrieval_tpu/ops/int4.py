@@ -97,6 +97,44 @@ def unpack2_dots(queries_bf16: jnp.ndarray, packed: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def unpack8_dots_i32(queries_bf16: jnp.ndarray, packed: jnp.ndarray) -> jnp.ndarray:
+    """(Q, D) bf16 x (N, D/2) packed -> (Q, N) raw dots via int32 lanes.
+
+    The two-dot uint8 form (unpack2_dots) never reaches the MXU for Q>1:
+    XLA lowers 8-bit mask/shift operand production as a VPU reduce that
+    costs ~7 ms/query at 16M rows regardless of tiling, materialization,
+    or transpose (bench_results/int4_fuse_probe.json, int4_fuse2_probe.json).
+    This form bitcasts the packed bytes to int32 words (4 bytes = 8
+    nibbles = 8 consecutive dims) and decomposes the dot into EIGHT
+    per-nibble-position dots whose operands are produced by native int32
+    shifts/masks — the elementwise-convert pattern XLA does fuse into
+    matmuls. Numerically identical to unpack2_dots (same bf16 operands).
+
+    Nibble j (shift 4j) of word w maps to dim 8w + 2*(j//2) + (j%2)
+    (little-endian byte order; lo nibble = even dim within the byte) —
+    verified against unpack2_dots in tests/test_int4.py.
+
+    `packed` may be the (N, D/2) uint8 nibble layout or its (N, D/8)
+    int32 word view (`pack_words` / np .view(np.int32)) — the resident
+    index stores the word view so the Pallas screen kernel reads native
+    int32 lanes.
+    """
+    if packed.dtype == jnp.int32:
+        pk32 = packed
+    else:
+        n, half = packed.shape
+        pk32 = jax.lax.bitcast_convert_type(
+            packed.reshape(n, half // 4, 4), jnp.int32)  # (N, D/8)
+    acc = None
+    for j in range(8):
+        off = 2 * (j // 2) + (j % 2)
+        nib = ((pk32 >> (4 * j)) & 0xF) - 8  # int32 (N, D/8)
+        d = jnp.dot(queries_bf16[:, off::8], nib.astype(jnp.bfloat16).T,
+                    preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    return acc
+
+
 def screen_int4_topc(
     queries_bf16: jnp.ndarray,
     packed: jnp.ndarray,
@@ -120,15 +158,18 @@ def screen_int4_topc(
 
     `valid` rows score -inf (tombstones / attribute filters). Returns
     (scores, indices), each (Q, min(c, live-ish n)); callers treat -inf
-    rows as padding.
+    rows as padding. Accepts the uint8 nibble layout or the int32 word
+    view (the resident storage form — see unpack8_dots_i32).
     """
     from image_retrieval_tpu.ops.topk import exact_topk
 
     n = packed.shape[0]
     cc = min(c, n)
+    dots = (unpack8_dots_i32 if packed.dtype == jnp.int32
+            else unpack2_dots)
 
     def tile(pk, sc, v, off):
-        s = unpack2_dots(queries_bf16, pk) * sc[None, :]
+        s = dots(queries_bf16, pk) * sc[None, :]
         s = jnp.where(v[None, :], s, -jnp.inf)
         tv, ti = exact_topk(s, min(cc, pk.shape[0]), descending=True)
         return tv, ti.astype(jnp.int32) + off

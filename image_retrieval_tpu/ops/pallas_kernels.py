@@ -576,3 +576,180 @@ def fused_optimized_scores(
         interpret=_interpret(),
     )(q, qn, w, g, mag2d)
     return out[:, :n]
+
+
+# --- int4 packed screen: the kernel XLA cannot emit --------------------------
+#
+# Measured wall (bench_results/int4_fuse{,2,3,4}_probe.json, 16M x 512,
+# Q=64): every XLA formulation of the nibble-packed cosine sweep is slow —
+# the fused two-dot runs the unpack inside a per-query VPU reduce
+# (~6.9 ms/query, linear in Q, no MXU), materializing the unpacked array
+# relayouts at ~10 GB/s, int32-lane decomposition either crashes Mosaic or
+# loses, and tiling/transposes change nothing. The structural fix needs
+# control of the unpack target layout: read the packed words, extract
+# nibbles with native int32 ops, and feed the MXU from VMEM scratch
+# directly. That is exactly a Pallas kernel.
+#
+# Layout: the packed gallery is VIEWED as int32 (N, D/8) — 4 bytes = 8
+# consecutive dims. Nibble j of a word (shift 4j) is dim 8w + 2*(j//2) +
+# (j%2) (little-endian; verified vs unpack2_dots in tests). The query side
+# is pre-split OUTSIDE the kernel into 8 matching planes (8, Q, D/8), so
+# the kernel runs 8 MXU dots of contraction D/8 and accumulates (Q, BN)
+# f32 in VMEM. Output is the scaled score plane; top-k runs outside
+# (selection input is (Q, N) f32, same shape as the int8 sweep's).
+
+
+def _int4_screen_kernel(qp0_ref, qp1_ref, pk_ref, sc0_ref, sc1_ref,
+                        out0_ref, out1_ref):
+    pk = pk_ref[:]  # (BN, 128) int32 — row pair r: gallery rows r, r+N/2
+    acc0 = acc1 = None
+    for j in range(8):
+        nib = (((pk >> (4 * j)) & 0xF) - 8).astype(jnp.bfloat16)
+        d0 = jax.lax.dot_general(
+            qp0_ref[j], nib, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d1 = jax.lax.dot_general(
+            qp1_ref[j], nib, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc0 = d0 if acc0 is None else acc0 + d0
+        acc1 = d1 if acc1 is None else acc1 + d1
+    out0_ref[:, :] = acc0 * sc0_ref[0, :][None, :]
+    out1_ref[:, :] = acc1 * sc1_ref[0, :][None, :]
+
+
+def int4_query_planes(queries_bf16: jnp.ndarray):
+    """(Q, D) bf16 -> two (8, Q, 2*D/8) zero-extended plane stacks.
+
+    Plane j holds the query dims matching nibble j of each packed word
+    (dim = 8w + 2*(j//2) + (j%2), little-endian). The paired-row storage
+    puts TWO gallery rows' words on one 128-lane storage row, so each
+    plane is zero-extended to 128: qp0 contracts the first row's words
+    (lanes 0-63), qp1 the second's (lanes 64-127). The zero half wastes
+    MACs, not bandwidth — the sweep is HBM-bound, not MXU-bound."""
+    planes = [queries_bf16[:, (2 * (j // 2) + (j % 2))::8] for j in range(8)]
+    z = jnp.zeros_like(planes[0])
+    qp0 = jnp.stack([jnp.concatenate([p, z], axis=1) for p in planes])
+    qp1 = jnp.stack([jnp.concatenate([z, p], axis=1) for p in planes])
+    return qp0, qp1
+
+
+def pack_words_paired(packed_u8):
+    """Host-side: (N, D/2) uint8 nibble layout -> (N/2, 2*D/8) int32, the
+    resident storage form for the Pallas screen. Storage row r carries
+    gallery rows r and r+N/2 side by side, making the lane dimension
+    exactly 128 int32 words: the row-major (N, D/8) form's 64-wide lane
+    dim is padded 2x by XLA's T(8,128) relayout (an 8 GB copy at 16M rows
+    that OOMs HBM at compile), and the transposed (D/8, N) form loses the
+    fast MXU orientation (453 ms vs 61 ms — int4_fuse5_probe.json).
+    N must be even (the index pads capacity in 64k steps)."""
+    import numpy as _np
+
+    w = _np.ascontiguousarray(packed_u8).view(_np.int32)  # (N, D/8)
+    n = w.shape[0]
+    assert n % 2 == 0, n
+    return _np.ascontiguousarray(_np.concatenate([w[: n // 2], w[n // 2:]],
+                                                 axis=1))
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def int4_screen_scores_pallas(
+    queries_bf16: jnp.ndarray,
+    packed_paired: jnp.ndarray,
+    scales: jnp.ndarray,
+    block_n: int = 4096,
+) -> jnp.ndarray:
+    """(Q, N) f32 approximate-cosine scores over the paired packed gallery
+    (`pack_words_paired`), identity row order. Numerically identical to
+    unpack2_dots * scales (same bf16 operands, f32 accumulation)."""
+    nq, d = queries_bf16.shape
+    half, words2 = packed_paired.shape
+    assert words2 == d // 4, (packed_paired.shape, d)
+    assert half % block_n == 0, (half, block_n)
+    qp0, qp1 = int4_query_planes(queries_bf16)
+    sc0 = scales[: half].reshape(1, -1)
+    sc1 = scales[half:].reshape(1, -1)
+    s0, s1 = pl.pallas_call(
+        _int4_screen_kernel,
+        grid=(half // block_n,),
+        in_specs=[
+            pl.BlockSpec((8, nq, words2), lambda i: (0, 0, 0)),
+            pl.BlockSpec((8, nq, words2), lambda i: (0, 0, 0)),
+            pl.BlockSpec((block_n, words2), lambda i: (i, 0)),
+            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((nq, block_n), lambda i: (0, i)),
+            pl.BlockSpec((nq, block_n), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, half), jnp.float32),
+            jax.ShapeDtypeStruct((nq, half), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(qp0, qp1, packed_paired, sc0, sc1)
+    return jnp.concatenate([s0, s1], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("c", "block_n", "seg_rows"))
+def int4_screen_topc_pallas(
+    queries_bf16: jnp.ndarray,
+    packed_paired: jnp.ndarray,
+    scales: jnp.ndarray,
+    valid: jnp.ndarray,
+    c: int,
+    block_n: int = 4096,
+    seg_rows: int = 1 << 23,
+):
+    """Production int4 screen: kernel scores + top-c, segmented.
+
+    Mosaic compile time grows with grid size, so the sweep runs as static
+    <=seg_rows segments (counted in GALLERY rows; each maps to seg/2
+    storage rows) — one pallas_call + top-c per segment, merged across
+    segments. `valid` masks tombstones / attribute filters on the score
+    plane before selection. Segment halves carry ids off+col and
+    n/2+off+col; the merge maps them back to identity order.
+    """
+    half = packed_paired.shape[0]
+    n = 2 * half
+    cc = min(c, n)
+
+    def seg(off_pairs, rows_pairs):
+        s = int4_screen_scores_pallas(
+            queries_bf16,
+            jax.lax.slice_in_dim(packed_paired, off_pairs,
+                                 off_pairs + rows_pairs, axis=0),
+            jnp.concatenate([
+                jax.lax.slice_in_dim(scales, off_pairs,
+                                     off_pairs + rows_pairs, axis=0),
+                jax.lax.slice_in_dim(scales, half + off_pairs,
+                                     half + off_pairs + rows_pairs, axis=0),
+            ]),
+            block_n=block_n,
+        )  # (Q, 2*rows_pairs): [rows off..off+rp) then [half+off..)
+        v = jnp.concatenate([
+            jax.lax.slice_in_dim(valid, off_pairs, off_pairs + rows_pairs,
+                                 axis=0),
+            jax.lax.slice_in_dim(valid, half + off_pairs,
+                                 half + off_pairs + rows_pairs, axis=0),
+        ])
+        s = jnp.where(v[None, :], s, -jnp.inf)
+        tv, ti = jax.lax.top_k(s, min(cc, 2 * rows_pairs))
+        ti = ti.astype(jnp.int32)
+        gid = jnp.where(ti < rows_pairs, off_pairs + ti,
+                        half + off_pairs + (ti - rows_pairs))
+        return tv, gid
+
+    carry = None
+    pairs_per_seg = max(seg_rows // 2, block_n)
+    for off in range(0, half, pairs_per_seg):
+        rows_pairs = min(pairs_per_seg, half - off)
+        tv, ti = seg(off, rows_pairs)
+        if carry is None:
+            carry = (tv, ti)
+        else:
+            vals, ids = carry
+            mv, mi = jax.lax.top_k(jnp.concatenate([vals, tv], axis=1), cc)
+            carry = (mv, jnp.take_along_axis(
+                jnp.concatenate([ids, ti], axis=1), mi, axis=1))
+    return carry

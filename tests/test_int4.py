@@ -361,3 +361,67 @@ def test_blocked_screen_matches_direct():
     np.testing.assert_allclose(np.asarray(dv), np.asarray(bv), rtol=1e-6)
     # none of the returned ids may be masked rows
     assert valid[np.asarray(bi).ravel()].all()
+
+
+def test_pallas_screen_kernel_matches_reference():
+    """int4_screen_scores_pallas (paired-row storage, interpret mode on
+    CPU) == unpack2_dots * scales bit-for-bit; the segmented top-c
+    wrapper == masked argsort. The kernel exists because no XLA
+    formulation of the batched packed sweep engages the MXU
+    (ARCHITECTURE.md int4-at-scale; bench_results/int4_fuse*_probe.json)."""
+    import jax.numpy as jnp
+
+    from image_retrieval_tpu.ops.int4 import quantize_pack_int4, unpack2_dots
+    from image_retrieval_tpu.ops.pallas_kernels import (
+        int4_screen_scores_pallas,
+        int4_screen_topc_pallas,
+        pack_words_paired,
+    )
+
+    rng = np.random.default_rng(23)
+    n, d, c = 1024, 64, 16
+    rows = rng.normal(size=(n, d)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    pk, sc = quantize_pack_int4(rows)
+    pkp = pack_words_paired(pk)
+    q16 = jnp.asarray(
+        rng.normal(size=(4, d)).astype(np.float32)).astype(jnp.bfloat16)
+    want = np.asarray(unpack2_dots(q16, jnp.asarray(pk))) * sc[None, :]
+    got = np.asarray(int4_screen_scores_pallas(
+        q16, jnp.asarray(pkp), jnp.asarray(sc), block_n=128))
+    np.testing.assert_array_equal(want, got)
+
+    valid = np.ones(n, bool)
+    valid[rng.choice(n, 200, replace=False)] = False
+    tv, ti = int4_screen_topc_pallas(
+        q16, jnp.asarray(pkp), jnp.asarray(sc), jnp.asarray(valid), c,
+        block_n=128, seg_rows=512)
+    masked = np.where(valid[None, :], want, -np.inf)
+    oracle = np.argsort(-masked, axis=1)[:, :c]
+    assert np.array_equal(np.sort(np.asarray(ti), axis=1),
+                          np.sort(oracle, axis=1))
+    # none of the returned ids may be masked rows
+    assert valid[np.asarray(ti).ravel()].all()
+
+
+def test_unpack8_dots_i32_matches_unpack2():
+    import jax.numpy as jnp
+
+    from image_retrieval_tpu.ops.int4 import (
+        quantize_pack_int4,
+        unpack2_dots,
+        unpack8_dots_i32,
+    )
+
+    rng = np.random.default_rng(29)
+    rows = rng.normal(size=(300, 64)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    pk, _sc = quantize_pack_int4(rows)
+    q16 = jnp.asarray(
+        rng.normal(size=(3, 64)).astype(np.float32)).astype(jnp.bfloat16)
+    a = np.asarray(unpack2_dots(q16, jnp.asarray(pk)))
+    b = np.asarray(unpack8_dots_i32(q16, jnp.asarray(pk)))
+    pk32 = np.ascontiguousarray(pk).view(np.int32)
+    c = np.asarray(unpack8_dots_i32(q16, jnp.asarray(pk32)))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)
