@@ -74,7 +74,8 @@ def _build_app(args):
     from image_retrieval_tpu.models.encoder import get_encoder
 
     encoder = get_encoder(fake=args.fake_encoder) if args.fake_encoder else None
-    app = ImageSearchApp(encoder=encoder)
+    app = ImageSearchApp(encoder=encoder,
+                         journal_dir=getattr(args, "journal_dir", None))
     if getattr(args, "fast_encoder", False) and not args.fake_encoder:
         # Measured-fastest v5e serving model (Pallas attention + int8 MXU
         # projections, cos >0.999 vs f32; bench_results/attn_probe4.json).
@@ -303,6 +304,12 @@ def make_parser() -> argparse.ArgumentParser:
 
     def common(sp):
         sp.add_argument("--folder", required=True, help="Image folder")
+        sp.add_argument("--journal-dir", default=None,
+                        help="Durable index directory: rows are recovered "
+                             "from it on start and every mutation is "
+                             "write-ahead logged, so live inserts survive "
+                             "restarts (the Milvus WAL+volume contract the "
+                             "reference gets from docker-compose.yml:11-12)")
         sp.add_argument("--fake-encoder", action="store_true",
                         help="Deterministic encoder (no CLIP weights needed)")
         sp.add_argument("--fast-encoder", action="store_true",

@@ -62,9 +62,17 @@ class ImageSearchApp:
         self,
         encoder: Optional[Encoder] = None,
         config: Optional[Config] = None,
+        journal_dir: Optional[str] = None,
     ):
+        """`journal_dir` makes the app's index durable (index/journal.py):
+        existing rows are recovered from the directory on first use, every
+        mutation is write-ahead logged, and `checkpoint()` seals the log
+        into a snapshot — the Milvus WAL+volume contract the reference gets
+        from its docker server (docker-compose.yml:11-12). Without it the
+        index is in-memory only (mutations die with the process)."""
         self.config = config or Config()
         self.encoder = encoder  # lazy: only constructed when needed
+        self.journal_dir = journal_dir
         self.embeddings: Dict[str, np.ndarray] = {}
         self.searcher = SimpleSearcher()
         self._index: Optional[ShardedVectorIndex] = None
@@ -100,6 +108,11 @@ class ImageSearchApp:
         """Load cached embeddings when available, else encode
         (reference app_pipeline.py:29-90: exact-path then filename match)."""
         logger.info(f"Processing {len(image_paths)} images...")
+        if self.journal_dir is not None:
+            image_paths = self._recover_from_journal(image_paths)
+            if not image_paths:
+                logger.info("All images recovered from the journal")
+                return
         embeddings_file = None
         for cand in EMBEDDING_CACHE_PATHS:
             cand = os.path.expanduser(cand)
@@ -168,25 +181,98 @@ class ImageSearchApp:
                 logger.warning(f"Failed to save embeddings: {e}")
         logger.info(f"Generated {len(self.embeddings)} embeddings")
 
+    def _open_journaled_index(self) -> Optional[ShardedVectorIndex]:
+        """Open (recovering) the journaled index once; cached thereafter."""
+        import dataclasses as _dc
+
+        if self._index is None:
+            cfg = self.config.index
+            if self.embeddings:
+                dim = next(iter(self.embeddings.values())).shape[0]
+                if cfg.embedding_dim != dim:
+                    cfg = _dc.replace(cfg, embedding_dim=dim)
+            self._index = ShardedVectorIndex.open(self.journal_dir, config=cfg)
+            self._index_dirty = True
+        return self._index
+
+    def _recover_from_journal(self, image_paths: Sequence) -> List[str]:
+        """Restart fast-path: open (recover) the journaled index, adopt the
+        embeddings of rows it already holds (reconstructed unit×magnitude,
+        the documented (unit, mag) schema contract), and return only the
+        paths that still need encoding. A server restart over an unchanged
+        folder therefore encodes nothing — Milvus likewise never re-ingests
+        on reconnect (reference ImageEmbeddingSystem.py:100-137 re-runs the
+        encode; the docker server keeps the rows)."""
+        idx = self._open_journaled_index()
+        todo = [str(p) for p in image_paths]
+        if idx is None or not len(idx):
+            return todo
+        live = idx.live_mask()
+        row_of = {p: i for i, p in enumerate(idx.paths) if live[i]}
+        hit = [p for p in todo if p in row_of]
+        if hit:
+            rows = np.asarray([row_of[p] for p in hit])
+            vecs = idx.get_vectors(rows) * idx.get_magnitudes(rows)[:, None]
+            for p, v in zip(hit, np.asarray(vecs, np.float32)):
+                self.embeddings[p] = v
+            self._index_dirty = True
+            logger.info(f"Recovered {len(hit)}/{len(todo)} images from "
+                        f"journal {self.journal_dir}")
+        return [p for p in todo if p not in row_of]
+
+    @staticmethod
+    def _dir_attrs(paths):
+        # auto attribute: parent directory name — on the reference's
+        # category/color dataset tree this makes filtered search
+        # (search_images(filter_expr="dir == 'red'")) work out of the box
+        return [os.path.basename(os.path.dirname(os.path.abspath(p)))
+                for p in paths]
+
     def _ensure_index(self) -> Optional[ShardedVectorIndex]:
+        if self.journal_dir is not None:
+            return self._ensure_journaled_index()
         if not self.embeddings:
             return None
         if self._index is None or self._index_dirty:
             dim = next(iter(self.embeddings.values())).shape[0]
             self._index = ShardedVectorIndex(dim=dim, config=self.config.index)
             paths = list(self.embeddings.keys())
-            # auto attribute: parent directory name — on the reference's
-            # category/color dataset tree this makes filtered search
-            # (search_images(filter_expr="dir == 'red'")) work out of the box
-            dirs = [os.path.basename(os.path.dirname(os.path.abspath(p)))
-                    for p in paths]
             self._index.insert(
                 paths, np.stack([self.embeddings[p] for p in paths]),
-                attrs={"dir": dirs},
+                attrs={"dir": self._dir_attrs(paths)},
             )
             self._index_dirty = False
             self._ann = None  # gallery changed; rebuild IVF lists on demand
         return self._index
+
+    def _ensure_journaled_index(self) -> Optional[ShardedVectorIndex]:
+        """Durable-index variant of _ensure_index: recover rows from the
+        journal directory once, then DELTA-insert embeddings whose paths
+        the index does not already hold (re-running process_images after a
+        restart must not duplicate recovered rows). Each delta batch is
+        flushed (fsync) before returning, so an index handed to a server
+        is durable from the first search onward."""
+        self._open_journaled_index()
+        if self._index_dirty:
+            live = self._index.live_mask()
+            have = {p for p, alive in zip(self._index.paths, live) if alive}
+            new = [p for p in self.embeddings if p not in have]
+            if new:
+                self._index.insert(
+                    new, np.stack([self.embeddings[p] for p in new]),
+                    attrs={"dir": self._dir_attrs(new)},
+                )
+                self._index.flush()
+                self._ann = None
+            self._index_dirty = False
+        return self._index if len(self._index) else None
+
+    def checkpoint(self) -> None:
+        """Seal the journal into a snapshot (bounds restart replay time).
+        Requires journal_dir; no-op when the index was never built."""
+        idx = self._ensure_index()
+        if idx is not None:
+            idx.checkpoint()
 
     def _ensure_ann(self, index: ShardedVectorIndex):
         """Two-phase candidate generator when configured: 'ivf' (the Milvus

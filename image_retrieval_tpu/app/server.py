@@ -199,6 +199,11 @@ class SearchServer:
             list(image_paths), batch_size=batch_size)
         if self.ann is not None and ok:
             self.ann.add(self.index.get_vectors(range(start, start + ok)))
+        # durability barrier BEFORE acknowledging: with a journaled index
+        # an insert this method returned for must survive a crash (Milvus
+        # flush() contract, reference ImageEmbeddingSystem.py:137); no-op
+        # on an in-memory index
+        self.index.flush()
         self.stats["ingested"] = self.stats.get("ingested", 0) + ok
         return ok, failed
 
@@ -209,6 +214,10 @@ class SearchServer:
         compact()/save() — do NOT compact while an ANN is attached (row
         ids shift; rebuild the ANN after). Returns rows deleted."""
         n = self.index.delete(list(image_paths))
+        if n:
+            # tombstones are journaled mutations too: an acknowledged
+            # delete must not resurrect on restart
+            self.index.flush()
         self.stats["removed"] = self.stats.get("removed", 0) + n
         return n
 

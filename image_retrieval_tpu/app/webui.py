@@ -250,6 +250,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--folder", required=True)
     ap.add_argument("--fake-encoder", action="store_true")
+    ap.add_argument("--journal-dir", default=None,
+                    help="Durable index directory: rows recovered on start, "
+                         "mutations write-ahead logged — POST /add survives "
+                         "a server restart (Milvus WAL+volume analog)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8008)
     ap.add_argument("--ann", choices=("exact", "ivf", "screen"),
@@ -267,7 +271,7 @@ def main(argv=None):
     from image_retrieval_tpu.models.encoder import get_encoder
 
     encoder = get_encoder(fake=args.fake_encoder) if args.fake_encoder else None
-    app = ImageSearchApp(encoder=encoder)
+    app = ImageSearchApp(encoder=encoder, journal_dir=args.journal_dir)
     if args.ann != "exact":
         app.config.search.ann = args.ann
         app.config.search.nlist = args.nlist

@@ -87,9 +87,14 @@ class Collection:
                 )
             self._partitions = {"_default"}
             if journal_dir is not None:
-                # recover partition names from the journaled _partition
-                # column (partitions with live rows; empty partitions do
-                # not survive a restart — create_partition is idempotent)
+                # recover the partition name SET from journaled index
+                # metadata (create/drop log it via set_meta) — Milvus
+                # persists partitions even when they hold no rows, so
+                # recovery can't rely on the _partition row column alone
+                self._partitions |= set(
+                    self._impl.meta.get("partitions", []))
+                # legacy directories predating the meta record: fall back
+                # to the names present in the journaled _partition column
                 vocab = self._impl.attrs.vocab.get("_partition", {})
                 if vocab and self._impl.count:
                     col = self._impl.attrs.columns["_partition"][
@@ -130,6 +135,14 @@ class Collection:
             if partition_name != "_default":
                 raise ValueError(f"invalid partition name {partition_name!r}")
         self._partitions.add(partition_name)
+        self._persist_partitions()
+
+    def _persist_partitions(self) -> None:
+        """Record the non-default partition names as index metadata so they
+        survive restart even with zero rows (COMPAT.md §15; Milvus persists
+        empty partitions)."""
+        self._impl.set_meta(
+            "partitions", sorted(self._partitions - {"_default"}))
 
     def has_partition(self, partition_name: str) -> bool:
         return partition_name in self._partitions
@@ -146,6 +159,7 @@ class Collection:
         if partition_name not in self._partitions:
             raise ValueError(f"partition {partition_name!r} does not exist")
         self._partitions.discard(partition_name)
+        self._persist_partitions()
         mask = self._partition_mask([partition_name]) & self._impl.live_mask()
         return self._impl.delete_rows(np.flatnonzero(mask))
 

@@ -161,6 +161,12 @@ class IndexJournal:
     def log_compact(self) -> None:
         self._append({"op": "compact"})
 
+    def log_meta(self, key: str, value) -> None:
+        """Small JSON-serializable index metadata (e.g. the partition name
+        set — Milvus persists partitions even when empty, so names must
+        survive restart independently of row data)."""
+        self._append({"op": "meta", "key": str(key), "value": value})
+
     def flush(self) -> None:
         """Durability barrier: everything logged so far survives a crash
         (the Milvus `collection.flush()` contract)."""

@@ -94,6 +94,10 @@ class ShardedVectorIndex:
         for a in self._row_axes if self._multislice else (self.axis,):
             self._nshards *= self.mesh.shape[a]
         self.paths: List[str] = []
+        # small JSON metadata that must survive save()/journal recovery
+        # independently of row data (e.g. the Milvus-shim partition name
+        # set — Milvus persists partitions even when they hold no rows)
+        self.meta: Dict[str, object] = {}
         self.count = 0
         self.capacity = 0
         # Host staging buffers are the source of truth; device copies are
@@ -504,6 +508,16 @@ class ShardedVectorIndex:
         pass
 
     @_locked
+    def set_meta(self, key: str, value) -> None:
+        """Set a small JSON-serializable metadata value. Journaled (when a
+        journal is attached) and included in save(), so it survives both
+        crash recovery and checkpoints — the persistence path for state
+        with no rows behind it (e.g. empty partitions, COMPAT.md §15)."""
+        self.meta[str(key)] = value
+        if self._journal is not None and not self._replaying:
+            self._journal.log_meta(key, value)
+
+    @_locked
     def flush(self) -> None:
         """Durability barrier (Milvus collection.flush(),
         ImageEmbeddingSystem.py:137): when the index was opened with a
@@ -869,6 +883,9 @@ class ShardedVectorIndex:
         # rerank_c / l1_shadow / stream_threshold_bytes with it).
         with open(npz_path + ".config.json", "w") as f:
             json.dump(dataclasses.asdict(self.config), f)
+        if self.meta:
+            with open(npz_path + ".meta.json", "w") as f:
+                json.dump(self.meta, f)
 
     @_locked
     def checkpoint(self) -> None:
@@ -931,6 +948,8 @@ class ShardedVectorIndex:
                 idx.delete_rows(rec["rows"])
             elif op == "compact":
                 idx.compact()
+            elif op == "meta":
+                idx.meta[rec["key"]] = rec["value"]
         idx._journal = journal
         return idx
 
@@ -963,4 +982,7 @@ class ShardedVectorIndex:
             with open(npz_path + ".attrs.json") as f:
                 meta = json.load(f)
             idx.attrs = AttributeStore.from_arrays(attr_arrays, meta)
+        if os.path.exists(npz_path + ".meta.json"):
+            with open(npz_path + ".meta.json") as f:
+                idx.meta = json.load(f)
         return idx
