@@ -651,16 +651,13 @@ def pack_words_paired(packed_u8):
                                                  axis=1))
 
 
-@functools.partial(jax.jit, static_argnames=("block_n",))
-def int4_screen_scores_pallas(
-    queries_bf16: jnp.ndarray,
-    packed_paired: jnp.ndarray,
-    scales: jnp.ndarray,
-    block_n: int = 4096,
-) -> jnp.ndarray:
-    """(Q, N) f32 approximate-cosine scores over the paired packed gallery
-    (`pack_words_paired`), identity row order. Numerically identical to
-    unpack2_dots * scales (same bf16 operands, f32 accumulation)."""
+def _int4_screen_scores_halves(queries_bf16, packed_paired, scales,
+                               block_n=4096):
+    """Kernel dispatch returning the two score HALVES (s0, s1), each
+    (Q, half) f32 — half h scores gallery rows [h*half, (h+1)*half).
+    Selection-side callers keep the halves separate: concatenating them
+    to (Q, N) is a multi-GB HBM copy at 16M rows that the selector does
+    not need (it can select per half and merge k-sized lists)."""
     nq, d = queries_bf16.shape
     half, words2 = packed_paired.shape
     assert words2 == d // 4, (packed_paired.shape, d)
@@ -668,7 +665,7 @@ def int4_screen_scores_pallas(
     qp0, qp1 = int4_query_planes(queries_bf16)
     sc0 = scales[: half].reshape(1, -1)
     sc1 = scales[half:].reshape(1, -1)
-    s0, s1 = pl.pallas_call(
+    return pl.pallas_call(
         _int4_screen_kernel,
         grid=(half // block_n,),
         in_specs=[
@@ -688,10 +685,25 @@ def int4_screen_scores_pallas(
         ],
         interpret=_interpret(),
     )(qp0, qp1, packed_paired, sc0, sc1)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def int4_screen_scores_pallas(
+    queries_bf16: jnp.ndarray,
+    packed_paired: jnp.ndarray,
+    scales: jnp.ndarray,
+    block_n: int = 4096,
+) -> jnp.ndarray:
+    """(Q, N) f32 approximate-cosine scores over the paired packed gallery
+    (`pack_words_paired`), identity row order. Numerically identical to
+    unpack2_dots * scales (same bf16 operands, f32 accumulation)."""
+    s0, s1 = _int4_screen_scores_halves(queries_bf16, packed_paired, scales,
+                                        block_n=block_n)
     return jnp.concatenate([s0, s1], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("c", "block_n", "seg_rows"))
+@functools.partial(jax.jit,
+                   static_argnames=("c", "block_n", "seg_rows", "selector"))
 def int4_screen_topc_pallas(
     queries_bf16: jnp.ndarray,
     packed_paired: jnp.ndarray,
@@ -700,6 +712,7 @@ def int4_screen_topc_pallas(
     c: int,
     block_n: int = 4096,
     seg_rows: int = 1 << 23,
+    selector: str = "exact",
 ):
     """Production int4 screen: kernel scores + top-c, segmented.
 
@@ -707,15 +720,30 @@ def int4_screen_topc_pallas(
     <=seg_rows segments (counted in GALLERY rows; each maps to seg/2
     storage rows) — one pallas_call + top-c per segment, merged across
     segments. `valid` masks tombstones / attribute filters on the score
-    plane before selection. Segment halves carry ids off+col and
-    n/2+off+col; the merge maps them back to identity order.
+    plane before selection. Selection runs PER SCORE HALF and merges the
+    two c-sized lists — never concatenating the (Q, 2*rows) plane, which
+    is a multi-GB HBM copy at 16M rows.
+
+    selector: "exact" (lax.top_k) or "approx" (lax.approx_max_k, the
+    TPU-native partial reduction). The screen is approximate BY DESIGN
+    (raw int4 recall@10 ~0.73; the exact int8 rerank restores 0.995 at
+    C=128 — bench_results/int4_scale_probe.json), so a high-recall
+    approximate top-c changes the end metric marginally while avoiding
+    lax.top_k's wide-plane cost. On non-TPU backends approx_max_k
+    lowers to exact top_k, so tests see identical results either way.
     """
     half = packed_paired.shape[0]
     n = 2 * half
     cc = min(c, n)
+    if selector == "approx":
+        def sel(s, k):
+            return jax.lax.approx_max_k(s, k, recall_target=0.95)
+    else:
+        def sel(s, k):
+            return jax.lax.top_k(s, k)
 
     def seg(off_pairs, rows_pairs):
-        s = int4_screen_scores_pallas(
+        s0, s1 = _int4_screen_scores_halves(
             queries_bf16,
             jax.lax.slice_in_dim(packed_paired, off_pairs,
                                  off_pairs + rows_pairs, axis=0),
@@ -726,19 +754,21 @@ def int4_screen_topc_pallas(
                                      half + off_pairs + rows_pairs, axis=0),
             ]),
             block_n=block_n,
-        )  # (Q, 2*rows_pairs): [rows off..off+rp) then [half+off..)
-        v = jnp.concatenate([
-            jax.lax.slice_in_dim(valid, off_pairs, off_pairs + rows_pairs,
-                                 axis=0),
-            jax.lax.slice_in_dim(valid, half + off_pairs,
-                                 half + off_pairs + rows_pairs, axis=0),
-        ])
-        s = jnp.where(v[None, :], s, -jnp.inf)
-        tv, ti = jax.lax.top_k(s, min(cc, 2 * rows_pairs))
-        ti = ti.astype(jnp.int32)
-        gid = jnp.where(ti < rows_pairs, off_pairs + ti,
-                        half + off_pairs + (ti - rows_pairs))
-        return tv, gid
+        )  # each (Q, rows_pairs): rows [off..off+rp) and [half+off..)
+        v0 = jax.lax.slice_in_dim(valid, off_pairs, off_pairs + rows_pairs,
+                                  axis=0)
+        v1 = jax.lax.slice_in_dim(valid, half + off_pairs,
+                                  half + off_pairs + rows_pairs, axis=0)
+        kk = min(cc, rows_pairs)
+        tv0, ti0 = sel(jnp.where(v0[None, :], s0, -jnp.inf), kk)
+        tv1, ti1 = sel(jnp.where(v1[None, :], s1, -jnp.inf), kk)
+        tv = jnp.concatenate([tv0, tv1], axis=1)
+        gid = jnp.concatenate(
+            [off_pairs + ti0.astype(jnp.int32),
+             half + off_pairs + ti1.astype(jnp.int32)], axis=1)
+        kk2 = min(cc, 2 * rows_pairs)
+        mv, mi = jax.lax.top_k(tv, kk2)
+        return mv, jnp.take_along_axis(gid, mi, axis=1)
 
     carry = None
     pairs_per_seg = max(seg_rows // 2, block_n)

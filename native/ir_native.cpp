@@ -49,7 +49,16 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-ImageU8 decode_jpeg(FILE* f) {
+// `min_size`: smallest acceptable shorter side of the DECODED image.
+// libjpeg can inverse-transform at M/8 scale (M=1..8) nearly for free —
+// IDCT on an 8x8 block at scale M/8 touches only the MxM low-frequency
+// coefficients, so decoding a 4000px photo for a 224px model input is
+// ~an order of magnitude cheaper than full decode + resize, AND the
+// DCT-domain downscale is a proper low-pass (better antialiasing than
+// the bilinear it replaces on >2x shrinks). The fused
+// resize_crop_normalize finishes the last <=8/7x step. Pass
+// min_size<=0 for a full-resolution decode.
+ImageU8 decode_jpeg(FILE* f, int min_size) {
   ImageU8 img;
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
@@ -63,6 +72,22 @@ ImageU8 decode_jpeg(FILE* f) {
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  if (min_size > 0) {
+    // smallest M/8 (M=1..8) whose shorter OUTPUT side still covers
+    // min_size; libjpeg rounds output dims up (ceil)
+    unsigned m = 8;
+    while (m > 1) {
+      const unsigned nw = (cinfo.image_width * (m - 1) + 7) / 8;
+      const unsigned nh = (cinfo.image_height * (m - 1) + 7) / 8;
+      if (std::min(nw, nh) >= unsigned(min_size)) {
+        --m;
+      } else {
+        break;
+      }
+    }
+    cinfo.scale_num = m;
+    cinfo.scale_denom = 8;
+  }
   jpeg_start_decompress(&cinfo);
   img.w = cinfo.output_width;
   img.h = cinfo.output_height;
@@ -109,7 +134,9 @@ ImageU8 decode_png(FILE* f) {
   return img;
 }
 
-ImageU8 decode_file(const char* path) {
+// min_size: shorter-side floor for DCT-scaled JPEG decode (PNG has no
+// scaled-decode path in libpng; it always decodes full resolution).
+ImageU8 decode_file(const char* path, int min_size) {
   FILE* f = fopen(path, "rb");
   if (!f) return {};
   uint8_t magic[8] = {0};
@@ -117,7 +144,7 @@ ImageU8 decode_file(const char* path) {
   rewind(f);
   ImageU8 img;
   if (got >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
-    img = decode_jpeg(f);
+    img = decode_jpeg(f, min_size);
   } else if (got >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
     img = decode_png(f);
   }
@@ -210,7 +237,9 @@ void ir_decode_preprocess_batch(const char** paths, int n, int size, float* out,
     // otherwise read as "ok" and index garbage pixels.
     status[i] = 0;
     std::memset(out + i * stride, 0, stride * sizeof(float));
-    ImageU8 img = decode_file(paths[i]);
+    // DCT-scaled decode: land the shorter side at the smallest M/8 scale
+    // >= the model input; the fused bilinear below covers the remainder
+    ImageU8 img = decode_file(paths[i], size);
     if (!img.ok || img.w <= 0 || img.h <= 0) {
       std::memset(out + i * stride, 0, stride * sizeof(float));
       status[i] = 0;
@@ -230,7 +259,9 @@ void ir_decode_thumbnail_batch(const char** paths, int n, int size, uint8_t* out
   run_pool(n, threads, [&](int i) {
     status[i] = 0;  // see ir_decode_preprocess_batch: escaping exceptions
     std::memset(out + i * stride, 0, stride);
-    ImageU8 img = decode_file(paths[i]);
+    // thumbnails keep >= 2x the output so the plain bilinear below
+    // doesn't alias (color stats want the whole frame, lightly filtered)
+    ImageU8 img = decode_file(paths[i], 2 * size);
     if (!img.ok) {
       std::memset(out + i * stride, 0, stride);
       status[i] = 0;

@@ -402,6 +402,15 @@ def test_pallas_screen_kernel_matches_reference():
                           np.sort(oracle, axis=1))
     # none of the returned ids may be masked rows
     assert valid[np.asarray(ti).ravel()].all()
+    # the production selector ("approx", lax.approx_max_k — a TPU-native
+    # partial reduction) lowers to exact top_k off-TPU, so this asserts
+    # full result parity here; on-TPU recall is measured in
+    # bench_results/int4_isolate_probe.json
+    av, ai = int4_screen_topc_pallas(
+        q16, jnp.asarray(pkp), jnp.asarray(sc), jnp.asarray(valid), c,
+        block_n=128, seg_rows=512, selector="approx")
+    np.testing.assert_array_equal(np.asarray(ai), np.asarray(ti))
+    np.testing.assert_array_equal(np.asarray(av), np.asarray(tv))
 
 
 def test_unpack8_dots_i32_matches_unpack2():
