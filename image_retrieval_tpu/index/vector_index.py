@@ -114,7 +114,9 @@ class ShardedVectorIndex:
         self._mags = None  # (capacity,) sharded jax
         self._valid = None  # (capacity,) bool sharded jax
         self._scales = None  # (capacity,) sharded jax, int8 mode only
-        self._packed = None  # (capacity, D/2) sharded jax, int4 mode only
+        self._packed = None  # int4 mode: (capacity/2, 2*D/8) int32 PAIRED
+        # (Pallas screen layout, _paired_packed_form) or (capacity, D/2)
+        # uint8 nibble rows (XLA fallback), sharded
         self._scales4 = None  # (capacity,) sharded jax, int4 mode only
         self._device_dirty = True
         # beyond-HBM tier (config.stream_threshold_bytes): host-resident
@@ -471,8 +473,10 @@ class ShardedVectorIndex:
             # screen copy (D/2 bytes per row-pair — ~2x resident rows per
             # chip); the int8 rows stay in host RAM as the exact-rerank
             # source. Magnitudes never ship: the tier is cosine-only.
-            self._packed = shard_rows(self._host_packed, self.mesh,
-                                      self._row_axes)
+            paired = self._paired_packed_form()
+            self._packed = shard_rows(
+                paired if paired is not None else self._host_packed,
+                self.mesh, self._row_axes)
             self._scales4 = shard_rows(self._host_scales4, self.mesh,
                                        self._row_axes)
             self._valid = shard_rows(self._host_valid, self.mesh,
@@ -627,6 +631,33 @@ class ShardedVectorIndex:
         if single:
             return vals[0], idx[0]
         return vals, idx
+
+    def _paired_packed_form(self) -> Optional[np.ndarray]:
+        """PAIRED int32 device layout for the int4 Pallas screen kernel.
+
+        (capacity, D/2) uint8 nibble rows -> (capacity/2, 2*D/8) int32,
+        paired PER SHARD (pack_words_paired on each shard's contiguous
+        row block) so a shard's paired rows cover exactly its identity
+        row range [s*L, (s+1)*L) — `valid`/`scales` keep their identity
+        sharding and local ids map to global as sid*L + id, unchanged.
+        Returns None when the kernel's layout gates fail (the sharded
+        sweep then runs the XLA tiled form on the uint8 rows):
+          * lane dim 2*D/8 must be a whole number of 128-lane registers
+            (D % 512 == 0) — 512 is the flagship CLIP dim;
+          * per-shard rows must split into 128-pair kernel blocks
+            (capacity % (256 * nshards) == 0; default capacity_step 64k
+            always satisfies this).
+        """
+        if self.dim % 512:
+            return None
+        local_rows = self.capacity // self._nshards
+        if local_rows % 256:
+            return None
+        from image_retrieval_tpu.ops.pallas_kernels import pack_words_paired
+
+        blocks = self._host_packed.reshape(
+            self._nshards, local_rows, self.dim // 2)
+        return np.concatenate([pack_words_paired(b) for b in blocks], axis=0)
 
     def _search_int4(
         self, queries: np.ndarray, top_k: int, metric: str,

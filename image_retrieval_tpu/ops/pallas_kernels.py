@@ -651,6 +651,21 @@ def pack_words_paired(packed_u8):
                                                  axis=1))
 
 
+def int4_paired_block_n(half: int) -> int:
+    """Largest gallery block size (in PAIRED storage rows) usable for a
+    paired gallery of `half` storage rows: a multiple of 128 (the f32
+    score plane's lane dim wants full 128-lane tiles) that divides `half`
+    exactly (the kernel grid has no partial-block masking), capped at
+    4096 (the measured sweet spot — int4_block_probe). Returns 0 when no
+    such block exists; callers then keep the XLA tiled-sweep layout."""
+    if half <= 0 or half % 128:
+        return 0
+    bn = 4096
+    while bn > 128 and half % bn:
+        bn //= 2
+    return bn if half % bn == 0 else 0
+
+
 def _int4_screen_scores_halves(queries_bf16, packed_paired, scales,
                                block_n=4096):
     """Kernel dispatch returning the two score HALVES (s0, s1), each

@@ -376,21 +376,56 @@ def sharded_int4_screen_topk(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Cosine SCREEN over a nibble-packed int4 row-sharded gallery.
 
-    Phase 1 of the two-phase int4 tier (ops/int4.py): per-shard two-dot
-    sweep -> local top-c -> hierarchical merge (innermost axis first, so a
+    Phase 1 of the two-phase int4 tier (ops/int4.py): per-shard sweep ->
+    local top-c -> hierarchical merge (innermost axis first, so a
     ('slice', 'data') sharding merges over ICI before DCN exactly like
     multislice_search_topk). Returns (approx scores, global indices), each
     (Q, c) replicated; feed the indices to the exact int8 rerank
     (ops/int4.py rerank_int8_topk). Rows where `valid` is False (tombstones
     or an attribute-filter mask) score -inf and surface only as padding
     when fewer than c rows are live.
-    """
-    from image_retrieval_tpu.ops.int4 import screen_int4_topc
 
+    Two gallery layouts select the sweep engine:
+      * (N, D/2) uint8 nibble rows — the XLA tiled two-dot sweep
+        (ops/int4.py screen_int4_topc). Portable fallback.
+      * (N/2, 2*D/8) int32 PAIRED rows (ops/pallas_kernels.py
+        pack_words_paired, applied per shard so local ids stay
+        contiguous) — the Pallas MXU screen kernel, ~29x the XLA form at
+        scale (bench_results/int4_isolate_probe.json: the XLA unpack runs
+        as a per-query VPU reduce). Production resident int4 uses this.
+    """
     names = axis if isinstance(axis, tuple) else (axis,)
     nshards = _axis_size(mesh, names)
-    nlocal = packed.shape[0] // nshards
+    paired = packed.dtype == jnp.int32
+    # paired storage rows carry TWO gallery rows each
+    nlocal = packed.shape[0] // nshards * (2 if paired else 1)
     cc = min(c, nlocal)
+    if paired:
+        from image_retrieval_tpu.ops.pallas_kernels import (
+            int4_paired_block_n,
+            int4_screen_topc_pallas,
+        )
+
+        bn = int4_paired_block_n(nlocal // 2)
+        assert bn, (
+            "paired int4 layout requires per-shard row counts in 256-row "
+            f"multiples (got {nlocal} gallery rows/shard)"
+        )
+
+        def sweep(qu, g, v, sc):
+            # approx selector: the screen is approximate by design (exact
+            # int8 rerank follows); lax.top_k's exact selection over the
+            # wide plane costs more than the whole sweep at 16M rows
+            # (int4_isolate_probe.json: 6.2 vs 0.09 ms/query)
+            return int4_screen_topc_pallas(qu, g, sc, v, cc, block_n=bn,
+                                           selector="approx")
+    else:
+        from image_retrieval_tpu.ops.int4 import screen_int4_topc
+
+        def sweep(qu, g, v, sc):
+            # tiled sweep: the direct two-dot form loses unpack fusion
+            # (and ~15x bandwidth) on multi-M-row shards — ops/int4.py
+            return screen_int4_topc(qu, g, sc, v, cc)
 
     def local(q, g, v, sc):
         sid = jnp.int32(0)
@@ -399,9 +434,7 @@ def sharded_int4_screen_topk(
         qf = q.astype(jnp.float32)
         qn = jnp.linalg.norm(qf, axis=-1, keepdims=True)
         qu = jnp.where(qn > 0, qf / jnp.where(qn > 0, qn, 1.0), 0.0)
-        # tiled sweep: the direct two-dot form loses unpack fusion (and
-        # ~15x bandwidth) on multi-M-row shards — ops/int4.py
-        vals, idx = screen_int4_topc(qu.astype(jnp.bfloat16), g, sc, v, cc)
+        vals, idx = sweep(qu.astype(jnp.bfloat16), g, v, sc)
         gidx = idx + sid * nlocal
         for a in reversed(names):  # data (ICI) before slice (DCN)
             vals, gidx = _gather_merge_topk(vals, gidx, a, c, True)

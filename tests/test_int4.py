@@ -9,6 +9,7 @@ sweep, so two-phase scores are identical to dtype='int8' for the same
 rows (recall@10 0.983 vs int8's 0.984 at 1M on v5e).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -197,6 +198,62 @@ def test_screen_tier_refuses_int4(trio):
     i4, _, _, _ = trio
     with pytest.raises(ValueError, match="int4"):
         ScreenedSearch.from_index(i4, sketch_dims=16)
+
+
+def test_int4_paired_pallas_path_end_to_end(rng):
+    """dim=512 engages the PAIRED int32 device layout (the Pallas screen
+    kernel; interpret mode off-TPU) through ShardedVectorIndex.search.
+    With rerank_c >= live rows every row survives the screen, so the
+    exact rerank makes the result identical to the resident int8 index —
+    any paired-layout id/scale/valid mismatch surfaces as a hard diff."""
+    n, d = 300, 512
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    paths = [f"p{i}" for i in range(n)]
+    i4 = ShardedVectorIndex(
+        dim=d, config=IndexConfig(embedding_dim=d, dtype="int4",
+                                  rerank_c=512, capacity_step=2048))
+    i8 = ShardedVectorIndex(
+        dim=d, config=IndexConfig(embedding_dim=d, dtype="int8"))
+    i4.insert(paths, emb)
+    i8.insert(paths, emb)
+    i4._sync_device()
+    assert i4._packed.dtype == jnp.int32  # paired layout actually in use
+    assert i4._packed.shape == (i4.capacity // 2, d // 4)
+
+    q = rng.normal(size=(3, d)).astype(np.float32)
+    v4, x4 = i4.search(q, top_k=10)
+    v8, x8 = i8.search(q, top_k=10)
+    np.testing.assert_array_equal(x4, x8)
+    np.testing.assert_allclose(v4, v8, rtol=0, atol=1e-6)
+
+    # tombstones + attribute filter ride the identity-order valid mask
+    # through the paired kernel's per-half split
+    i4.delete([f"p{i}" for i in range(0, n, 3)])
+    i8.delete([f"p{i}" for i in range(0, n, 3)])
+    v4, x4 = i4.search(q, top_k=10)
+    v8, x8 = i8.search(q, top_k=10)
+    np.testing.assert_array_equal(x4, x8)
+
+    flt = ShardedVectorIndex(
+        dim=d, config=IndexConfig(embedding_dim=d, dtype="int4",
+                                  rerank_c=512, capacity_step=2048))
+    flt.insert(paths[:100], emb[:100],
+               attrs={"grp": ["a"] * 50 + ["b"] * 50})
+    vv, ii = flt.search(q[0], top_k=60, flt="grp == 'b'")
+    ok = np.isfinite(vv)
+    assert ok.sum() == 50
+    assert ((ii[ok] >= 50) & (ii[ok] < 100)).all() and (ii[~ok] == -1).all()
+
+
+def test_paired_form_gates(rng):
+    """Non-512-multiple dims / non-256-multiple shard rows keep the uint8
+    XLA layout (the Pallas kernel's lane/block constraints)."""
+    d = 64
+    idx = ShardedVectorIndex(
+        dim=d, config=IndexConfig(embedding_dim=d, dtype="int4"))
+    idx.insert(["a", "b"], rng.normal(size=(2, d)).astype(np.float32))
+    idx._sync_device()
+    assert idx._packed.dtype == jnp.uint8
 
 
 def test_int4_fully_tombstoned(rng):
