@@ -25,21 +25,29 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
-def _decode_chunk_native(paths: List[str], size: int, threads: int):
+def _decode_chunk_native(paths: List[str], size: int, threads: int,
+                         emit: str = "f32"):
     from image_retrieval_tpu.utils import native
 
-    batch, ok = native.decode_preprocess_batch(paths, size=size, threads=threads)
+    fn = (native.decode_preprocess_batch_u8 if emit == "u8"
+          else native.decode_preprocess_batch)
+    batch, ok = fn(paths, size=size, threads=threads)
     return batch, ok
 
 
-def _decode_chunk_pil(paths: List[str], size: int):
-    from image_retrieval_tpu.models.preprocess import preprocess_host
+def _decode_chunk_pil(paths: List[str], size: int, emit: str = "f32"):
+    from image_retrieval_tpu.models.preprocess import (
+        preprocess_host,
+        preprocess_host_u8,
+    )
 
-    out = np.zeros((len(paths), size, size, 3), np.float32)
+    fn = preprocess_host_u8 if emit == "u8" else preprocess_host
+    out = np.zeros((len(paths), size, size, 3),
+                   np.uint8 if emit == "u8" else np.float32)
     ok = np.zeros((len(paths),), bool)
     for i, p in enumerate(paths):
         try:
-            out[i] = preprocess_host(p, size)
+            out[i] = fn(p, size)
             ok[i] = True
         except Exception as e:
             logger.warning(f"decode failed for {p}: {e}")
@@ -56,6 +64,11 @@ class ImageBatchLoader:
         prefetch: max decoded batches buffered ahead (backpressure bound).
         use_native: prefer the C++ decoder (falls back to PIL when absent).
         threads: decode threads for the native path.
+        emit: "f32" = CLIP-normalized float batches (parity path) or
+            "u8" = raw RGB bytes, normalized ON DEVICE inside the encoder
+            jit — 1/4 the host->device transfer bytes and no host
+            normalize pass (the high-throughput ingest form; the encoder
+            switches on batch dtype).
     """
 
     def __init__(
@@ -66,7 +79,10 @@ class ImageBatchLoader:
         prefetch: int = 2,
         use_native: bool = True,
         threads: int = 0,
+        emit: str = "f32",
     ):
+        assert emit in ("f32", "u8"), emit
+        self.emit = emit
         self.paths = [str(p) for p in paths]
         self.batch_size = batch_size
         self.size = size
@@ -109,9 +125,11 @@ class ImageBatchLoader:
                         return
                     chunk = self.paths[i : i + self.batch_size]
                     if self.use_native:
-                        batch, ok = _decode_chunk_native(chunk, self.size, self.threads)
+                        batch, ok = _decode_chunk_native(
+                            chunk, self.size, self.threads, self.emit)
                     else:
-                        batch, ok = _decode_chunk_pil(chunk, self.size)
+                        batch, ok = _decode_chunk_pil(chunk, self.size,
+                                                      self.emit)
                     if not _put((chunk, batch, ok)):
                         return
             except BaseException as e:  # surfaced to the consumer, not lost
@@ -156,7 +174,9 @@ def encode_folder(
         if not ok.any():
             continue
         good = np.flatnonzero(ok)
-        out = encoder.encode_pixels(batch[good])
+        # all-ok batches skip the fancy-index copy (it costs a full batch
+        # write on the single ingest core)
+        out = encoder.encode_pixels(batch if ok.all() else batch[good])
         embs.append(out)
         ok_paths.extend(chunk[int(i)] for i in good)
     if embs:

@@ -85,6 +85,17 @@ class CLIPEncoder(Encoder):
             in_shardings=(NamedSharding(self.mesh, P()), data_spec),
             out_shardings=data_spec,
         )
+        # uint8 ingest form: the host ships raw RGB bytes (1/4 the f32
+        # transfer — the tunnel/PCIe leg of ingest) and /255 + mean/std
+        # fuse into the forward under jit (models/preprocess.py)
+        from image_retrieval_tpu.models.preprocess import normalize_u8_device
+
+        self._encode_image_u8 = jax.jit(
+            lambda p, x: self.model.apply(
+                p, normalize_u8_device(x), method=CLIP.encode_image),
+            in_shardings=(NamedSharding(self.mesh, P()), data_spec),
+            out_shardings=data_spec,
+        )
         self._encode_text = jax.jit(
             lambda p, t: self.model.apply(p, t, method=CLIP.encode_text),
             in_shardings=(NamedSharding(self.mesh, P()), data_spec),
@@ -118,7 +129,12 @@ class CLIPEncoder(Encoder):
             outs.append(np.asarray(dev)[:m])
 
     def encode_pixels(self, pixels: np.ndarray) -> np.ndarray:
-        """(B, H, W, 3) normalized f32 -> (B, dim) f32 unnormalized.
+        """(B, H, W, 3) pixels -> (B, dim) f32 unnormalized embeddings.
+
+        Accepts CLIP-normalized f32 (the parity path) OR raw uint8 RGB —
+        u8 batches ship 1/4 the bytes to the device and normalize inside
+        the forward jit (the high-throughput ingest form; see
+        utils/native.py decode_preprocess_batch_u8).
 
         Pipelined: up to _MAX_IN_FLIGHT batches are dispatched before the
         oldest is fetched — device compute overlaps the per-batch host-fetch
@@ -127,14 +143,18 @@ class CLIPEncoder(Encoder):
         n = pixels.shape[0]
         if n == 0:
             return np.zeros((0, self.dim), np.float32)
+        u8 = pixels.dtype == np.uint8
+        encode = self._encode_image_u8 if u8 else self._encode_image
         step = self._batch_sizes(min(n, self._BUCKETS[-1]))
         pending, outs = [], []
         for i in range(0, n, step):
-            chunk = pixels[i : i + step].astype(np.float32)
+            chunk = pixels[i : i + step]
+            if not u8 and chunk.dtype != np.float32:
+                chunk = chunk.astype(np.float32)
             nb = self._batch_sizes(chunk.shape[0])
             padded = _pad_to(chunk, nb)
             pending.append(
-                (self._encode_image(self.params, jnp.asarray(padded)), chunk.shape[0])
+                (encode(self.params, jnp.asarray(padded)), chunk.shape[0])
             )
             self._drain(pending, outs, self._MAX_IN_FLIGHT)
         self._drain(pending, outs, 0)
@@ -201,6 +221,15 @@ class FakeEncoder(Encoder):
         self._txt_proj = rng.normal(size=(256, dim)).astype(np.float32) / np.sqrt(256)
 
     def encode_pixels(self, pixels: np.ndarray) -> np.ndarray:
+        if pixels.dtype == np.uint8:
+            # mirror CLIPEncoder's on-device u8 normalize so fake
+            # embeddings are identical across the f32/u8 ingest forms
+            from image_retrieval_tpu.models.preprocess import (
+                CLIP_MEAN,
+                CLIP_STD,
+            )
+
+            pixels = (pixels.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
         b, h, w, _ = pixels.shape
         gh, gw = h // 8, w // 8
         x = pixels[:, : gh * 8, : gw * 8, :]

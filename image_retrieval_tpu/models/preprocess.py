@@ -72,6 +72,41 @@ def preprocess_device(batch_u8: jnp.ndarray, size: int = 224) -> jnp.ndarray:
     return (x - mean) / std
 
 
+def normalize_u8_device(batch_u8: jnp.ndarray) -> jnp.ndarray:
+    """Device-side /255 + CLIP mean/std for already-sized uint8 batches.
+
+    The ingest pipeline's device half: the native decoder emits raw
+    (B, size, size, 3) uint8 (utils/native.py decode_preprocess_batch_u8)
+    so the host->device transfer moves 1/4 the f32 bytes; this fuses into
+    the encoder forward under jit. Same math as preprocess_host's tail."""
+    mean = jnp.asarray(CLIP_MEAN)
+    std = jnp.asarray(CLIP_STD)
+    return (batch_u8.astype(jnp.float32) / 255.0 - mean) / std
+
+
+def preprocess_host_u8(image: Union[str, np.ndarray, Image.Image],
+                       size: int = 224) -> np.ndarray:
+    """PIL fallback for the u8 ingest path: resize shortest edge + center
+    crop, returning raw (size, size, 3) uint8 (no normalize — that runs
+    on device via normalize_u8_device)."""
+    if isinstance(image, str):
+        im = Image.open(image).convert("RGB")
+    elif isinstance(image, np.ndarray):
+        im = Image.fromarray(image).convert("RGB")
+    else:
+        im = image.convert("RGB")
+    w, h = im.size
+    if w <= h:
+        nw, nh = size, int(size * h / w)
+    else:
+        nw, nh = int(size * w / h), size
+    im = im.resize((nw, nh), Image.Resampling.BICUBIC)
+    left = (nw - size) // 2
+    top = (nh - size) // 2
+    im = im.crop((left, top, left + size, top + size))
+    return np.asarray(im, np.uint8)
+
+
 def preprocess_batch(paths: Sequence[str], size: int = 224) -> np.ndarray:
     """Host decode+transform for a list of paths -> (B, size, size, 3) f32."""
     return np.stack([preprocess_host(p, size) for p in paths])

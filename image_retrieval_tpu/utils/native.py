@@ -57,6 +57,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int,
         ]
+        lib.ir_decode_preprocess_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+        ]
         lib.ir_decode_thumbnail_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
@@ -100,6 +105,31 @@ def decode_preprocess_batch(
     lib.ir_decode_preprocess_batch(
         arr, n, size,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        threads,
+    )
+    return out, status.astype(bool)
+
+
+def decode_preprocess_batch_u8(
+    paths: Sequence[str], size: int = 224, threads: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Native decode -> resize -> crop, emitting RAW uint8 RGB.
+
+    The high-throughput ingest form: /255 + CLIP mean/std run on device
+    (models/preprocess.py normalize_u8_device), so the host->device
+    transfer ships 1/4 the bytes of the f32 form and the host skips the
+    normalize pass. Returns (batch (N,size,size,3) u8, ok (N,) bool)."""
+    lib = get_lib()
+    assert lib is not None, "native library not available"
+    n = len(paths)
+    threads = threads or (os.cpu_count() or 1)
+    out = np.empty((n, size, size, 3), np.uint8)
+    status = np.empty((n,), np.int32)
+    arr, _keep = _paths_array(paths)
+    lib.ir_decode_preprocess_batch_u8(
+        arr, n, size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         threads,
     )

@@ -22,6 +22,7 @@
 #include <functional>
 #include <limits>
 #include <thread>
+#include <type_traits>
 #include <vector>
 
 #include <jpeglib.h>
@@ -152,10 +153,17 @@ ImageU8 decode_file(const char* path, int min_size) {
   return img;
 }
 
-// Shortest-side resize to `size` + center crop + normalize. Bilinear with
-// half-pixel centers (matches jax.image.resize / PIL bilinear closely; the
-// exact-bicubic parity path stays in Python).
-void resize_crop_normalize(const ImageU8& img, int size, float* out) {
+// Shortest-side resize to `size` + center crop. Bilinear with half-pixel
+// centers (matches jax.image.resize / PIL bilinear closely; the
+// exact-bicubic parity path stays in Python). OutT selects the emit form:
+//   float  -> CLIP-normalized f32 (the classic host-complete pipeline)
+//   uint8  -> raw RGB bytes; /255 + mean/std run ON DEVICE
+//             (models/preprocess.py normalize_u8_device) so the
+//             host->device transfer ships 1/4 the bytes and the host
+//             skips the normalize pass entirely — on the 1-core ingest
+//             host both costs land on the decode core.
+template <typename OutT>
+void resize_crop_emit(const ImageU8& img, int size, OutT* out) {
   const int w = img.w, h = img.h;
   const float scale = float(std::min(w, h)) / size;
   const int nw = int(std::lround(w / scale));
@@ -179,8 +187,12 @@ void resize_crop_normalize(const ImageU8& img, int size, float* out) {
         const float v11 = img.data[(size_t(y1) * w + x1) * 3 + c];
         const float v = v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx +
                         v10 * fy * (1 - fx) + v11 * fy * fx;
-        out[(size_t(oy) * size + ox) * 3 + c] =
-            (v / 255.0f - kClipMean[c]) / kClipStd[c];
+        if constexpr (std::is_same_v<OutT, float>) {
+          out[(size_t(oy) * size + ox) * 3 + c] =
+              (v / 255.0f - kClipMean[c]) / kClipStd[c];
+        } else {
+          out[(size_t(oy) * size + ox) * 3 + c] = OutT(v + 0.5f);
+        }
       }
     }
   }
@@ -245,7 +257,30 @@ void ir_decode_preprocess_batch(const char** paths, int n, int size, float* out,
       status[i] = 0;
       return;
     }
-    resize_crop_normalize(img, size, out + i * stride);
+    resize_crop_emit<float>(img, size, out + i * stride);
+    status[i] = 1;
+  });
+}
+
+// uint8 variant of ir_decode_preprocess_batch: same decode + shortest-side
+// resize + center crop, but emits raw RGB bytes — normalization runs on
+// device (models/preprocess.py normalize_u8_device). 1/4 the host->device
+// transfer bytes and no host normalize pass; the fp math is identical to
+// the f32 path up to the u8 rounding of the bilinear output.
+void ir_decode_preprocess_batch_u8(const char** paths, int n, int size,
+                                   uint8_t* out, int32_t* status,
+                                   int threads) {
+  const size_t stride = size_t(size) * size * 3;
+  run_pool(n, threads, [&](int i) {
+    status[i] = 0;  // see ir_decode_preprocess_batch: escaping exceptions
+    std::memset(out + i * stride, 0, stride);
+    ImageU8 img = decode_file(paths[i], size);
+    if (!img.ok || img.w <= 0 || img.h <= 0) {
+      std::memset(out + i * stride, 0, stride);
+      status[i] = 0;
+      return;
+    }
+    resize_crop_emit<uint8_t>(img, size, out + i * stride);
     status[i] = 1;
   });
 }

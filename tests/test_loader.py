@@ -53,6 +53,33 @@ def test_encode_folder_pipeline(img_files):
     np.testing.assert_allclose(embs, direct, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("use_native", [False, True])
+def test_loader_u8_emit(img_files, use_native):
+    """emit='u8' yields raw uint8 batches; FakeEncoder normalizes them to
+    the same embeddings as the f32 form (up to the u8 rounding of the
+    bilinear output)."""
+    if use_native:
+        from image_retrieval_tpu.utils import native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+    loader = ImageBatchLoader(img_files, batch_size=4, size=64,
+                              use_native=use_native, emit="u8")
+    enc = FakeEncoder(dim=64)
+    embs_u8, embs_f32 = [], []
+    for chunk, batch, ok in loader:
+        assert batch.dtype == np.uint8 and ok.all()
+        embs_u8.append(enc.encode_pixels(batch))
+    for chunk, batch, ok in ImageBatchLoader(
+            img_files, batch_size=4, size=64, use_native=use_native):
+        embs_f32.append(enc.encode_pixels(batch))
+    u8 = np.concatenate(embs_u8)
+    f32 = np.concatenate(embs_f32)
+    # u8 quantization of pixels perturbs fake embeddings slightly
+    assert np.abs(u8 - f32).max() < 0.2
+    assert np.linalg.norm(u8 - f32, axis=1).max() < 0.5
+
+
 def test_producer_exception_surfaces(tmp_path, monkeypatch):
     """A producer-thread crash must raise in the consumer, not silently
     truncate the corpus (the None sentinel used to mask it)."""
@@ -60,7 +87,7 @@ def test_producer_exception_surfaces(tmp_path, monkeypatch):
 
     paths = [str(tmp_path / f"x{i}.jpg") for i in range(8)]
 
-    def boom(chunk, size):
+    def boom(chunk, size, emit="f32"):
         raise MemoryError("decode blew up")
 
     monkeypatch.setattr(L, "_decode_chunk_pil", boom)

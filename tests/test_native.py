@@ -40,6 +40,44 @@ def test_decode_preprocess_close_to_pil(jpeg_files):
         assert err < 0.1, (p, err)
 
 
+def test_decode_preprocess_u8_matches_f32_form(jpeg_files):
+    """The u8 ingest form + device normalize must equal the host-complete
+    f32 form up to the u8 rounding of the bilinear output (<= 0.5/255
+    pre-normalize, ~0.008 after CLIP std)."""
+    from image_retrieval_tpu.models.preprocess import CLIP_MEAN, CLIP_STD
+
+    f32, ok_f = native.decode_preprocess_batch(jpeg_files, size=224, threads=2)
+    u8, ok_u = native.decode_preprocess_batch_u8(jpeg_files, size=224,
+                                                 threads=2)
+    assert ok_f.all() and ok_u.all()
+    assert u8.shape == (5, 224, 224, 3) and u8.dtype == np.uint8
+    norm = (u8.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+    assert np.abs(norm - f32).max() < 0.011
+
+
+def test_normalize_u8_device_matches_host(jpeg_files):
+    from image_retrieval_tpu.models.preprocess import (
+        CLIP_MEAN,
+        CLIP_STD,
+        normalize_u8_device,
+    )
+
+    u8, ok = native.decode_preprocess_batch_u8(jpeg_files[:2], size=64)
+    assert ok.all()
+    dev = np.asarray(normalize_u8_device(u8))
+    host = (u8.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+    np.testing.assert_allclose(dev, host, rtol=0, atol=1e-6)
+
+
+def test_decode_bad_file_u8(tmp_path, jpeg_files):
+    bad = tmp_path / "junk.jpg"
+    bad.write_bytes(b"not an image at all")
+    batch, ok = native.decode_preprocess_batch_u8(
+        [str(bad), jpeg_files[0]], size=64)
+    assert not ok[0] and ok[1]
+    assert np.all(batch[0] == 0)
+
+
 def test_decode_bad_file(tmp_path, jpeg_files):
     bad = tmp_path / "junk.jpg"
     bad.write_bytes(b"not an image at all")

@@ -78,11 +78,13 @@ def run_ingest_bench(
         use_native = native.available()
         out["use_native"] = use_native
     if use_native:
-        from image_retrieval_tpu.utils.native import decode_preprocess_batch
+        # u8 emit: the production throughput form (DCT-scaled decode +
+        # raw-byte output; normalize runs on device)
+        from image_retrieval_tpu.utils.native import decode_preprocess_batch_u8
 
-        decode_preprocess_batch(sample[:8], threads=1)  # warm (page cache)
+        decode_preprocess_batch_u8(sample[:8], threads=1)  # warm (page cache)
         t0 = time.perf_counter()
-        _, ok = decode_preprocess_batch(sample, threads=1)
+        _, ok = decode_preprocess_batch_u8(sample, threads=1)
         t_dec_sample = time.perf_counter() - t0
         assert ok.all()
         out["decode_img_per_s_core"] = round(len(sample) / t_dec_sample, 1)
@@ -99,9 +101,9 @@ def run_ingest_bench(
 
     # --- device leg: encode rate on pre-staged pixels -----------------------
     if use_native:
-        from image_retrieval_tpu.utils.native import decode_preprocess_batch
+        from image_retrieval_tpu.utils.native import decode_preprocess_batch_u8
 
-        staged, _ = decode_preprocess_batch(
+        staged, _ = decode_preprocess_batch_u8(
             paths[:batch_size], threads=os.cpu_count() or 1
         )
     else:
@@ -125,12 +127,13 @@ def run_ingest_bench(
     n_ok = 0
     for chunk, batch, ok in ImageBatchLoader(
         paths, batch_size=batch_size, size=224, use_native=use_native,
-        threads=1,
+        threads=1, emit="u8" if use_native else "f32",
     ):
         good = np.flatnonzero(ok)
         if not len(good):
             continue
-        embs = encoder.encode_pixels(batch[good])
+        # all-ok batches skip the fancy-index copy (single ingest core)
+        embs = encoder.encode_pixels(batch if ok.all() else batch[good])
         index.insert([chunk[int(i)] for i in good], embs)
         n_ok += len(good)
     index.flush()
