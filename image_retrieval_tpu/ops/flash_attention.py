@@ -804,6 +804,33 @@ def _layer_block_int8_kernel(x_ref, ln1s_ref, ln1b_ref, wqkvq_ref,
     o_ref[:] = (x1 + out2).reshape(bm, t, w)
 
 
+def _layer_compiler_params(w: int, hidden: int, bm: int, t: int,
+                           quant: bool):
+    """Explicit scoped-VMEM budget for WIDE whole-layer kernels.
+
+    Mosaic's default VMEM ceiling (~16 MB) fits the tuned narrow towers
+    (B/32 w768 int8 layer kernel: 7.1 MB weights) but rejects width-1024
+    towers at the FULL-tower compile even though the single-layer
+    compile-only sweep passes (preset_probe.json r3:
+    l14_serving_layer_bm1_* died in the remote compile helper). v5e's
+    physical VMEM is far larger than the default ceiling; raise it
+    explicitly from the kernel's accounted working set:
+      weights  4w^2 + 2wh bytes int8 (x2 bf16)
+      acts     4*m*(6w + 2h) f32 intermediates (h, qkv, attn, mlp)
+      scores   ~2 (m, m) f32 buffers in the in-kernel attention
+    Narrow (w <= 768) towers keep Mosaic defaults — their measured
+    numbers (21.0k img/s B/32 serving) were captured under them."""
+    if w <= 768:
+        return None
+    m = bm * t
+    weights = (4 * w * w + 2 * w * hidden) * (1 if quant else 2)
+    acts = 4 * m * (6 * w + 2 * hidden)
+    scores = 8 * m * m
+    est = int((weights + acts + scores) * 1.5)
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(max(est, 32 * 2**20), 100 * 2**20))
+
+
 def _pallas_layer_block_int8(x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo,
                              bo, ln2_s, ln2_b, w1, b1, w2, b2, heads: int,
                              bm: int | None = None, causal: bool = False):
@@ -829,6 +856,7 @@ def _pallas_layer_block_int8(x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo,
         functools.partial(_layer_block_int8_kernel, heads=heads,
                           causal=causal),
         out_shape=jax.ShapeDtypeStruct((b, t, w), dt),
+        compiler_params=_layer_compiler_params(w, hidden, bm, t, True),
         grid=(b // bm,),
         in_specs=[x_spec, vw_spec(w), vw_spec(w),
                   qkv_spec, vw_spec(3 * w), vw_spec(3 * w),
@@ -953,6 +981,7 @@ def _pallas_layer_block(x, ln1_s, ln1_b, wq, bq, wk, bk, wv, bv, wo, bo,
     return pl.pallas_call(
         functools.partial(_layer_block_kernel, heads=heads, causal=causal),
         out_shape=jax.ShapeDtypeStruct((b, t, w), dt),
+        compiler_params=_layer_compiler_params(w, hidden, bm, t, False),
         grid=(b // bm,),
         in_specs=[x_spec, vw_spec(w), vw_spec(w),
                   sq_spec, vw_spec(w), sq_spec, vw_spec(w),

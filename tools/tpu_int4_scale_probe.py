@@ -159,7 +159,8 @@ def time_batched(name, step, g, sc, pool, extra=None):
     kw = dict(rows=int(g.shape[0]), nq=nq, sweep_ms=round(sec * 1e3, 3),
               ms_per_query=round(sec / nq * 1e3, 4),
               qps=round(nq / sec, 1),
-              hbm_gbps=round(g.shape[0] * g.shape[1] / sec / 1e9, 1))
+              hbm_gbps=round(g.nbytes / sec / 1e9, 1))  # paired int32 and
+              # uint8 layouts differ in itemsize; nbytes is layout-true
     if extra:
         kw.update(extra)
     rec(name, **kw)
@@ -268,16 +269,34 @@ def run_32m():
     g8h32, s8h32, pkh32, s4h32 = make_gallery(n32)
     pool = make_pool(nq=nq32)
     base = mem_bytes()
-    pk32 = jax.device_put(pkh32)
+    # PRODUCTION paired layout + Pallas screen (what ShardedVectorIndex
+    # dtype='int4' ships since r4 — pack_words_paired + approx_max_k
+    # selection; the XLA tiled form measured 431 ms/64q at 16M)
+    from image_retrieval_tpu.ops.pallas_kernels import (
+        int4_screen_topc_pallas,
+        pack_words_paired,
+    )
+
+    print("pairing 32M packed rows...", flush=True)
+    pk32 = jax.device_put(pack_words_paired(pkh32))
     s432 = jax.device_put(s4h32)
+    valid32 = jax.device_put(np.ones((n32,), bool))
     _ = jax.device_get(pk32[0, 0])
     m_pk = mem_bytes()
+
+    def paired_step(g, sc, qs, k=C):
+        qn = (qs / jnp.linalg.norm(qs, axis=-1, keepdims=True)
+              ).astype(jnp.bfloat16)
+        return int4_screen_topc_pallas(qn, g, sc, valid32, k,
+                                       selector="approx")
+
     run432 = time_batched(
-        "int4_screen_32M", lambda g, sc, qs: batched_int4_step(g, sc, qs),
+        "int4_screen_32M", paired_step,
         pk32, s432, pool,
         extra={"packed_hbm_bytes": (int(m_pk - base)
                                     if base is not None else None),
-               "int8_equiv_bytes": n32 * D})
+               "int8_equiv_bytes": n32 * D,
+               "kernel": "pallas_paired_approx"})
 
     # recall at 32M vs a streamed int8 exact oracle (16 queries, one sweep)
     from image_retrieval_tpu.index.streaming import StreamingGallerySearch
@@ -303,8 +322,8 @@ def run_32m():
     rec("recall_32M", two_phase_at_10=round(recall32, 4),
         oracle="streamed int8 exact", oracle_sweep_s=round(t_oracle, 1),
         nq=nq_o)
-    pk32.delete(); s432.delete()
-    del pk32, s432, g8h32, s8h32, pkh32, s4h32
+    pk32.delete(); s432.delete(); valid32.delete()
+    del pk32, s432, valid32, g8h32, s8h32, pkh32, s4h32
 
 
 def run_streamed_4m(g16=None):

@@ -47,6 +47,10 @@ def guarded(out, name, fn):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--l14-only", action="store_true",
+                    help="skip the B/16 bm sweep; run only the L/14 "
+                         "sections (r4: retry the whole-layer kernel with "
+                         "the raised wide-tower VMEM ceiling)")
     args = ap.parse_args()
 
     _enable_cache()
@@ -61,7 +65,7 @@ def main():
     orig_bm = fa._block_images_fused
 
     # --- B/16 tuning pass: force bm over the fused kernels ------------------
-    bms = (2, 1) if args.quick else (2, 1, 4)
+    bms = () if args.l14_only else ((2, 1) if args.quick else (2, 1, 4))
     batches = (128,) if args.quick else (128, 256)
     for bm in bms:
         fa._block_images_fused = (
@@ -86,19 +90,20 @@ def main():
     l14 = vit_l14()
     l14_srv = serving_config(l14)
     orig_fits = shape_support.layer_kernel_fits
-    guarded(out, "l14_parity_b64",
-            lambda: tower("l14_parity_b64", l14, 64, fetch_s, out))
+    if not args.l14_only:
+        guarded(out, "l14_parity_b64",
+                lambda: tower("l14_parity_b64", l14, 64, fetch_s, out))
 
-    shape_support.layer_kernel_fits = lambda quant, width, t: False
-    try:
-        guarded(out, "l14_serving_subblock_b64",
-                lambda: tower("l14_serving_subblock_b64", l14_srv, 64,
-                              fetch_s, out))
-        guarded(out, "l14_serving_subblock_b128",
-                lambda: tower("l14_serving_subblock_b128", l14_srv, 128,
-                              fetch_s, out))
-    finally:
-        shape_support.layer_kernel_fits = orig_fits
+        shape_support.layer_kernel_fits = lambda quant, width, t: False
+        try:
+            guarded(out, "l14_serving_subblock_b64",
+                    lambda: tower("l14_serving_subblock_b64", l14_srv, 64,
+                                  fetch_s, out))
+            guarded(out, "l14_serving_subblock_b128",
+                    lambda: tower("l14_serving_subblock_b128", l14_srv, 128,
+                                  fetch_s, out))
+        finally:
+            shape_support.layer_kernel_fits = orig_fits
 
     # whole-layer int8 at width 1024 (compiles per mosaic_shapes.json;
     # _block_images_fused lands on bm=1 at t=257)
@@ -120,12 +125,13 @@ def main():
 
     from image_retrieval_tpu.config import ModelConfig
 
-    bf16_layer_b32 = _dc.replace(
-        ModelConfig(), fused_layer_block=True  # bf16 (no int8_matmuls)
-    )
-    guarded(out, "b32_bf16_layer_b256",
-            lambda: tower("b32_bf16_layer_b256", bf16_layer_b32, 256,
-                          fetch_s, out))
+    if not args.l14_only:
+        bf16_layer_b32 = _dc.replace(
+            ModelConfig(), fused_layer_block=True  # bf16 (no int8_matmuls)
+        )
+        guarded(out, "b32_bf16_layer_b256",
+                lambda: tower("b32_bf16_layer_b256", bf16_layer_b32, 256,
+                              fetch_s, out))
 
     print("done", flush=True)
 
