@@ -188,6 +188,16 @@ class IndexConfig:
     # default stays off; the flag remains for galleries whose scales
     # make the dequant multiply dominant.
     l1_shadow: bool = False
+    # int4 LATENCY mode: also keep the int8 rows ON DEVICE so the exact
+    # rerank runs inside the same dispatch as the screen — no host hop,
+    # ONE fetch per search. Costs 1.5x int8's HBM (int8 rows + the packed
+    # screen copy) but the int4 screen sweeps HALF the bytes of the int8
+    # sweep, so when both tiers fit this is the FASTEST exact-int8-quality
+    # configuration (16M x 512: screen 30.2 ms + in-jit rerank vs the int8
+    # sweep's 57-61 ms per 64-query batch — int4_prod_probe.json). Ignored
+    # unless dtype == "int4"; falls back to the host-gather rerank when
+    # off (the capacity configuration: int8 rows stay in host RAM).
+    rerank_device: bool = False
 
 
 @dataclasses.dataclass

@@ -102,12 +102,44 @@ class StreamingGallerySearch:
         assert scales.shape == (self.n,)
         self.chunk_rows = int(min(chunk_rows, self.n))
         self.device = device or jax.devices()[0]
-        # chunk views (no copy); the final partial chunk is padded at search
-        # time with zero rows whose scores are masked to -inf below
+        # packed4 + kernel-compatible dims -> PAIRED chunk layout: each
+        # chunk is pre-paired host-side (ops/pallas_kernels.py
+        # pack_words_paired per chunk, so chunk-local ids stay contiguous)
+        # and the sweep scores through the Pallas int4 screen kernel. The
+        # XLA two-dot chunk scorer is COMPUTE-bound past ~2M rows (the
+        # nibble unpack runs as a per-query VPU reduce, ~7 ms/query —
+        # int4_isolate_probe.json), which would dominate PCIe-host
+        # transfer; the kernel restores the transfer-bound contract at
+        # half the int8 bytes. Costs one paired copy of the packed rows
+        # (same byte count) at init.
+        self._paired = False
+        if self.packed4:
+            from image_retrieval_tpu.ops.pallas_kernels import (
+                int4_paired_block_n,
+            )
+
+            self._paired_block = int4_paired_block_n(self.chunk_rows // 2)
+            self._paired = (self.dim % 512 == 0
+                            and self.chunk_rows % 2 == 0
+                            and self._paired_block > 0)
         self._chunks = []
-        for s in range(0, self.n, self.chunk_rows):
-            e = min(s + self.chunk_rows, self.n)
-            self._chunks.append((s, rows_int8[s:e]))
+        if self._paired:
+            from image_retrieval_tpu.ops.pallas_kernels import (
+                pack_words_paired,
+            )
+
+            for s in range(0, self.n, self.chunk_rows):
+                e = min(s + self.chunk_rows, self.n)
+                g = rows_int8[s:e]
+                if e - s < self.chunk_rows:  # pad the tail BEFORE pairing
+                    g = np.concatenate(
+                        [g, np.zeros((self.chunk_rows - (e - s),
+                                      self.dim // 2), np.uint8)], 0)
+                self._chunks.append((s, pack_words_paired(g), e - s))
+        else:
+            for s in range(0, self.n, self.chunk_rows):
+                e = min(s + self.chunk_rows, self.n)
+                self._chunks.append((s, rows_int8[s:e], e - s))
         # scales: padded to whole chunks, resident on device for the whole
         # engine lifetime (N*4 bytes) — saves one put + round-trip per chunk
         n_pad = len(self._chunks) * self.chunk_rows
@@ -181,6 +213,47 @@ class StreamingGallerySearch:
 
         self._sweep_chunk_masked = _sweep_chunk_masked
 
+        if self._paired:
+            from image_retrieval_tpu.ops.pallas_kernels import (
+                _int4_screen_scores_halves,
+            )
+
+            bn = self._paired_block
+            halfr = cr // 2
+
+            @jax.jit
+            def _sweep_chunk_paired(state_vals, state_idx, gp, dm,
+                                    all_scales, qn16, offset, n_valid):
+                """Paired Pallas chunk sweep: kernel score halves ->
+                per-half approx top-k -> merge into the running state.
+                Half h covers chunk rows [h*cr/2, (h+1)*cr/2); dm is the
+                optional (cr,) bool attribute mask (None -> unmasked
+                jit signature, no mask transfer)."""
+                k = state_vals.shape[1]
+                sc = jax.lax.dynamic_slice_in_dim(all_scales, offset, cr, 0)
+                s0, s1, _ = _int4_screen_scores_halves(qn16, gp, sc,
+                                                       block_n=bn)
+                col = jax.lax.broadcasted_iota(jnp.int32, s0.shape, 1)
+                keep0 = col < jnp.minimum(n_valid, halfr)
+                keep1 = (col + halfr) < n_valid
+                if dm is not None:
+                    keep0 = keep0 & dm[:halfr][None, :]
+                    keep1 = keep1 & dm[halfr:][None, :]
+                kk = min(k, halfr)
+                tv0, ti0 = jax.lax.approx_max_k(
+                    jnp.where(keep0, s0, -jnp.inf), kk, recall_target=0.95)
+                tv1, ti1 = jax.lax.approx_max_k(
+                    jnp.where(keep1, s1, -jnp.inf), kk, recall_target=0.95)
+                cand_vals = jnp.concatenate([state_vals, tv0, tv1], axis=1)
+                cand_idx = jnp.concatenate(
+                    [state_idx,
+                     offset + ti0.astype(jnp.int32),
+                     offset + halfr + ti1.astype(jnp.int32)], axis=1)
+                mv, mi = jax.lax.top_k(cand_vals, k)
+                return mv, jnp.take_along_axis(cand_idx, mi, axis=1)
+
+            self._sweep_chunk_paired = _sweep_chunk_paired
+
     # -- search ---------------------------------------------------------------
 
     def search(
@@ -214,20 +287,19 @@ class StreamingGallerySearch:
         window: list = [None, None]  # double buffer: <=2 chunks on device
 
         def stage(ci):
-            s, g8 = self._chunks[ci]
-            nv = g8.shape[0]
-            if nv < pad_to:
-                g8 = np.concatenate(
-                    [g8, np.zeros((pad_to - nv, self._store_width),
-                                  self._store_dtype)], 0
-                )
+            s, arr, nv = self._chunks[ci]
+            if not self._paired and nv < pad_to:
+                arr = np.concatenate(
+                    [arr, np.zeros((pad_to - nv, self._store_width),
+                                   self._store_dtype)], 0
+                )  # paired chunks were padded before pairing at init
             dm = None
             if mask is not None:
                 m = mask[s:s + nv]
                 if nv < pad_to:
                     m = np.concatenate([m, np.zeros(pad_to - nv, bool)])
                 dm = jax.device_put(m, self.device)
-            return (s, nv, jax.device_put(g8, self.device), dm)
+            return (s, nv, jax.device_put(arr, self.device), dm)
 
         if self._chunks:
             window[0] = stage(0)
@@ -237,7 +309,12 @@ class StreamingGallerySearch:
             if ci + 1 < len(self._chunks):
                 window[(ci + 1) % 2] = stage(ci + 1)
             s, nv, dg, dm = window[ci % 2]
-            if dm is None:
+            if self._paired:
+                vals, idx = self._sweep_chunk_paired(
+                    vals, idx, dg, dm, self._scales_dev, qn16,
+                    jnp.int32(s), jnp.int32(nv),
+                )
+            elif dm is None:
                 vals, idx = self._sweep_chunk(
                     vals, idx, dg, self._scales_dev, qn16,
                     jnp.int32(s), jnp.int32(nv),

@@ -399,8 +399,13 @@ class ShardedVectorIndex:
         # int4 tier counts its nibble-packed footprint (half of int8 —
         # packing doubles how far the resident tier stretches before
         # streaming kicks in)
-        row_bytes = self.dim // 2 if self._packed4 else (
-            self._host_gallery.itemsize * self.dim)
+        if self._packed4:
+            # latency mode (rerank_device) also keeps the int8 rows
+            # resident: 1.5x bytes/row vs the capacity configuration
+            row_bytes = (self.dim // 2 + self.dim
+                         if self.config.rerank_device else self.dim // 2)
+        else:
+            row_bytes = self._host_gallery.itemsize * self.dim
         return self.count * row_bytes > thr
 
     def _sync_device(self) -> None:
@@ -482,6 +487,22 @@ class ShardedVectorIndex:
             self._valid = shard_rows(self._host_valid, self.mesh,
                                      self._row_axes)
             self._gallery = self._mags = self._scales = self._shadow = None
+            if self.config.rerank_device and paired is not None:
+                # int4 LATENCY mode: int8 rows also resident, so the exact
+                # rerank fuses into the screen dispatch (config.py
+                # rerank_device). 1.5x int8's HBM; screen sweeps half the
+                # int8 bytes, so two-phase beats the int8 sweep outright.
+                self._gallery = shard_rows(self._host_gallery, self.mesh,
+                                           self._row_axes)
+                self._scales = shard_rows(self._host_scales, self.mesh,
+                                          self._row_axes)
+            elif self.config.rerank_device:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "rerank_device requested but the paired int4 layout "
+                    "gates failed (dim %% 512 or shard-row alignment); "
+                    "falling back to the host-gather rerank")
             self._device_dirty = False
             return
         self._packed = self._scales4 = None
@@ -689,6 +710,7 @@ class ShardedVectorIndex:
         from image_retrieval_tpu.ops.int4 import rerank_int8_topk
         from image_retrieval_tpu.parallel.collectives import (
             sharded_int4_screen_topk,
+            sharded_int4_two_phase_topk,
         )
 
         valid = self._valid if flt is None else self._filtered_valid(flt)
@@ -699,6 +721,21 @@ class ShardedVectorIndex:
             ei = np.zeros((nq, 0), np.int32)
             return (ev[0], ei[0]) if single else (ev, ei)
         c = int(min(max(self.config.rerank_c, k), self.count))
+        if self._gallery is not None:
+            # LATENCY mode (config.rerank_device): screen + exact rerank
+            # in one dispatch against the device-resident int8 rows — no
+            # host hop, one fetch. Candidate pool is c PER SHARD (superset
+            # of the host path's global c).
+            vals, idx = jax.device_get(sharded_int4_two_phase_topk(
+                qdev, self._packed, valid, self._scales4,
+                self._gallery, self._scales, c, k,
+                mesh=self.mesh, axis=self._row_axes,
+            ))
+            vals, idx = vals[:nq], idx[:nq]
+            idx = np.where(np.isfinite(vals), idx, -1)
+            if single:
+                return vals[0], idx[0]
+            return vals, idx
         vals4, gidx = sharded_int4_screen_topk(
             qdev, self._packed, valid, self._scales4, c,
             mesh=self.mesh, axis=self._row_axes,

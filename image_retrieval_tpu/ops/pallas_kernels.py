@@ -633,6 +633,52 @@ def int4_query_planes(queries_bf16: jnp.ndarray):
     return qp0, qp1
 
 
+def _int4_screen_kernel_i8(qp0_ref, qp1_ref, pk_ref, sc0_ref, sc1_ref,
+                           out0_ref, out1_ref):
+    """int8-query variant of _int4_screen_kernel: queries are pre-quantized
+    to int8 planes, nibbles stay int8, and the 8 accumulating dots run
+    int8 x int8 -> int32 — the MXU's double-rate integer path (v5e int8
+    throughput is 2x bf16; the serving tower's _int8_proj uses the same
+    form). The zero-extended query planes waste half the MACs (see
+    int4_query_planes), which makes the bf16 kernel MXU-bound at Q=64 —
+    the integer path buys that factor back. Integer accumulation is
+    exact; the only approximation added is the query quantization, a
+    per-query POSITIVE scale that cannot change per-query ranking (the
+    wrapper re-applies it to the selected values)."""
+    pk = pk_ref[:]  # (BN, 128) int32 — row pair r: gallery rows r, r+N/2
+    acc0 = acc1 = None
+    for j in range(8):
+        nib = (((pk >> (4 * j)) & 0xF) - 8).astype(jnp.int8)
+        d0 = jax.lax.dot_general(
+            qp0_ref[j], nib, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        d1 = jax.lax.dot_general(
+            qp1_ref[j], nib, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc0 = d0 if acc0 is None else acc0 + d0
+        acc1 = d1 if acc1 is None else acc1 + d1
+    out0_ref[:, :] = acc0.astype(jnp.float32) * sc0_ref[0, :][None, :]
+    out1_ref[:, :] = acc1.astype(jnp.float32) * sc1_ref[0, :][None, :]
+
+
+def int4_query_planes_i8(queries):
+    """(Q, D) f32/bf16 -> (qp0, qp1 int8 plane stacks, qscale (Q, 1) f32).
+
+    Symmetric per-query absmax/127 quantization, then the same
+    nibble-position plane split + zero extension as int4_query_planes.
+    Raw integer dots * qscale * row_scale reproduce the bf16 kernel's
+    scores up to the query grid (~0.3% rel err — far below the int4 row
+    grid the screen already carries)."""
+    qf = queries.astype(jnp.float32)
+    qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=1, keepdims=True), 1e-12) / 127.0
+    qq = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
+    planes = [qq[:, (2 * (j // 2) + (j % 2))::8] for j in range(8)]
+    z = jnp.zeros_like(planes[0])
+    qp0 = jnp.stack([jnp.concatenate([p, z], axis=1) for p in planes])
+    qp1 = jnp.stack([jnp.concatenate([z, p], axis=1) for p in planes])
+    return qp0, qp1, qs
+
+
 def pack_words_paired(packed_u8):
     """Host-side: (N, D/2) uint8 nibble layout -> (N/2, 2*D/8) int32, the
     resident storage form for the Pallas screen. Storage row r carries
@@ -667,21 +713,33 @@ def int4_paired_block_n(half: int) -> int:
 
 
 def _int4_screen_scores_halves(queries_bf16, packed_paired, scales,
-                               block_n=4096):
+                               block_n=4096, qform="bf16"):
     """Kernel dispatch returning the two score HALVES (s0, s1), each
     (Q, half) f32 — half h scores gallery rows [h*half, (h+1)*half).
     Selection-side callers keep the halves separate: concatenating them
     to (Q, N) is a multi-GB HBM copy at 16M rows that the selector does
-    not need (it can select per half and merge k-sized lists)."""
+    not need (it can select per half and merge k-sized lists).
+
+    qform: "bf16" (exact unpack2_dots parity) or "i8" (int8-quantized
+    queries on the MXU's double-rate integer path; the halves come back
+    scaled by 1/qscale per query — a positive per-query constant that
+    preserves per-query ranking; callers re-apply qscale to selected
+    values — see int4_query_planes_i8)."""
     nq, d = queries_bf16.shape
     half, words2 = packed_paired.shape
     assert words2 == d // 4, (packed_paired.shape, d)
     assert half % block_n == 0, (half, block_n)
-    qp0, qp1 = int4_query_planes(queries_bf16)
+    if qform == "i8":
+        qp0, qp1, qs = int4_query_planes_i8(queries_bf16)
+        kernel = _int4_screen_kernel_i8
+    else:
+        qp0, qp1 = int4_query_planes(queries_bf16)
+        qs = None
+        kernel = _int4_screen_kernel
     sc0 = scales[: half].reshape(1, -1)
     sc1 = scales[half:].reshape(1, -1)
-    return pl.pallas_call(
-        _int4_screen_kernel,
+    s0, s1 = pl.pallas_call(
+        kernel,
         grid=(half // block_n,),
         in_specs=[
             pl.BlockSpec((8, nq, words2), lambda i: (0, 0, 0)),
@@ -700,6 +758,7 @@ def _int4_screen_scores_halves(queries_bf16, packed_paired, scales,
         ],
         interpret=_interpret(),
     )(qp0, qp1, packed_paired, sc0, sc1)
+    return s0, s1, qs
 
 
 @functools.partial(jax.jit, static_argnames=("block_n",))
@@ -712,13 +771,14 @@ def int4_screen_scores_pallas(
     """(Q, N) f32 approximate-cosine scores over the paired packed gallery
     (`pack_words_paired`), identity row order. Numerically identical to
     unpack2_dots * scales (same bf16 operands, f32 accumulation)."""
-    s0, s1 = _int4_screen_scores_halves(queries_bf16, packed_paired, scales,
-                                        block_n=block_n)
+    s0, s1, _ = _int4_screen_scores_halves(queries_bf16, packed_paired,
+                                           scales, block_n=block_n)
     return jnp.concatenate([s0, s1], axis=1)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("c", "block_n", "seg_rows", "selector"))
+                   static_argnames=("c", "block_n", "seg_rows", "selector",
+                                    "qform"))
 def int4_screen_topc_pallas(
     queries_bf16: jnp.ndarray,
     packed_paired: jnp.ndarray,
@@ -728,6 +788,7 @@ def int4_screen_topc_pallas(
     block_n: int = 4096,
     seg_rows: int = 1 << 23,
     selector: str = "exact",
+    qform: str = "bf16",
 ):
     """Production int4 screen: kernel scores + top-c, segmented.
 
@@ -758,7 +819,7 @@ def int4_screen_topc_pallas(
             return jax.lax.top_k(s, k)
 
     def seg(off_pairs, rows_pairs):
-        s0, s1 = _int4_screen_scores_halves(
+        s0, s1, qs = _int4_screen_scores_halves(
             queries_bf16,
             jax.lax.slice_in_dim(packed_paired, off_pairs,
                                  off_pairs + rows_pairs, axis=0),
@@ -768,7 +829,7 @@ def int4_screen_topc_pallas(
                 jax.lax.slice_in_dim(scales, half + off_pairs,
                                      half + off_pairs + rows_pairs, axis=0),
             ]),
-            block_n=block_n,
+            block_n=block_n, qform=qform,
         )  # each (Q, rows_pairs): rows [off..off+rp) and [half+off..)
         v0 = jax.lax.slice_in_dim(valid, off_pairs, off_pairs + rows_pairs,
                                   axis=0)
@@ -783,13 +844,14 @@ def int4_screen_topc_pallas(
              half + off_pairs + ti1.astype(jnp.int32)], axis=1)
         kk2 = min(cc, 2 * rows_pairs)
         mv, mi = jax.lax.top_k(tv, kk2)
-        return mv, jnp.take_along_axis(gid, mi, axis=1)
+        return mv, jnp.take_along_axis(gid, mi, axis=1), qs
 
     carry = None
+    qscale = None
     pairs_per_seg = max(seg_rows // 2, block_n)
     for off in range(0, half, pairs_per_seg):
         rows_pairs = min(pairs_per_seg, half - off)
-        tv, ti = seg(off, rows_pairs)
+        tv, ti, qscale = seg(off, rows_pairs)
         if carry is None:
             carry = (tv, ti)
         else:
@@ -797,4 +859,11 @@ def int4_screen_topc_pallas(
             mv, mi = jax.lax.top_k(jnp.concatenate([vals, tv], axis=1), cc)
             carry = (mv, jnp.take_along_axis(
                 jnp.concatenate([ids, ti], axis=1), mi, axis=1))
+    if qscale is not None:
+        # i8 query form: the kernel's scores are raw_int_dot * row_scale;
+        # re-applying the POSITIVE per-query grid here (selection already
+        # done — scaling by it is ranking-neutral) restores the approx-
+        # cosine value contract. -inf padding stays -inf.
+        vals, ids = carry
+        carry = (vals * qscale[:, 0][:, None], ids)
     return carry

@@ -451,6 +451,85 @@ def sharded_int4_screen_topk(
     return fn(queries, packed, valid, scales)
 
 
+@functools.partial(jax.jit, static_argnames=("c", "k", "mesh", "axis"))
+def sharded_int4_two_phase_topk(
+    queries: jnp.ndarray,
+    packed: jnp.ndarray,
+    valid: jnp.ndarray,
+    scales: jnp.ndarray,
+    rows8: jnp.ndarray,
+    scales8: jnp.ndarray,
+    c: int,
+    k: int,
+    *,
+    mesh: Mesh,
+    axis="data",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """int4 two-phase search in ONE dispatch: per-shard Pallas screen ->
+    in-jit gather of the shard's int8 rows -> exact bf16 rerank -> ICI
+    merge of EXACT k-lists (IndexConfig.rerank_device).
+
+    Semantics vs the host-gather path (`sharded_int4_screen_topk` + host
+    rerank): each shard reranks its own top-c screen candidates, so the
+    candidate pool is c PER SHARD (a superset of the global-top-c pool —
+    recall can only improve) and the merged scores are the identical
+    exact-int8 math, making results interchangeable with dtype='int8'
+    whenever the screen covers its top-k. No host hop: the device-fetch
+    count per search drops from 2 (screen ids + rerank result) to 1.
+
+    `packed` must be the PAIRED int32 layout (pack_words_paired per
+    shard); `rows8`/`scales8` are the same row-sharded int8 gallery the
+    resident int8 tier would hold.
+    """
+    from image_retrieval_tpu.ops.pallas_kernels import (
+        int4_paired_block_n,
+        int4_screen_topc_pallas,
+    )
+
+    names = axis if isinstance(axis, tuple) else (axis,)
+    nshards = _axis_size(mesh, names)
+    nlocal = packed.shape[0] // nshards * 2
+    cc = min(c, nlocal)
+    kk = min(k, cc)
+    bn = int4_paired_block_n(nlocal // 2)
+    assert bn, nlocal
+
+    def local(q, g, v, sc, g8, s8):
+        sid = jnp.int32(0)
+        for a in names:
+            sid = sid * mesh.shape[a] + jax.lax.axis_index(a)
+        qf = q.astype(jnp.float32)
+        qn = jnp.linalg.norm(qf, axis=-1, keepdims=True)
+        qu = jnp.where(qn > 0, qf / jnp.where(qn > 0, qn, 1.0), 0.0)
+        sv, sidx = int4_screen_topc_pallas(
+            qu.astype(jnp.bfloat16), g, sc, v, cc, block_n=bn,
+            selector="approx")
+        # exact rerank of the LOCAL candidates against the shard's int8
+        # rows — identical math to the resident int8 sweep (bf16 dot *
+        # norm-preserving scale), so merged results match dtype='int8'
+        cand = jnp.take(g8, sidx, axis=0).astype(jnp.bfloat16)  # (Q, cc, D)
+        ex = jnp.einsum("qd,qcd->qc", qu.astype(jnp.bfloat16), cand,
+                        preferred_element_type=jnp.float32)
+        ex = ex * jnp.take(s8, sidx, axis=0)
+        ex = jnp.where(jnp.isfinite(sv), ex, -jnp.inf)  # screen padding
+        vals, pos = jax.lax.top_k(ex, kk)
+        gidx = jnp.take_along_axis(sidx, pos, axis=1) + sid * nlocal
+        for a in reversed(names):  # data (ICI) before slice (DCN)
+            vals, gidx = _gather_merge_topk(vals, gidx, a, k, True)
+        return vals, gidx
+
+    row_axes = names if len(names) > 1 else names[0]
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(row_axes, None), P(row_axes), P(row_axes),
+                  P(row_axes, None), P(row_axes)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, packed, valid, scales, rows8, scales8)
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "weights", "mesh", "axis"))
 def sharded_scores(
     queries: jnp.ndarray,

@@ -245,6 +245,47 @@ def test_int4_paired_pallas_path_end_to_end(rng):
     assert ((ii[ok] >= 50) & (ii[ok] < 100)).all() and (ii[~ok] == -1).all()
 
 
+def test_int4_rerank_device_one_dispatch_parity(rng):
+    """rerank_device=True fuses the exact rerank into the screen dispatch
+    (no host hop). With full screen coverage results must equal both the
+    host-rerank int4 path and the resident int8 index; tombstones and
+    filters ride the same valid mask."""
+    n, d = 300, 512
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    paths = [f"p{i}" for i in range(n)]
+    mk = lambda **kw: ShardedVectorIndex(
+        dim=d, config=IndexConfig(embedding_dim=d, rerank_c=512,
+                                  capacity_step=2048, **kw))
+    idev = mk(dtype="int4", rerank_device=True)
+    ihost = mk(dtype="int4")
+    i8 = mk(dtype="int8")
+    attrs = {"grp": ["hi" if i >= 250 else "lo" for i in range(n)]}
+    for ix in (idev, ihost, i8):
+        ix.insert(paths, emb, attrs=attrs)
+    idev._sync_device()
+    assert idev._gallery is not None  # int8 rows resident (latency mode)
+
+    q = rng.normal(size=(3, d)).astype(np.float32)
+    vd, xd = idev.search(q, top_k=10)
+    vh, xh = ihost.search(q, top_k=10)
+    v8, x8 = i8.search(q, top_k=10)
+    np.testing.assert_array_equal(xd, xh)
+    np.testing.assert_array_equal(xd, x8)
+    np.testing.assert_allclose(vd, v8, rtol=0, atol=2e-6)
+
+    idev.delete([f"p{i}" for i in range(0, n, 4)])
+    i8.delete([f"p{i}" for i in range(0, n, 4)])
+    vd, xd = idev.search(q, top_k=10)
+    v8, x8 = i8.search(q, top_k=10)
+    np.testing.assert_array_equal(xd, x8)
+
+    vv, ii = idev.search(q[0], top_k=40, flt="grp == 'hi'")
+    ok = np.isfinite(vv)
+    # rows 250..299 minus the deleted multiples of 4 (252..296: 12 rows)
+    assert ok.sum() == 38
+    assert (ii[ok] >= 250).all() and (ii[~ok] == -1).all()
+
+
 def test_paired_form_gates(rng):
     """Non-512-multiple dims / non-256-multiple shard rows keep the uint8
     XLA layout (the Pallas kernel's lane/block constraints)."""
@@ -361,6 +402,42 @@ def test_streamed_packed4_memmap_rerank(rng, tmp_path):
     np.testing.assert_allclose(v1, v2)
 
 
+def test_streamed_paired_pallas_chunks(rng):
+    """dim=512 + kernel-compatible chunking engages the PAIRED streamed
+    sweep (Pallas kernel per chunk; interpret off-TPU). With rerank over
+    full coverage the result equals a plain int8 streamed sweep; masks
+    and the padded tail chunk ride the per-half keep logic."""
+    from image_retrieval_tpu.index.streaming import (
+        StreamingGallerySearch,
+        quantize_rows_int8,
+    )
+
+    n, d, c = 1200, 512, 1200  # 3 chunks, padded tail (1200 = 2*512+176)
+    rows = rng.normal(size=(n, d)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    g8, s8 = quantize_rows_int8(rows)
+    pk, s4 = quantize_pack_int4(rows)
+    q = rng.normal(size=(4, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    eng = StreamingGallerySearch(pk, s4, chunk_rows=512, packed4=True,
+                                 rerank_rows=g8, rerank_scales=s8,
+                                 rerank_c=c)
+    assert eng._paired  # the Pallas chunk path is actually in use
+    ref = StreamingGallerySearch(g8, s8, chunk_rows=512)
+    v4, i4 = eng.search(q, top_k=10)
+    v8, i8 = ref.search(q, top_k=10)
+    np.testing.assert_array_equal(i4, i8)
+    np.testing.assert_allclose(v4, v8, rtol=0, atol=1e-6)
+
+    # mask: only even rows eligible
+    mask = np.arange(n) % 2 == 0
+    vm, im = eng.search(q, top_k=10, mask=mask)
+    assert (im % 2 == 0).all()
+    vr, ir = ref.search(q, top_k=10, mask=mask)
+    np.testing.assert_array_equal(im, ir)
+
+
 def test_index_streams_packed_when_over_threshold(rng):
     n, d = 1024, 32
     emb = rng.normal(size=(n, d)).astype(np.float32)
@@ -468,6 +545,54 @@ def test_pallas_screen_kernel_matches_reference():
         block_n=128, seg_rows=512, selector="approx")
     np.testing.assert_array_equal(np.asarray(ai), np.asarray(ti))
     np.testing.assert_array_equal(np.asarray(av), np.asarray(tv))
+
+
+def test_pallas_screen_qform_i8_exact_integer_math():
+    """qform='i8' quantizes queries to int8 and runs integer MXU dots;
+    selected values must equal the numpy integer simulation exactly
+    (integer accumulation is exact; the f32 scaling is deterministic),
+    and the returned candidate ids must rank by the simulated scores."""
+    from image_retrieval_tpu.ops.pallas_kernels import (
+        int4_screen_topc_pallas,
+        pack_words_paired,
+    )
+
+    rng = np.random.default_rng(9)
+    n, d, q_n, c = 512, 512, 3, 16
+    rows = rng.normal(size=(n, d)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    pk, sc = quantize_pack_int4(rows)
+    q = rng.normal(size=(q_n, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    # numpy sim: symmetric int8 query grid, integer dots, f32 scaling
+    qs = np.maximum(np.abs(q).max(axis=1, keepdims=True), 1e-12) / 127.0
+    qq = np.clip(np.rint(q / qs), -127, 127).astype(np.int64)
+    vals = unpack_nibbles(pk).astype(np.int64)
+    sim = (qq @ vals.T).astype(np.float32) * sc[None, :] * qs.astype(
+        np.float32)
+
+    pkp = pack_words_paired(pk)
+    # raw f32 queries: the i8 grid quantizes from f32 exactly as the sim
+    tv, ti = int4_screen_topc_pallas(
+        jnp.asarray(q), jnp.asarray(pkp),
+        jnp.asarray(sc), jnp.ones((n,), bool), c,
+        block_n=128, seg_rows=512, qform="i8")
+    tv, ti = np.asarray(tv), np.asarray(ti)
+    order = np.argsort(-sim, axis=1)[:, :c]
+    for r in range(q_n):
+        np.testing.assert_array_equal(np.sort(ti[r]), np.sort(order[r]))
+        np.testing.assert_allclose(tv[r], sim[r][ti[r]], rtol=1e-6, atol=1e-7)
+    # the i8 screen's candidate set stays a faithful screen: top-10 of the
+    # bf16 form and the i8 form overlap almost completely at this size
+    bv, bi = int4_screen_topc_pallas(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(pkp),
+        jnp.asarray(sc), jnp.ones((n,), bool), c,
+        block_n=128, seg_rows=512, qform="bf16")
+    bi = np.asarray(bi)
+    overlap = np.mean([len(set(a.tolist()) & set(b.tolist())) / c
+                       for a, b in zip(ti, bi)])
+    assert overlap >= 0.9
 
 
 def test_unpack8_dots_i32_matches_unpack2():

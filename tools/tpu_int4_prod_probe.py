@@ -110,15 +110,17 @@ def main():
         pkp = jnp.asarray(pack_words_paired(pk))
         sc = jnp.asarray(np.asarray(s4))
         valid = jnp.ones((N,), bool)
-        for sel in ("approx", "exact"):
-            name = f"kernel_16M_{sel}"
+        for sel, qform in (("approx", "bf16"), ("exact", "bf16"),
+                           ("approx", "i8")):
+            name = (f"kernel_16M_{sel}" if qform == "bf16"
+                    else f"kernel_16M_{sel}_qi8")
             if have(name):
                 continue
             try:
                 sec = device_seconds(
-                    lambda i, sel=sel: int4_screen_topc_pallas(
+                    lambda i, sel=sel, qform=qform: int4_screen_topc_pallas(
                         qdev[i % len(qdev)], pkp, sc, valid, C,
-                        selector=sel),
+                        selector=sel, qform=qform),
                     lambda r: jax.device_get(r[0][0, 0]))
                 rec(name, sweep_ms=round(sec * 1e3, 3),
                     ms_per_query=round(sec / NQ * 1e3, 4),
@@ -226,6 +228,46 @@ def main():
                 rec("prod_recall_16M", recall_at_10=round(float(hit), 4))
             except Exception as e:
                 rec("prod_recall_16M", error=repr(e)[:500])
+
+    if not have("prod_latency_wall_16M"):
+        # LATENCY mode (config.rerank_device): screen + exact rerank fused
+        # in ONE dispatch; int8 rows resident (12.3 GB total at 16M)
+        idxl = ShardedVectorIndex(
+            dim=D, config=IndexConfig(embedding_dim=D, dtype="int4",
+                                      rerank_c=C, rerank_device=True))
+        print("injecting 16M rows into the latency-mode index...",
+              flush=True)
+        inject(idxl, True)
+        try:
+            idxl._sync_device()
+            assert idxl._gallery is not None
+            _ = idxl.search(qpool[0], top_k=K)
+            walls = []
+            for r in range(5):
+                t0 = time.perf_counter()
+                _ = idxl.search(qpool[r % len(qpool)], top_k=K)
+                walls.append(time.perf_counter() - t0)
+            w = float(np.median(walls))
+            from image_retrieval_tpu.parallel.collectives import (
+                sharded_int4_two_phase_topk,
+            )
+
+            sec = device_seconds(
+                lambda i: sharded_int4_two_phase_topk(
+                    jnp.asarray(qpool[i % len(qpool)]), idxl._packed,
+                    idxl._valid, idxl._scales4, idxl._gallery,
+                    idxl._scales, C, K, mesh=idxl.mesh,
+                    axis=idxl._row_axes),
+                lambda r: jax.device_get(r[0][0, 0]))
+            rec("prod_latency_wall_16M", wall_ms=round(w * 1e3, 2),
+                device_ms=round(sec * 1e3, 3),
+                ms_per_query_device=round(sec / NQ * 1e3, 4),
+                qps_wall=round(NQ / w, 1),
+                note="rerank_device one-dispatch two-phase; wall includes "
+                     "1 tunnel fetch RTT")
+        except Exception as e:
+            rec("prod_latency_wall_16M", error=repr(e)[:500])
+        del idxl
 
     if not have("prod_int8_wall_16M"):
         idx8 = ShardedVectorIndex(
