@@ -121,12 +121,14 @@ def vit_l14() -> "ModelConfig":
 def serving_config(base: "ModelConfig") -> "ModelConfig":
     """Apply the measured-fastest v5e serving execution strategy (whole-layer
     int8 mega-kernels, see vit_b32_serving) to ANY architecture preset:
-    `serving_config(vit_b16())`, `serving_config(vit_l14())`. Towers whose
-    layer weights exceed the scoped-VMEM budget (width > 768 int8, e.g.
-    L/14's 1024) automatically fall back to the per-sub-block fused
-    kernels (models/clip.py Block). Measured: B/32 20.9k img/s, B/16 6.0k
-    (bench_results/attn_probe9/10.json); cosine >0.999 vs the bf16 tower;
-    inference-only numerics."""
+    `serving_config(vit_b16())`, `serving_config(vit_l14())`. Towers wider
+    than 768 take the per-sub-block fused kernels BY MEASUREMENT, not as a
+    fallback: the width-1024 whole-layer kernel compiles under the raised
+    wide-tower VMEM ceiling but runs 4% slower than the sub-block pair on
+    the L/14 tower (1168 vs 1218 img/s at batch 128, preset_probe.json
+    r4). Measured: B/32 20.9k img/s, B/16 6.0k, L/14 1.22k (vs 0.65k
+    parity) (bench_results/attn_probe9/10.json, preset_probe.json);
+    cosine >0.999 vs the bf16 tower; inference-only numerics."""
     return dataclasses.replace(base, fused_layer_block=True, int8_matmuls=True)
 
 

@@ -193,6 +193,41 @@ def plan_index(
     else:
         ladder = ["int8", "int4", "bfloat16", "float32"]
 
+    # int4 LATENCY tier (r4, int4_prod_probe.json): packed screen + int8
+    # rows both resident (1.5x int8 bytes) with the exact rerank fused
+    # into the screen dispatch. The screen sweeps HALF the int8 bytes, so
+    # past the byte-bound threshold (~4M rows/dev, where the 16M capture
+    # measured 30.2 vs int8's 57-61 ms per 64-query batch) it beats the
+    # int8 sweep outright at int8-quality results (two-phase recall@10
+    # 0.9922 vs the int8 oracle at C=128). Requires the paired-kernel
+    # layout gates (dim % 512 == 0).
+    latency_bpr = dim // 2 + dim + 8  # packed + int8 rows + both scales
+    if ("int4" in ladder and dim % 512 == 0
+            and rows_per_dev >= 4_000_000
+            and rows_per_dev * latency_bpr <= usable_hbm_bytes):
+        return IndexPlan(
+            tier="resident-int4-latency",
+            index=IndexConfig(embedding_dim=dim, dtype="int4",
+                              rerank_device=True),
+            search=SearchConfig(),
+            n_devices=n_devices, rows_per_device=rows_per_dev,
+            est_hbm_bytes_per_device=rows_per_dev * latency_bpr,
+            est_single_query_ms=round(
+                SINGLE_Q_MS_1M["int4"] * max(rows_per_dev / 1e6, 1.0)
+                * (dim / 512.0), 2),
+            est_batched_ms_per_query=round(
+                rows_per_dev * (dim // 2 + 4) / (SWEEP_GBPS * 1e9)
+                * 1e3 / 64, 4),
+            expected_recall_at_10=RECALL_AT_10["int4"],
+            host_ram_bytes=0,
+            rationale=[
+                "int4-latency: packed screen sweeps HALF the int8 bytes "
+                "with the exact int8 rerank fused into the same dispatch "
+                "(rerank_device; 16M x 512 measured 30.2 ms vs int8's "
+                "57-61 ms per 64-query batch, int4_prod_probe.json); "
+                "costs 1.5x int8's HBM and returns int8-identical scores "
+                "for every row the screen covers"])
+
     for dtype in ladder:
         if fits(dtype):
             rationale = [

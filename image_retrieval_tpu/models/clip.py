@@ -265,7 +265,14 @@ class Block(nn.Module):
 
         t_len = x.shape[1]
         layer_fits = layer_kernel_fits(self.quant, self.width, t_len)
-        layer_ok = (self.fused_layer and layer_fits
+        # width > 768: the whole-layer kernel COMPILES under the raised
+        # wide-tower VMEM ceiling (ops/flash_attention.py
+        # _layer_compiler_params) but measured SLOWER than the two
+        # sub-block kernels on the L/14 tower — 1168 vs 1218 img/s at
+        # batch 128 (bench_results/preset_probe.json r4
+        # l14_serving_layer_bm1_* vs l14_serving_subblock_*), so wide
+        # towers take the sub-block path on purpose, not as a fallback.
+        layer_ok = (self.fused_layer and layer_fits and self.width <= 768
                     and (mask is None or self.causal))
         subblocks_fit = subblock_kernel_fits(self.quant, self.width, t_len)
         use_subblocks = self.fused_layer and not layer_ok and subblocks_fit

@@ -80,27 +80,40 @@ class CLIPEncoder(Encoder):
         data_spec = NamedSharding(self.mesh, P("data"))
         rep = NamedSharding(self.mesh, P())
 
-        self._encode_image = jax.jit(
-            lambda p, x: self.model.apply(p, x, method=CLIP.encode_image),
-            in_shardings=(NamedSharding(self.mesh, P()), data_spec),
-            out_shardings=data_spec,
-        )
+        # Multi-chip data parallelism is shard_map, NOT sharded jit: GSPMD
+        # cannot auto-partition compiled Mosaic kernels ("Mosaic kernels
+        # cannot be automatically partitioned. Please wrap the call in a
+        # shard_map" — bench_results/gspmd_probe.json aot_v5e8 case), so a
+        # plain jit with data-sharded inputs only works single-device. The
+        # towers are per-example independent (no cross-batch ops), so the
+        # shard_map wrap is EXACT — each device runs the full tower on its
+        # batch shard with replicated params (verified bitwise vs the
+        # unsharded jit on hardware, gspmd_probe.json sharded_1dev).
+        from image_retrieval_tpu.models.preprocess import normalize_u8_device
+
+        def wrap(fn):
+            if self.mesh.shape["data"] > 1:
+                from jax import shard_map
+
+                fn = shard_map(fn, mesh=self.mesh,
+                               in_specs=(P(), P("data")),
+                               out_specs=P("data"), check_vma=False)
+            return jax.jit(
+                fn,
+                in_shardings=(NamedSharding(self.mesh, P()), data_spec),
+                out_shardings=data_spec,
+            )
+
+        self._encode_image = wrap(
+            lambda p, x: self.model.apply(p, x, method=CLIP.encode_image))
         # uint8 ingest form: the host ships raw RGB bytes (1/4 the f32
         # transfer — the tunnel/PCIe leg of ingest) and /255 + mean/std
         # fuse into the forward under jit (models/preprocess.py)
-        from image_retrieval_tpu.models.preprocess import normalize_u8_device
-
-        self._encode_image_u8 = jax.jit(
+        self._encode_image_u8 = wrap(
             lambda p, x: self.model.apply(
-                p, normalize_u8_device(x), method=CLIP.encode_image),
-            in_shardings=(NamedSharding(self.mesh, P()), data_spec),
-            out_shardings=data_spec,
-        )
-        self._encode_text = jax.jit(
-            lambda p, t: self.model.apply(p, t, method=CLIP.encode_text),
-            in_shardings=(NamedSharding(self.mesh, P()), data_spec),
-            out_shardings=data_spec,
-        )
+                p, normalize_u8_device(x), method=CLIP.encode_image))
+        self._encode_text = wrap(
+            lambda p, t: self.model.apply(p, t, method=CLIP.encode_text))
         self._rep = rep
 
     # Each distinct batch shape costs a jit compile (minutes through the

@@ -61,10 +61,25 @@ def test_int4_skipped_when_floor_above_its_recall():
 
 
 def test_mesh_sharding_keeps_huge_corpora_resident():
+    # 10M rows/device is past the byte-bound threshold where the int4
+    # latency tier (packed screen + fused device rerank) beats the int8
+    # sweep at 1.5x its HBM (int4_prod_probe.json: 30.2 vs 57-61 ms at
+    # 16M); r3 expected resident-int8 here
     plan = plan_index(80_000_000, n_devices=8)
-    assert plan.tier == "resident-int8"
+    assert plan.tier == "resident-int4-latency"
+    assert plan.index.dtype == "int4" and plan.index.rerank_device
     assert plan.rows_per_device == math.ceil(80_000_000 / 8)
     assert plan.est_hbm_bytes_per_device <= USABLE_HBM_BYTES
+
+
+def test_latency_tier_needs_room_and_scale():
+    # too small (byte-bound threshold not reached) -> int8
+    assert plan_index(1_000_000).tier == "resident-int8"
+    # non-512-multiple dim fails the paired-kernel gate -> int8
+    assert plan_index(8_000_000, dim=256).tier == "resident-int8"
+    # 1.5x bytes does not fit but int8 does -> int8 (25M x 768 B/row)
+    p = plan_index(25_000_000)
+    assert p.tier == "resident-int8"
 
 
 def test_beyond_hbm_clustered_picks_offloaded_ivf():

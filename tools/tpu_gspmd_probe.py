@@ -148,6 +148,41 @@ def main():
     except Exception as e:  # pragma: no cover
         rec("aot_v5e8_compile", ok=False, error=str(e)[:500])
 
+    # --- AOT compile-only, SHARD_MAP wrap (the production multi-chip
+    # form: GSPMD cannot auto-partition Mosaic; models/encoder.py wraps
+    # the tower in shard_map over the data axis) ------------------------
+    try:
+        from jax.experimental import topologies
+        from jax import shard_map
+
+        topo = topologies.get_topology_desc(
+            platform="tpu", topology_name=out.get("aot_topology_name",
+                                                  "v5e:2x4"))
+        tmesh = topologies.make_mesh(topo, (8,), ("data",))
+        tdata = NamedSharding(tmesh, P("data"))
+        trepl = NamedSharding(tmesh, P())
+        sm = shard_map(encode, mesh=tmesh, in_specs=(P(), P("data")),
+                       out_specs=P("data"), check_vma=False)
+        x_s = jax.ShapeDtypeStruct((256, 224, 224, 3), jnp.bfloat16,
+                                   sharding=tdata)
+        p_s = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                           sharding=trepl),
+            params)
+        t0 = time.perf_counter()
+        lowered = jax.jit(sm, in_shardings=(trepl, tdata),
+                          out_shardings=tdata).lower(p_s, x_s)
+        t_lower = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        compiled = lowered.compile()
+        t_comp = time.perf_counter() - t0
+        rec("aot_v5e8_shardmap_compile", ok=True,
+            lower_s=round(t_lower, 1), compile_s=round(t_comp, 1),
+            note="shard_map-wrapped serving tower compiled for 2x4 v5e "
+                 "with no attached chips — the multi-chip serving path")
+    except Exception as e:  # pragma: no cover
+        rec("aot_v5e8_shardmap_compile", ok=False, error=str(e)[:500])
+
     print("DONE", flush=True)
 
 

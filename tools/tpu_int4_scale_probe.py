@@ -280,14 +280,16 @@ def run_32m():
     print("pairing 32M packed rows...", flush=True)
     pk32 = jax.device_put(pack_words_paired(pkh32))
     s432 = jax.device_put(s4h32)
-    valid32 = jax.device_put(np.ones((n32,), bool))
     _ = jax.device_get(pk32[0, 0])
     m_pk = mem_bytes()
 
     def paired_step(g, sc, qs, k=C):
         qn = (qs / jnp.linalg.norm(qs, axis=-1, keepdims=True)
               ).astype(jnp.bfloat16)
-        return int4_screen_topc_pallas(qn, g, sc, valid32, k,
+        # valid created IN-TRACE: a captured 32M device mask would ship
+        # through the remote compiler as a 32 MB constant
+        valid = jnp.ones((2 * g.shape[0],), bool)
+        return int4_screen_topc_pallas(qn, g, sc, valid, k,
                                        selector="approx")
 
     run432 = time_batched(
@@ -322,8 +324,8 @@ def run_32m():
     rec("recall_32M", two_phase_at_10=round(recall32, 4),
         oracle="streamed int8 exact", oracle_sweep_s=round(t_oracle, 1),
         nq=nq_o)
-    pk32.delete(); s432.delete(); valid32.delete()
-    del pk32, s432, valid32, g8h32, s8h32, pkh32, s4h32
+    pk32.delete(); s432.delete()
+    del pk32, s432, g8h32, s8h32, pkh32, s4h32
 
 
 def run_streamed_4m(g16=None):
