@@ -1014,7 +1014,15 @@ class ShardedVectorIndex:
         for rec in journal.pending():
             op = rec["op"]
             if op == "insert":
-                unit, mags = journal.load_segment(rec["seq"])
+                try:
+                    unit, mags = journal.load_segment(rec["seq"])
+                except Exception:
+                    # torn/missing segment: this record and everything
+                    # after it are the un-flushed tail (group commit —
+                    # segments fsync at the flush() barrier); drop them,
+                    # exactly the durability Milvus gives pre-flush writes
+                    journal.drop_from(rec["seq"])
+                    break
                 idx.insert(rec["paths"], unit, mags, attrs=rec.get("attrs"))
             elif op == "delete":
                 idx.delete(rec["paths"])

@@ -121,6 +121,45 @@ def test_torn_tail_is_ignored(tmp_path):
     assert "d" in re2.paths
 
 
+def test_torn_segment_drops_unflushed_tail(tmp_path):
+    """GROUP COMMIT: segment payloads fsync at the flush() barrier, so a
+    crash can leave a logged insert whose segment is torn. Recovery must
+    keep everything up to the last flush and drop the torn record AND all
+    records after it (they were never acknowledged durable)."""
+    jd = tmp_path / "j"
+    idx = _mk(jd)
+    idx.insert(["a", "b"], _rows(2))
+    idx.flush()  # barrier: a+b durable
+    idx.insert(["c"], _rows(1, seed=1))      # seq of this seg gets torn
+    idx.insert(["d"], _rows(1, seed=2))      # after the torn record
+    seqs = sorted(int(f[4:-4]) for f in os.listdir(jd)
+                  if f.startswith("seg-"))
+    torn = seqs[-2]  # the "c" insert
+    with open(jd / f"seg-{torn}.npz", "r+b") as f:
+        f.truncate(8)  # simulate a page-cache loss mid-file
+
+    re = _mk(jd)
+    assert re.paths == ["a", "b"]  # d dropped too: it followed the tear
+    # the journal keeps working after the truncation
+    re.insert(["e"], _rows(1, seed=3))
+    re.flush()
+    del re
+    re2 = _mk(jd)
+    assert re2.paths == ["a", "b", "e"]
+
+
+def test_flush_fsyncs_pending_segments(tmp_path):
+    """After flush() no segment remains pending (the barrier covered
+    them); before it, inserts accumulate pending fsyncs."""
+    jd = tmp_path / "j"
+    idx = _mk(jd)
+    idx.insert(["a"], _rows(1))
+    idx.insert(["b"], _rows(1, seed=1))
+    assert len(idx._journal._pending_segs) == 2
+    idx.flush()
+    assert idx._journal._pending_segs == []
+
+
 def test_int8_tier_replay_requantizes_identically(tmp_path):
     emb = _rows(30, seed=4)
     idx = _mk(tmp_path / "j", dtype="int8")
