@@ -100,7 +100,8 @@ def main():
                         jnp.bfloat16) for q in qpool]
 
     # ---- raw kernel cases (paired layout as a plain jit arg) -------------
-    if not (have("kernel_16M_approx") and have("kernel_16M_exact")):
+    if not (have("kernel_16M_approx") and have("kernel_16M_exact")
+            and have("kernel_16M_approx_qi8")):
         from image_retrieval_tpu.ops.pallas_kernels import (
             int4_screen_topc_pallas,
             pack_words_paired,
@@ -134,7 +135,8 @@ def main():
                      and have("prod_search_wall_16M")
                      and have("prod_recall_16M"))
     oracle_ids = None
-    if need_prod or not have("prod_int8_wall_16M"):
+    if (need_prod or not have("prod_int8_wall_16M")
+            or not have("prod_latency_wall_16M")):
         from image_retrieval_tpu.config import IndexConfig
         from image_retrieval_tpu.index.vector_index import ShardedVectorIndex
 
