@@ -92,6 +92,32 @@ def main():
     print(f"[4] int4 two-phase: recall@10 {i4_recall:.2f} vs int8, device "
           f"rows at {d // 2}/{d} bytes (2x resident capacity)")
 
+    # 4b) int4 LATENCY mode (rerank_device=True): the int8 rows ALSO live
+    #     on device, so the exact rerank fuses into the screen dispatch —
+    #     one fetch per search, and the screen sweeps half the int8
+    #     bytes (16M x 512 measured: 30.2 ms vs the int8 sweep's 57-61 ms
+    #     per 64-query batch; int4_prod_probe.json). Needs the Pallas
+    #     paired layout (dim % 512 == 0) — at this demo's d=64 it would
+    #     fall back to the host rerank, so shown at dim=512.
+    d5, n5 = 512, 2048
+    emb5 = rng.normal(size=(n5, d5)).astype(np.float32)
+    lat = ShardedVectorIndex(
+        dim=d5, config=IndexConfig(embedding_dim=d5, dtype="int4",
+                                   rerank_c=128, capacity_step=2048,
+                                   rerank_device=True))
+    lat.insert([f"r{i}" for i in range(n5)], emb5)
+    i8ref = ShardedVectorIndex(
+        dim=d5, config=IndexConfig(embedding_dim=d5, dtype="int8"))
+    i8ref.insert([f"r{i}" for i in range(n5)], emb5)
+    q5 = rng.normal(size=(4, d5)).astype(np.float32)
+    lv, li = lat.search(q5, top_k=10)
+    rv, ri = i8ref.search(q5, top_k=10)
+    lat_rec = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                       for a, b in zip(li, ri)])
+    print(f"[4b] int4 latency mode (fused device rerank): recall@10 "
+          f"{lat_rec:.2f} vs int8, ONE dispatch per search at half the "
+          f"int8 sweep bytes (1.5x int8 HBM)")
+
     # 5) mesh-sharded: all engines ride the index's mesh transparently.
     #    ShardedVectorIndex shards rows over the data axis at insert;
     #    from_index attaches the same mesh to the IVF (cluster-granular);
