@@ -18,6 +18,14 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+# int4 screen query form for the production sweeps (ops/pallas_kernels.py
+# _int4_screen_scores_halves): "bf16" = unpack2_dots-exact scores; "i8" =
+# int8-quantized queries on the MXU's double-rate integer path (ranking-
+# neutral per-query scale, integer-exact vs its own sim). Flip to "i8"
+# only on a captured win — bench_results/int4_prod_probe.json
+# kernel_16M_approx_qi8 vs kernel_16M_approx.
+INT4_SCREEN_QFORM = "bf16"
+
 from image_retrieval_tpu.ops.metrics import pairwise_metrics
 from image_retrieval_tpu.ops.topk import exact_topk, two_key_topk, DESCENDING_METRICS
 
@@ -418,7 +426,8 @@ def sharded_int4_screen_topk(
             # wide plane costs more than the whole sweep at 16M rows
             # (int4_isolate_probe.json: 6.2 vs 0.09 ms/query)
             return int4_screen_topc_pallas(qu, g, sc, v, cc, block_n=bn,
-                                           selector="approx")
+                                           selector="approx",
+                                           qform=INT4_SCREEN_QFORM)
     else:
         from image_retrieval_tpu.ops.int4 import screen_int4_topc
 
@@ -503,7 +512,7 @@ def sharded_int4_two_phase_topk(
         qu = jnp.where(qn > 0, qf / jnp.where(qn > 0, qn, 1.0), 0.0)
         sv, sidx = int4_screen_topc_pallas(
             qu.astype(jnp.bfloat16), g, sc, v, cc, block_n=bn,
-            selector="approx")
+            selector="approx", qform=INT4_SCREEN_QFORM)
         # exact rerank of the LOCAL candidates against the shard's int8
         # rows — identical math to the resident int8 sweep (bf16 dot *
         # norm-preserving scale), so merged results match dtype='int8'
