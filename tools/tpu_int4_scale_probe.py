@@ -266,7 +266,13 @@ def run_32m():
     print("generating 32M gallery...", flush=True)
     # int8 rows stay HOST-side only (16 GB — the point: they cannot be
     # resident; they are the rerank source)
-    g8h32, s8h32, pkh32, s4h32 = make_gallery(n32)
+    # shared on-disk cache (tools/int4_gallery_cache): generation costs
+    # ~1 h on this 1-core host — a tunnel wedge mid-probe must not force
+    # a regeneration on resume. NOTE: the cache's seeded stream matches
+    # make_gallery's (same rng seed + chunking).
+    from tools.int4_gallery_cache import get_gallery
+
+    g8h32, s8h32, pkh32, s4h32 = get_gallery(n32, want_int8=True)
     pool = make_pool(nq=nq32)
     base = mem_bytes()
     # PRODUCTION paired layout + Pallas screen (what ShardedVectorIndex
