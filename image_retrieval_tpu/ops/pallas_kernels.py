@@ -713,12 +713,24 @@ def int4_paired_block_n(half: int) -> int:
 
 
 def _int4_screen_scores_halves(queries_bf16, packed_paired, scales,
-                               block_n=4096, qform="bf16"):
+                               block_n=4096, qform="bf16",
+                               off_pairs=0, rows_pairs=None):
     """Kernel dispatch returning the two score HALVES (s0, s1), each
-    (Q, half) f32 — half h scores gallery rows [h*half, (h+1)*half).
+    (Q, rows_pairs) f32 for the SEGMENT of paired storage rows
+    [off_pairs, off_pairs + rows_pairs) — half h of the segment scores
+    gallery rows [h*half + off_pairs, h*half + off_pairs + rows_pairs).
     Selection-side callers keep the halves separate: concatenating them
     to (Q, N) is a multi-GB HBM copy at 16M rows that the selector does
     not need (it can select per half and merge k-sized lists).
+
+    Segmentation happens in the BlockSpec index_map (a STATIC block
+    offset), NOT by slicing `packed_paired`: a lax.slice feeding a
+    pallas_call materializes the slice — 2.2 GB of HBM copy PER SEGMENT
+    at 16M rows (and an outright OOM at 32M, where four live 2.2 GB
+    segment copies + the 8.6 GB source exceeded HBM).
+
+    `scales` must still be the FULL (2*half,) array — the kernel block
+    maps index the full scale rows alongside the packed rows.
 
     qform: "bf16" (exact unpack2_dots parity) or "i8" (int8-quantized
     queries on the MXU's double-rate integer path; the halves come back
@@ -727,8 +739,13 @@ def _int4_screen_scores_halves(queries_bf16, packed_paired, scales,
     values — see int4_query_planes_i8)."""
     nq, d = queries_bf16.shape
     half, words2 = packed_paired.shape
+    if rows_pairs is None:
+        rows_pairs = half
     assert words2 == d // 4, (packed_paired.shape, d)
-    assert half % block_n == 0, (half, block_n)
+    assert off_pairs % block_n == 0 and rows_pairs % block_n == 0, (
+        off_pairs, rows_pairs, block_n)
+    assert off_pairs + rows_pairs <= half
+    off_blocks = off_pairs // block_n
     if qform == "i8":
         qp0, qp1, qs = int4_query_planes_i8(queries_bf16)
         kernel = _int4_screen_kernel_i8
@@ -740,21 +757,22 @@ def _int4_screen_scores_halves(queries_bf16, packed_paired, scales,
     sc1 = scales[half:].reshape(1, -1)
     s0, s1 = pl.pallas_call(
         kernel,
-        grid=(half // block_n,),
+        grid=(rows_pairs // block_n,),
         in_specs=[
             pl.BlockSpec((8, nq, words2), lambda i: (0, 0, 0)),
             pl.BlockSpec((8, nq, words2), lambda i: (0, 0, 0)),
-            pl.BlockSpec((block_n, words2), lambda i: (i, 0)),
-            pl.BlockSpec((1, block_n), lambda i: (0, i)),
-            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+            pl.BlockSpec((block_n, words2),
+                         lambda i: (i + off_blocks, 0)),
+            pl.BlockSpec((1, block_n), lambda i: (0, i + off_blocks)),
+            pl.BlockSpec((1, block_n), lambda i: (0, i + off_blocks)),
         ],
         out_specs=[
             pl.BlockSpec((nq, block_n), lambda i: (0, i)),
             pl.BlockSpec((nq, block_n), lambda i: (0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nq, half), jnp.float32),
-            jax.ShapeDtypeStruct((nq, half), jnp.float32),
+            jax.ShapeDtypeStruct((nq, rows_pairs), jnp.float32),
+            jax.ShapeDtypeStruct((nq, rows_pairs), jnp.float32),
         ],
         interpret=_interpret(),
     )(qp0, qp1, packed_paired, sc0, sc1)
@@ -819,17 +837,13 @@ def int4_screen_topc_pallas(
             return jax.lax.top_k(s, k)
 
     def seg(off_pairs, rows_pairs):
+        # zero-copy segmentation: the block index_map offsets into the
+        # FULL paired array (a lax.slice here materializes a multi-GB
+        # copy per segment through the pallas operand — the 32M OOM)
         s0, s1, qs = _int4_screen_scores_halves(
-            queries_bf16,
-            jax.lax.slice_in_dim(packed_paired, off_pairs,
-                                 off_pairs + rows_pairs, axis=0),
-            jnp.concatenate([
-                jax.lax.slice_in_dim(scales, off_pairs,
-                                     off_pairs + rows_pairs, axis=0),
-                jax.lax.slice_in_dim(scales, half + off_pairs,
-                                     half + off_pairs + rows_pairs, axis=0),
-            ]),
+            queries_bf16, packed_paired, scales,
             block_n=block_n, qform=qform,
+            off_pairs=off_pairs, rows_pairs=rows_pairs,
         )  # each (Q, rows_pairs): rows [off..off+rp) and [half+off..)
         v0 = jax.lax.slice_in_dim(valid, off_pairs, off_pairs + rows_pairs,
                                   axis=0)
