@@ -20,10 +20,10 @@ Measured anchors (v5e single chip, 512-d; all cited from bench_results/):
     galleries (16M int8 = 8 GB: 0.90 ms/query at Q=64,
     streaming_probe.json); smaller galleries do better (1M int8:
     0.02-0.05 ms/query) so the byte-rate estimate is an upper bound.
-    The int4 tier MEETS this model since r4: the paired Pallas screen
-    sweeps 16M rows (4 GB packed) in 30.2 ms at Q=64 = 0.47 ms/query,
-    142 GB/s (int4_prod_probe.json) — half the int8 bytes at the same
-    byte rate, where the r3 XLA form ran 431 ms.
+    The int4 tier BEATS this model since r4 (zero-copy segment maps):
+    the paired Pallas screen sweeps 16M rows (4 GB packed) in 20.9 ms at
+    Q=64 (206 GB/s), and latency mode's complete two-phase search runs
+    15.1 ms device (int4_prod_probe.json) — the r3 XLA form ran 431 ms.
   * recall@10 vs the f32 oracle: int8 0.984, int4 two-phase 0.983
     (BENCH_r02, int4_probe.json); 10/10 oracle match spot-check at 256k.
   * usable HBM ~13.5 GB/chip (streaming_probe.json: a 16 GB gallery is
@@ -223,10 +223,11 @@ def plan_index(
             rationale=[
                 "int4-latency: packed screen sweeps HALF the int8 bytes "
                 "with the exact int8 rerank fused into the same dispatch "
-                "(rerank_device; 16M x 512 measured 30.2 ms vs int8's "
-                "57-61 ms per 64-query batch, int4_prod_probe.json); "
-                "costs 1.5x int8's HBM and returns int8-identical scores "
-                "for every row the screen covers"])
+                "(rerank_device; 16M x 512 measured 15.1 ms device vs "
+                "int8's 57-61 ms per 64-query batch, "
+                "int4_prod_probe.json); costs 1.5x int8's HBM and "
+                "returns int8-identical scores for every row the screen "
+                "covers"])
 
     for dtype in ladder:
         if fits(dtype):
