@@ -454,6 +454,27 @@ def main():
             ) / nq
             extra["int4_screen_pallas_p50_ms"] = round(
                 float(np.percentile(tp4, 50) * 1e3), 4)
+
+            # latency mode: the COMPLETE two-phase search (screen +
+            # fused exact int8 rerank) in one dispatch
+            # (parallel/collectives.py sharded_int4_two_phase_topk —
+            # what IndexConfig.rerank_device ships; 16M capture:
+            # int4_prod_probe.json)
+            from jax.sharding import Mesh as _Mesh
+
+            from image_retrieval_tpu.parallel.collectives import (
+                sharded_int4_two_phase_topk,
+            )
+
+            mesh1 = _Mesh(np.array(jax.devices()[:1]), ("data",))
+            tpl = device_seconds(
+                lambda i: sharded_int4_two_phase_topk(
+                    qb_pool[i].astype(jnp.float32), pkp, valid4, s4,
+                    g8, g_scale, 128, k, mesh=mesh1, axis="data"),
+                repeats=3,
+            ) / nq
+            extra["int4_two_phase_fused_p50_ms"] = round(
+                float(np.percentile(tpl, 50) * 1e3), 4)
             del pkp, valid4
         except Exception as e:  # pragma: no cover
             extra["int4_pallas_error"] = str(e)[:200]
