@@ -492,6 +492,20 @@ class ShardedVectorIndex:
                 # rerank fuses into the screen dispatch (config.py
                 # rerank_device). 1.5x int8's HBM; screen sweeps half the
                 # int8 bytes, so two-phase beats the int8 sweep outright.
+                from image_retrieval_tpu.index.plan import USABLE_HBM_BYTES
+
+                est = (self.capacity // self._nshards) * (
+                    self.dim // 2 + self.dim + 8)
+                if est > USABLE_HBM_BYTES:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "rerank_device: ~%.1f GiB/device exceeds the "
+                        "measured ~%.1f GiB usable HBM — expect an OOM; "
+                        "use the capacity configuration "
+                        "(rerank_device=False) or more devices "
+                        "(plan_index() picks this automatically)",
+                        est / (1 << 30), USABLE_HBM_BYTES / (1 << 30))
                 self._gallery = shard_rows(self._host_gallery, self.mesh,
                                            self._row_axes)
                 self._scales = shard_rows(self._host_scales, self.mesh,
