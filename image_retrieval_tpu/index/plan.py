@@ -28,7 +28,10 @@ Measured anchors (v5e single chip, 512-d; all cited from bench_results/):
     (BENCH_r02, int4_probe.json); 10/10 oracle match spot-check at 256k.
   * usable HBM ~13.5 GB/chip (streaming_probe.json: a 16 GB gallery is
     genuinely beyond-chip) => ~27M int8 512-d rows or ~52M int4 rows
-    resident per chip.
+    resident per chip (32M int4 rows MEASURED resident at 8.6 GB with
+    screen 28.2 ms/16q and two-phase recall@10 1.0 —
+    int4_scale_probe.json r4; the 52M figure extrapolates 1.6x past
+    that point).
   * streamed exact sweep runs AT the host->device transfer bound
     (overlap efficiency 1.04 at 16M and 32M rows, streaming_probe.json):
     sweep seconds = N*D bytes / link GB/s; amortize over the query batch.
