@@ -438,8 +438,19 @@ def main():
                 pack_words_paired,
             )
 
-            pkp = jnp.asarray(pack_words_paired(np.asarray(gp)))
-            valid4 = jnp.ones((n,), bool)
+            # the paired kernel wants row counts in 8192-multiples
+            # (128-pair blocks x 4096 block_n x 2 halves); pad with
+            # invalid rows — n=1M decimal is NOT such a multiple
+            n_pad4 = -(-n // 8192) * 8192
+            pad4 = n_pad4 - n
+            pk_np = np.asarray(gp)
+            if pad4:
+                pk_np = np.concatenate(
+                    [pk_np, np.zeros((pad4, d // 2), np.uint8)])
+            pkp = jnp.asarray(pack_words_paired(pk_np))
+            valid4 = jnp.asarray(np.arange(n_pad4) < n)
+            s4p = (jnp.concatenate([s4, jnp.ones((pad4,), jnp.float32)])
+                   if pad4 else s4)
             qb_pool = [
                 jax.jit(lambda key: jax.random.normal(key, (nq, d),
                                                       jnp.bfloat16))(
@@ -449,7 +460,7 @@ def main():
             _ = jax.device_get(qb_pool[-1][0, 0])
             tp4 = device_seconds(
                 lambda i: int4_screen_topc_pallas(
-                    qb_pool[i], pkp, s4, valid4, 128, selector="approx"),
+                    qb_pool[i], pkp, s4p, valid4, 128, selector="approx"),
                 repeats=3,
             ) / nq
             extra["int4_screen_pallas_p50_ms"] = round(
@@ -467,15 +478,21 @@ def main():
             )
 
             mesh1 = _Mesh(np.array(jax.devices()[:1]), ("data",))
+            g8p = (jnp.concatenate(
+                       [g8, jnp.zeros((pad4, d), jnp.int8)])
+                   if pad4 else g8)
+            g_scale_p = (jnp.concatenate(
+                             [g_scale, jnp.ones((pad4,), jnp.float32)])
+                         if pad4 else g_scale)
             tpl = device_seconds(
                 lambda i: sharded_int4_two_phase_topk(
-                    qb_pool[i].astype(jnp.float32), pkp, valid4, s4,
-                    g8, g_scale, 128, k, mesh=mesh1, axis="data"),
+                    qb_pool[i].astype(jnp.float32), pkp, valid4, s4p,
+                    g8p, g_scale_p, 128, k, mesh=mesh1, axis="data"),
                 repeats=3,
             ) / nq
             extra["int4_two_phase_fused_p50_ms"] = round(
                 float(np.percentile(tpl, 50) * 1e3), 4)
-            del pkp, valid4
+            del pkp, valid4, s4p
         except Exception as e:  # pragma: no cover
             extra["int4_pallas_error"] = str(e)[:200]
         del gp, s4
