@@ -200,6 +200,16 @@ class IndexConfig:
     # unless dtype == "int4"; falls back to the host-gather rerank when
     # off (the capacity configuration: int8 rows stay in host RAM).
     rerank_device: bool = False
+    # Approximate SELECTION for the resident f32/bf16/int8 tiers: per-shard
+    # approx_max_k over-selects 4k/128 candidates (whose scores are the
+    # TRUE scores) before the exact top-k — only the candidate set is
+    # approximate. Measured at 16M x 512 int8, Q=64: 9.8 ms vs the exact
+    # sweep's 56.6 ms (5.8x) at recall@10 0.9984
+    # (bench_results/int8_tiled_probe.json). Default OFF: exact results
+    # are the tier contract; flip for serving fleets that take Milvus-IVF-
+    # grade recall (the reference's default) for a 5-6x latency cut at
+    # >=multi-M rows. Flat meshes only (the multislice path stays exact).
+    approx_select: bool = False
 
 
 @dataclasses.dataclass

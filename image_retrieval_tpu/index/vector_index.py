@@ -657,6 +657,11 @@ class ShardedVectorIndex:
                 self._shadow if metric == "optimized_similarity" else None,
                 mesh=self.mesh,
                 axis=self.axis,
+                # config.approx_select: approximate candidate SET, true
+                # scores (5.8x at 16M, recall@10 0.9984 —
+                # int8_tiled_probe.json)
+                selector=("approx" if self.config.approx_select
+                          else "exact"),
             )
         # one grouped fetch: sequential np.asarray calls each pay a full
         # host round-trip (40-50 ms on the dev tunnel; a PCIe hop each on

@@ -447,3 +447,32 @@ def test_l1_shadow_flag_bitwise_identical_search(mesh, rng):
         vb, ib = b.search(qs, top_k=9, metric=metric, params=p)
         np.testing.assert_array_equal(ia, ib)
         np.testing.assert_array_equal(va, vb)
+
+
+def test_approx_select_flag(mesh, rng):
+    """config.approx_select=True routes selection through approx_max_k /
+    approx_min_k (true scores, approximate candidate SET). Off-TPU the
+    approx primitives lower to exact top-k, so results here must be
+    IDENTICAL to the exact index — this pins the wiring and the
+    ascending/descending split; the recall/latency trade is measured on
+    hardware (bench_results/int8_tiled_probe.json: 9.8 vs 56.6 ms at 16M,
+    recall@10 0.9984)."""
+    from image_retrieval_tpu.config import IndexConfig
+    from image_retrieval_tpu.index.vector_index import ShardedVectorIndex
+
+    n, d = 4096, 64
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    paths = [f"p{i}" for i in range(n)]
+    exact = ShardedVectorIndex(
+        dim=d, mesh=mesh, config=IndexConfig(embedding_dim=d, dtype="int8"))
+    approx = ShardedVectorIndex(
+        dim=d, mesh=mesh, config=IndexConfig(embedding_dim=d, dtype="int8",
+                                             approx_select=True))
+    exact.insert(paths, emb)
+    approx.insert(paths, emb)
+    q = rng.normal(size=(4, d)).astype(np.float32)
+    for metric in ("cosine_similarity", "l2_distance"):
+        va, ia = exact.search(q, top_k=10, metric=metric)
+        vb, ib = approx.search(q, top_k=10, metric=metric)
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(va, vb)
