@@ -153,6 +153,52 @@ def main():
         except Exception as e:
             rec(name, error=repr(e)[:500])
 
+    if not have("prod_approx_select_16M"):
+        # through ShardedVectorIndex.search with config.approx_select —
+        # the shipped surface (CLI --approx-select). The exact-baseline
+        # ids are taken FIRST and the probe's 8 GB device copy freed
+        # before the index syncs its own (two 16M int8 galleries do not
+        # co-reside in HBM).
+        try:
+            from image_retrieval_tpu.config import IndexConfig
+            from image_retrieval_tpu.index.vector_index import (
+                ShardedVectorIndex,
+            )
+
+            _bv, bi = jax.device_get(baseline(g8, s8, qpool[0]))
+            g8.delete(); s8.delete()
+
+            idx = ShardedVectorIndex(
+                dim=D, config=IndexConfig(embedding_dim=D, dtype="int8",
+                                          approx_select=True))
+            print("injecting 16M rows (approx_select index)...", flush=True)
+            idx._grow_to(N)
+            np.copyto(idx._host_gallery[:N], g8h)
+            np.copyto(idx._host_scales[:N], s8h)
+            idx._host_valid[:N] = True
+            idx.count = N
+            idx.attrs.append(None, N)
+            idx._device_dirty = True
+            qnp = [np.asarray(q, np.float32) for q in qpool[:6]]
+            _ = idx.search(qnp[0], top_k=K)  # warm/compile (+sync)
+            walls = []
+            for r in range(5):
+                t0 = time.perf_counter()
+                _ = idx.search(qnp[r % len(qnp)], top_k=K)
+                walls.append(time.perf_counter() - t0)
+            w = float(np.median(walls))
+            _, ai = idx.search(qnp[0], top_k=K)
+            rec_at10 = float(np.mean([
+                len(set(a.tolist()) & set(b.tolist())) / K
+                for a, b in zip(bi, np.asarray(ai))]))
+            rec("prod_approx_select_16M", wall_ms=round(w * 1e3, 2),
+                qps_wall=round(NQ / w, 1),
+                recall_at_10=round(rec_at10, 4),
+                note="full index.search wall incl. one tunnel fetch RTT")
+            del idx
+        except Exception as e:
+            rec("prod_approx_select_16M", error=repr(e)[:500])
+
     if not have("exactness"):
         try:
             bv, bi = jax.device_get(baseline(g8, s8, qpool[0]))
