@@ -240,6 +240,14 @@ def plan_index(
                 f"(recall@10 {RECALL_AT_10[dtype]:.3f}) that fits "
                 f"{rows_per_dev:,} rows/device in "
                 f"{usable_hbm_bytes / (1 << 30):.1f} GiB HBM"]
+            if (dtype in ("int8", "bfloat16", "float32")
+                    and rows_per_dev >= 4_000_000
+                    and recall_floor <= 0.998):
+                rationale.append(
+                    "optional: IndexConfig.approx_select trades the exact "
+                    "candidate SET for 5.8x batched latency at multi-M "
+                    "rows (recall@10 0.9984 at 16M; scores stay exact — "
+                    "int8_tiled_probe.json)")
             if dtype == "float32" and not exact_scores and len(ladder) == 1:
                 rationale.append(
                     "recall_floor > 0.999 forces the f32 oracle tier")
