@@ -530,8 +530,12 @@ def main():
             shutil.rmtree(jdir, ignore_errors=True)
         extra["journal_insert_ms_per_batch512"] = round(
             (t_j - t_plain) / 8 * 1e3, 2)
+        # pct is vs a bare in-RAM concat, so it reads large even when the
+        # absolute cost is tiny — the sustained journaled rate is the
+        # operative number (Milvus-WAL analog: fsync at the flush barrier)
         extra["journal_insert_overhead_pct"] = round(
             100.0 * (t_j - t_plain) / max(t_plain, 1e-9), 1)
+        extra["journal_insert_rows_per_s"] = round(4096 / max(t_j, 1e-9), 0)
     except Exception as e:  # pragma: no cover
         extra["journal_bench_error"] = str(e)[:200]
 
@@ -678,9 +682,10 @@ def main():
 
     # --- end-to-end ingest: JPEG on disk -> decode pool -> batched encode ->
     # indexed row (reference ImageEmbeddingSystem.py:100-137; VERDICT r2
-    # item 2). This host has ONE core, so e2e is decode-bound by
-    # construction — the extra records the per-core decode rate and the
-    # n-core projection alongside the measured e2e number.
+    # item 2). The extras decompose the bound into three legs (decode /
+    # host->device transfer / encode) — on this box the transfer leg rides
+    # the remote axon tunnel and dominates; a production PCIe host has no
+    # such leg, so the n-core projection is the honest scaling claim.
     try:
         if not on_tpu:
             raise RuntimeError("ingest e2e bench: TPU-only (encode leg)")
@@ -704,6 +709,11 @@ def main():
         )
         extra["ingest_img_per_s_e2e"] = ing["e2e_img_per_s"]
         extra["ingest_decode_img_per_s_core"] = ing["decode_img_per_s_core"]
+        extra["ingest_transfer_img_per_s"] = ing.get("transfer_img_per_s", 0.0)
+        extra["ingest_transfer_MB_per_s"] = ing.get("transfer_MB_per_s", 0.0)
+        extra["ingest_pipeline_bound"] = ing.get("pipeline_bound", "")
+        extra["ingest_pipeline_bound_img_per_s"] = ing.get(
+            "pipeline_bound_img_per_s", 0.0)
         extra["ingest_overlap_efficiency"] = ing["overlap_efficiency"]
         extra["ingest_cores_to_saturate"] = ing["cores_to_saturate_device"]
         extra["ingest_projected_img_per_s_32cores"] = ing[
