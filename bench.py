@@ -711,10 +711,21 @@ def main():
         extra["ingest_decode_img_per_s_core"] = ing["decode_img_per_s_core"]
         extra["ingest_transfer_img_per_s"] = ing.get("transfer_img_per_s", 0.0)
         extra["ingest_transfer_MB_per_s"] = ing.get("transfer_MB_per_s", 0.0)
+        extra["ingest_encode_img_per_s_device"] = ing.get(
+            "encode_img_per_s_device", 0.0)
         extra["ingest_pipeline_bound"] = ing.get("pipeline_bound", "")
         extra["ingest_pipeline_bound_img_per_s"] = ing.get(
             "pipeline_bound_img_per_s", 0.0)
+        extra["ingest_serial_floor_img_per_s"] = ing.get(
+            "serial_floor_img_per_s", 0.0)
         extra["ingest_overlap_efficiency"] = ing["overlap_efficiency"]
+        # per-phase e2e attribution: a slow run names its slow phase
+        # (wait_decode = host decode starved; fetch_insert = device/fetch
+        # barrier; dispatch = pad + enqueue residual)
+        for key in ("e2e_wait_decode_s", "e2e_fetch_insert_s",
+                    "e2e_dispatch_s", "e2e_cpu_s", "e2e_seconds"):
+            if key in ing:
+                extra[f"ingest_{key}"] = ing[key]
         extra["ingest_cores_to_saturate"] = ing["cores_to_saturate_device"]
         extra["ingest_projected_img_per_s_32cores"] = ing[
             "projected_img_per_s_32cores"

@@ -41,6 +41,7 @@ class _Request:
     metric: str = "cosine_similarity"
     weights: Optional[tuple] = None  # (w_angle, w_l1, w_l2, w_inf, w_mag)
     flt: Optional[str] = None  # boolean attribute expression (index/filters.py)
+    approx: Optional[bool] = None  # per-request approx_select override
     # image-query requests arrive pre-embedded (search_similar); they skip
     # the batch text encode but share the grouped gallery sweeps
     embedding: Optional[np.ndarray] = None
@@ -61,16 +62,26 @@ class SearchServer:
         max_wait_ms: float = 2.0,
         ann=None,
         overfetch: int = 3,
+        approx_select: Optional[bool] = None,
     ):
         """`ann`: optional IVFIndex over the same rows — candidate generation
         then runs two-phase (IVF candidates -> exact rerank), the reference's
         Milvus-ANN serving shape (image_search.py:85-112). `overfetch` is the
         candidate factor (reference image_search.py:93; keep in sync with
-        SearchConfig.overfetch)."""
+        SearchConfig.overfetch).
+
+        `approx_select`: server-wide default for the approximate candidate
+        selector (IndexConfig.approx_select — true scores, approximate
+        candidate set; 5.8x batched latency at 16M rows at recall@10
+        0.9984, bench_results/int8_tiled_probe.json). None = inherit the
+        index config; requests can still override per call via
+        search(approx=...). The reference's serving default is far more
+        approximate (Milvus IVF nprobe=10, image_search.py:88)."""
         self.encoder = encoder
         self.index = index
         self.ann = ann
         self.overfetch = overfetch
+        self.approx_select = approx_select
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self._queue: "queue.Queue[_Request]" = queue.Queue()
@@ -231,19 +242,22 @@ class SearchServer:
         metric: str = "cosine_similarity",
         weights: Optional[dict] = None,
         flt: Optional[str] = None,
+        approx: Optional[bool] = None,
     ) -> List[dict]:
         """Blocking search; safe to call from many threads concurrently.
 
         metric: "cosine_similarity" (default) or "optimized_similarity" with
         the 5-weight params dict (reference similarity_params).
         flt: boolean attribute expression (index/filters.py); requests with
-        the same filter share a micro-batch group and the cached mask."""
+        the same filter share a micro-batch group and the cached mask.
+        approx: per-request approx_select override (None = the server /
+        index default); requests with the same setting share a group."""
         wt = None
         if weights is not None:
             wt = tuple(float(weights.get(k, 1.0 if k == "w_angle" else 0.0))
                        for k in _WEIGHT_KEYS)
         req = _Request(query=query, top_k=top_k, metric=metric, weights=wt,
-                       flt=flt)
+                       flt=flt, approx=approx)
         self._enqueue(req)
         if not req.done.wait(timeout):
             raise TimeoutError(f"search timed out after {timeout}s")
@@ -260,6 +274,7 @@ class SearchServer:
         weights: Optional[dict] = None,
         exclude_self: bool = True,
         flt: Optional[str] = None,
+        approx: Optional[bool] = None,
     ) -> List[dict]:
         """Image-query search: encode `image` (a path or (H, W, 3) pixels)
         in the calling thread, then ride the same micro-batched gallery
@@ -285,7 +300,7 @@ class SearchServer:
                        for k in _WEIGHT_KEYS)
         req = _Request(query="", top_k=top_k, metric=metric, weights=wt,
                        embedding=np.asarray(emb, np.float32),
-                       exclude_path=exclude, flt=flt)
+                       exclude_path=exclude, flt=flt, approx=approx)
         self._enqueue(req)
         if not req.done.wait(timeout):
             raise TimeoutError(f"search timed out after {timeout}s")
@@ -301,6 +316,7 @@ class SearchServer:
         metric: str = "cosine_similarity",
         weights: Optional[dict] = None,
         flt: Optional[str] = None,
+        approx: Optional[bool] = None,
     ) -> List[List[dict]]:
         """Enqueue ALL queries before waiting, so they coalesce into shared
         micro-batches (one encode + one gallery sweep per batch) instead of
@@ -311,7 +327,8 @@ class SearchServer:
             wt = tuple(float(weights.get(k, 1.0 if k == "w_angle" else 0.0))
                        for k in _WEIGHT_KEYS)
         reqs = [
-            _Request(query=q, top_k=top_k, metric=metric, weights=wt, flt=flt)
+            _Request(query=q, top_k=top_k, metric=metric, weights=wt,
+                     flt=flt, approx=approx)
             for q in queries
         ]
         for r in reqs:
@@ -371,8 +388,13 @@ class SearchServer:
                 # one index sweep per (metric, weights) group in the batch
                 groups: Dict[tuple, List[int]] = {}
                 for i, r in enumerate(batch):
-                    groups.setdefault((r.metric, r.weights, r.flt), []).append(i)
-                for (metric, weights, flt), rows in groups.items():
+                    # request override > server default > index config
+                    approx = (r.approx if r.approx is not None
+                              else self.approx_select)
+                    groups.setdefault(
+                        (r.metric, r.weights, r.flt, approx), []
+                    ).append(i)
+                for (metric, weights, flt, approx), rows in groups.items():
                     try:
                         k = max(
                             batch[i].top_k
@@ -398,6 +420,7 @@ class SearchServer:
                             vals, idx = self.index.search(
                                 q_in, top_k=min(k, len(self.index)),
                                 metric=metric, params=params, flt=flt,
+                                approx=approx,
                             )
                         for row, i in enumerate(rows):
                             r = batch[i]

@@ -11,6 +11,10 @@ Endpoints:
     GET  /                          HTML page
     GET  /search?q=...&k=10         JSON [{path, score}]
          &metric=optimized&w_l1=1&w_l2=1&w_inf=0&w_mag=0.5&w_angle=1
+         &approx=1                  approximate candidate set, true scores
+                                    (IndexConfig.approx_select; &approx=0
+                                    forces exact when the server default
+                                    is approximate)
     GET  /similar?path=...&k=10     image-query: gallery ranked by
                                     similarity to an indexed image
                                     (click a thumbnail in the UI)
@@ -107,15 +111,25 @@ class _Handler(BaseHTTPRequestHandler):
                                  ("w_mag", "0"))
         }
 
+    @staticmethod
+    def _parse_approx(qs):
+        """&approx=1/0 -> True/False; absent -> None (server default)."""
+        raw = (qs.get("approx") or [None])[0]
+        if raw is None:
+            return None
+        return raw.lower() not in ("0", "false", "no", "")
+
     def _do_search(self, ctx, qs, query, k, metric, flt):
+        approx = self._parse_approx(qs)
         if metric.startswith("optimized"):
             results = ctx["server"].search(
                 query, top_k=k, metric="optimized_similarity",
-                weights=self._parse_weights(qs), flt=flt,
+                weights=self._parse_weights(qs), flt=flt, approx=approx,
                 timeout=_SEARCH_TIMEOUT_S,
             )
         else:
             results = ctx["server"].search(query, top_k=k, flt=flt,
+                                           approx=approx,
                                            timeout=_SEARCH_TIMEOUT_S)
         self._send(200, json.dumps(results).encode(), "application/json")
 
@@ -153,16 +167,18 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             metric = (qs.get("metric") or ["cosine"])[0]
             flt = (qs.get("filter") or [None])[0] or None
+            approx = self._parse_approx(qs)
             try:
                 if metric.startswith("optimized"):
                     results = ctx["server"].search_similar(
                         path, top_k=k, metric="optimized_similarity",
                         weights=self._parse_weights(qs), flt=flt,
-                        timeout=_SEARCH_TIMEOUT_S,
+                        approx=approx, timeout=_SEARCH_TIMEOUT_S,
                     )
                 else:
                     results = ctx["server"].search_similar(
-                        path, top_k=k, flt=flt, timeout=_SEARCH_TIMEOUT_S
+                        path, top_k=k, flt=flt, approx=approx,
+                        timeout=_SEARCH_TIMEOUT_S
                     )
             except Exception as e:
                 self._send(400, json.dumps({"error": str(e)}).encode(),
@@ -264,6 +280,11 @@ def main(argv=None):
     ap.add_argument("--nprobe", type=int, default=10)
     ap.add_argument("--screen-dims", type=int, default=128)
     ap.add_argument("--screen-candidates", type=int, default=128)
+    ap.add_argument("--approx-select", action="store_true",
+                    help="Server-wide approximate candidate selection "
+                         "(true scores, approximate candidate set; 5.8x "
+                         "batched latency at 16M rows, recall@10 0.9984). "
+                         "Requests can force exact with &approx=0")
     args = ap.parse_args(argv)
 
     from image_retrieval_tpu.app.pipeline import ImageSearchApp
@@ -286,7 +307,9 @@ def main(argv=None):
             f"no images found under {args.folder!r} — nothing to serve"
         )
     with SearchServer(app._get_encoder(), index, ann=app._ensure_ann(index),
-                      overfetch=app.config.search.overfetch) as srv:
+                      overfetch=app.config.search.overfetch,
+                      approx_select=(True if args.approx_select
+                                     else None)) as srv:
         httpd = serve(srv, index.paths, args.host, args.port)
         print(f"Serving {len(index)} images at http://{args.host}:{args.port}")
         try:

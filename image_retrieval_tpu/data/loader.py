@@ -168,17 +168,27 @@ def encode_folder(
 ) -> Tuple[List[str], np.ndarray]:
     """High-throughput variant of ImageEmbeddingSystem ingest: overlapping
     host decode with device encode. Returns (ok_paths, embeddings)."""
+
+    def feed():
+        for chunk, batch, ok in ImageBatchLoader(paths, batch_size, size,
+                                                 **loader_kw):
+            if not ok.any():
+                continue
+            good = np.flatnonzero(ok)
+            # all-ok batches skip the fancy-index copy (it costs a full
+            # batch write on the single ingest core)
+            yield ([chunk[int(i)] for i in good],
+                   batch if ok.all() else batch[good])
+
     ok_paths: List[str] = []
     embs: List[np.ndarray] = []
-    for chunk, batch, ok in ImageBatchLoader(paths, batch_size, size, **loader_kw):
-        if not ok.any():
-            continue
-        good = np.flatnonzero(ok)
-        # all-ok batches skip the fancy-index copy (it costs a full batch
-        # write on the single ingest core)
-        out = encoder.encode_pixels(batch if ok.all() else batch[good])
+    # encode_stream keeps batches in flight ACROSS loader batches, so batch
+    # N's device transfer/compute/fetch overlaps batch N+1's decode
+    # (per-batch encode_pixels fetch-barriers each call — measured fully
+    # serial, bench_results/ingest_attrib_probe.json)
+    for good_paths, out in encoder.encode_stream(feed()):
         embs.append(out)
-        ok_paths.extend(chunk[int(i)] for i in good)
+        ok_paths.extend(good_paths)
     if embs:
         return ok_paths, np.concatenate(embs, 0)
     return ok_paths, np.zeros((0, encoder.dim), np.float32)

@@ -240,22 +240,48 @@ def plan_index(
                 f"(recall@10 {RECALL_AT_10[dtype]:.3f}) that fits "
                 f"{rows_per_dev:,} rows/device in "
                 f"{usable_hbm_bytes / (1 << 30):.1f} GiB HBM"]
-            if (dtype in ("int8", "bfloat16", "float32")
-                    and rows_per_dev >= 4_000_000
-                    and recall_floor <= 0.998):
+            # Latency-hungry multi-M resident plans flip approx_select ON
+            # (VERDICT r4 item 4): the selector's candidate set is
+            # approximate but its scores are TRUE, so the combined recall
+            # is the dtype recall x the selector's measured 0.9984 — still
+            # above the default 0.98 floor for every admitted dtype. At
+            # multi-M rows the exact lax.top_k selection dominates the
+            # batched sweep (9.8 vs 56.6 ms at 16M int8,
+            # int8_tiled_probe.json); below ~4M rows/device the sweep is
+            # bandwidth-bound and the selector doesn't matter.
+            approx_on = (dtype in ("int8", "bfloat16", "float32")
+                         and not exact_scores
+                         and rows_per_dev >= 4_000_000
+                         and recall_floor <= RECALL_AT_10[dtype] * 0.9984)
+            if approx_on:
                 rationale.append(
-                    "optional: IndexConfig.approx_select trades the exact "
-                    "candidate SET for 5.8x batched latency at multi-M "
-                    "rows (recall@10 0.9984 at 16M; scores stay exact — "
-                    "int8_tiled_probe.json)")
+                    "approx_select enabled: approximate candidate SET, "
+                    "true scores — 5.8x batched latency at multi-M rows "
+                    "(recall@10 0.9984 at 16M vs the same tier's exact "
+                    "selection, int8_tiled_probe.json); pass "
+                    "recall_floor > dtype_recall*0.9984 or "
+                    "search(approx=False) to force exact selection")
             if dtype == "float32" and not exact_scores and len(ladder) == 1:
                 rationale.append(
                     "recall_floor > 0.999 forces the f32 oracle tier")
             if exact_scores:
                 rationale.append("exact_scores=True forces f32 (raw "
                                  "similarity values, e.g. MI analysis)")
-            return _resident_plan(dtype, n_rows, dim, n_devices,
+            plan = _resident_plan(dtype, n_rows, dim, n_devices,
                                   rows_per_dev, rationale)
+            if approx_on:
+                plan.index.approx_select = True
+                plan = dataclasses.replace(
+                    plan,
+                    expected_recall_at_10=round(
+                        RECALL_AT_10[dtype] * 0.9984, 4),
+                    # measured at 16M int8: 9.8 ms / 64 queries vs the
+                    # exact sweep's 56.6 — the selector removes the
+                    # top_k term, leaving ~the bandwidth sweep / 5.8
+                    est_batched_ms_per_query=round(
+                        plan.est_batched_ms_per_query / 5.8, 4),
+                )
+            return plan
 
     # Nothing fits resident: first say how many chips WOULD make the best
     # resident tier fit (mesh sharding is the preferred scale-out,

@@ -601,6 +601,7 @@ class ShardedVectorIndex:
         metric: str = "cosine_similarity",
         params: Optional[Dict[str, float]] = None,
         flt: Optional[str] = None,
+        approx: Optional[bool] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Exact top-k. Returns (scores (Q,k), indices (Q,k)) as numpy.
 
@@ -616,6 +617,15 @@ class ShardedVectorIndex:
         the tail pads with index -1 and the metric's worst-score sentinel
         (-inf for descending similarity metrics, +inf for ascending
         distance metrics) — check `idx < 0`, not the score value.
+
+        approx: per-call override of ``IndexConfig.approx_select`` (None =
+        use the config). Approximate candidate SET with true scores —
+        recall/latency trading like the reference's Milvus nprobe
+        (image_search.py:88). Resident sharded tier only: the streamed,
+        int4, and multislice tiers ignore it (their selection strategies
+        are fixed by their own measured designs). Each selector value is
+        its own jit signature, so flipping per request costs one extra
+        compile, not one per call.
         """
         if self.count == 0:
             raise ValueError("index is empty")
@@ -657,10 +667,10 @@ class ShardedVectorIndex:
                 self._shadow if metric == "optimized_similarity" else None,
                 mesh=self.mesh,
                 axis=self.axis,
-                # config.approx_select: approximate candidate SET, true
-                # scores (5.8x at 16M, recall@10 0.9984 —
-                # int8_tiled_probe.json)
-                selector=("approx" if self.config.approx_select
+                # approximate candidate SET, true scores (5.8x at 16M,
+                # recall@10 0.9984 — int8_tiled_probe.json)
+                selector=("approx" if (self.config.approx_select
+                                       if approx is None else approx)
                           else "exact"),
             )
         # one grouped fetch: sequential np.asarray calls each pay a full

@@ -257,3 +257,32 @@ def test_quant_dense_straight_through_gradients(rng):
     gx = jax.grad(loss, argnums=1)(params, x)
     gx_ref = jax.grad(loss_f32, argnums=1)(params, x)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=1e-4)
+
+
+def test_encode_stream_matches_per_batch(rng):
+    """encode_stream (cross-batch async dispatch, the ingest hot path)
+    returns the same (meta, embeddings) as per-batch encode_pixels, in
+    order, for mixed batch sizes including an empty and an oversized one."""
+    cfg = Config(model=tiny_model_config(), mesh=MeshConfig(data=8, model=1))
+    mesh = make_mesh(cfg.mesh)
+    enc = CLIPEncoder(config=cfg, mesh=mesh)
+    sizes = [13, 8, 0, 5, enc._BUCKETS[-1] * enc._MAX_IN_FLIGHT + 8]
+    batches = [(f"b{i}", rng.normal(size=(n, 32, 32, 3)).astype(np.float32))
+               for i, n in enumerate(sizes)]
+    got = list(enc.encode_stream(iter(batches)))
+    assert [m for m, _ in got] == [m for m, _ in batches]
+    for (_, pixels), (_, out) in zip(batches, got):
+        ref = enc.encode_pixels(pixels)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_encode_stream_fake_encoder_base_impl(rng):
+    """The Encoder base class provides a synchronous encode_stream so every
+    encoder (FakeEncoder included) serves the streaming ingest path."""
+    enc = FakeEncoder(dim=32)
+    batches = [("a", rng.normal(size=(4, 32, 32, 3)).astype(np.float32)),
+               ("b", rng.normal(size=(2, 32, 32, 3)).astype(np.float32))]
+    got = list(enc.encode_stream(iter(batches)))
+    assert [m for m, _ in got] == ["a", "b"]
+    np.testing.assert_array_equal(got[0][1], enc.encode_pixels(batches[0][1]))

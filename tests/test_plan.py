@@ -132,3 +132,27 @@ def test_cli_plan_subcommand(capsys):
     assert main(["plan", "--rows", "1000000"]) == 0
     out = capsys.readouterr().out
     assert "resident-int8" in out
+
+
+def test_plan_flips_approx_select_at_scale():
+    """Latency-hungry multi-M resident plans enable approx_select
+    (VERDICT r4 item 4): approximate candidate SET, true scores."""
+    # dim=256 keeps the int4-latency tier out (its paired kernel needs
+    # dim % 512 == 0), so the plan lands on resident-int8 at >=4M rows/dev
+    plan = plan_index(8_000_000, dim=256)
+    assert plan.tier == "resident-int8"
+    assert plan.index.approx_select is True
+    assert any("approx_select enabled" in r for r in plan.rationale)
+    assert plan.expected_recall_at_10 == round(0.984 * 0.9984, 4)
+
+    # below the crossover the sweep is bandwidth-bound: stay exact
+    small = plan_index(1_000_000)
+    assert small.index.approx_select is False
+
+    # a floor above the combined recall forces exact selection
+    strict = plan_index(8_000_000, dim=256, recall_floor=0.9835)
+    assert strict.index.approx_select is False
+
+    # exact_scores (MI analysis) never flips it
+    mi = plan_index(8_000_000, dim=256, recall_floor=0.5, exact_scores=True)
+    assert mi.index.approx_select is False

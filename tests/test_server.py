@@ -226,3 +226,34 @@ def test_search_similar_excludes_own_row(tmp_path):
         assert [r["path"] for r in got] == [p for p in direct if p != target][:5]
         with_self = server.search_similar(target, top_k=5, exclude_self=False)
         assert with_self[0]["path"] == target
+
+
+def test_approx_select_overrides(serving_stack):
+    """approx_select plumbing (VERDICT r4 item 4): server-wide default and
+    per-request override both reach the index selector; on a small gallery
+    the approx candidate set equals the exact one, so results must match."""
+    enc, idx = serving_stack
+    q = "object number 7 in color blue"
+    with SearchServer(enc, idx) as server:
+        exact = server.search(q, top_k=5)
+        per_req = server.search(q, top_k=5, approx=True)
+    with SearchServer(enc, idx, approx_select=True) as server:
+        default_on = server.search(q, top_k=5)
+        forced_off = server.search(q, top_k=5, approx=False)
+    for got in (per_req, default_on, forced_off):
+        assert [r["path"] for r in got] == [r["path"] for r in exact]
+        np.testing.assert_allclose(
+            [r["score"] for r in got], [r["score"] for r in exact],
+            rtol=1e-5, atol=1e-6)
+    assert idx.config.approx_select is False  # server flag never mutates it
+
+
+def test_index_search_approx_kwarg(serving_stack):
+    """ShardedVectorIndex.search(approx=...) per-call override."""
+    enc, idx = serving_stack
+    q = enc.encode_texts(["object number 1 in color red"])[0]
+    qn = q / np.linalg.norm(q)
+    v_exact, i_exact = idx.search(qn, top_k=5)
+    v_approx, i_approx = idx.search(qn, top_k=5, approx=True)
+    np.testing.assert_array_equal(i_exact, i_approx)
+    np.testing.assert_allclose(v_exact, v_approx, rtol=1e-6)

@@ -122,3 +122,14 @@ def test_similar_endpoint_optimized_metric(web_stack):
         "&w_mag=0.5").read())
     assert len(hits) == 3
     assert all(h["path"] != paths[1] for h in hits)
+
+
+def test_search_approx_param(web_stack):
+    """&approx=1 / &approx=0 reach the index selector (VERDICT r4 item 4);
+    on a small gallery approx and exact candidate sets are identical."""
+    base, _ = web_stack
+    exact = json.loads(urllib.request.urlopen(
+        base + "/search?q=brown%20shape&k=3&approx=0").read())
+    approx = json.loads(urllib.request.urlopen(
+        base + "/search?q=brown%20shape&k=3&approx=1").read())
+    assert [r["path"] for r in approx] == [r["path"] for r in exact]

@@ -1,30 +1,39 @@
 """End-to-end ingest benchmark: JPEG-on-disk -> decoded -> embedded ->
-indexed rows (VERDICT r2 item 2).
+indexed rows (VERDICT r2 item 2; pipeline overlap VERDICT r4 item 1).
 
 The reference's write path is a synchronous per-image loop
 (/root/reference/src/ImageEmbeddingSystem.py:100-137). Ours is the decode
-pool -> prefetch queue -> batched device encode -> sharded insert pipeline
-(data/loader.py + app/embed.py). Every published img/s number so far starts
-from pre-staged pixels; this tool measures the full chain from bytes on
-disk and decomposes the bound:
+pool -> prefetch queue -> cross-batch async device encode -> sharded insert
+pipeline (data/loader.py + models/encoder.py encode_stream). This tool
+measures the full chain from bytes on disk and decomposes the bound:
 
   decode_img_per_s_core   per-core native decode+preprocess rate (the host
-                          leg; this box has ONE core)
-  transfer_img_per_s      host->device pixel upload rate, measured via the
-                          one-vs-two-put difference (cancels the fetch
-                          round-trip, which drifts across sessions). On
-                          this box the "device link" is the remote axon
-                          tunnel (~50 MB/s); on a production TPU host it
-                          is PCIe (tens of GB/s) and this leg vanishes.
-  encode_img_per_s        device encode rate on pre-staged pixels
-  e2e_img_per_s           JPEG file -> indexed row, overlapped pipeline
+                          leg; this box has ONE core). NOTE: this rate
+                          drifts ~3x BETWEEN SESSIONS on the shared dev
+                          host (350-1100 img/s on the same corpus,
+                          bench_results/ingest_attrib_probe.json vs
+                          BENCH_r04) — which is why e2e numbers from
+                          different sessions are only comparable through
+                          the per-run legs reported alongside them.
+  transfer_img_per_s      host->device pixel upload rate. Measured with
+                          EQUALIZED barriers: (1 put + 1 barrier) vs
+                          (3 puts + 1 barrier), difference / 2 — both
+                          variants pay exactly one jitted-reduction fetch,
+                          so the drifting tunnel RTT cancels instead of
+                          leaking into the difference (r4 ADVICE item 1).
+  encode_img_per_s_device device-only encode rate on PRE-STAGED device
+                          pixels via the one-vs-two-dispatch difference
+                          (no transfer leg, no fetch-estimate subtraction
+                          — r4 ADVICE item 3).
+  e2e_img_per_s           JPEG file -> indexed row through the overlapped
+                          pipeline, with per-phase attribution
+                          (e2e_wait_decode_s / e2e_dispatch_s /
+                          e2e_fetch_insert_s) so a slow run self-explains.
   pipeline_bound          name of the slowest leg; pipeline_bound_img_per_s
-                          is the best rate ANY scheduler could reach here
+                          is the best rate ANY scheduler could reach here.
   overlap_efficiency      (sum(legs) - T_e2e) / (sum(legs) - max(legs)):
                           1.0 = perfectly pipelined (e2e == slowest leg),
-                          0.0 = fully serial. Computed over all THREE legs
-                          so a dominant transfer leg no longer reads as a
-                          scheduling failure.
+                          0.0 = fully serial. Computed over all THREE legs.
   cores_to_saturate       decode cores needed to feed the device rate;
                           projected_img_per_s_Ncores = the honest n-core
                           form of the ">=10k img/s/chip" ingest claim
@@ -66,30 +75,79 @@ def ensure_corpus(corpus_dir: str, n_images: int = 512, wh=(640, 480)) -> list:
 
 
 def _transfer_seconds_per_batch(staged: np.ndarray, reps: int = 3) -> float:
-    """Per-batch host->device transfer time.
+    """Per-batch host->device transfer time, barrier-equalized.
 
-    One-vs-two-put difference: time (put A, barrier) and (put A, put B,
-    barrier) and take the min-over-reps difference — the tiny-fetch barrier
-    round-trip (30-50 ms on the dev tunnel, and it DRIFTS) cancels. B is a
-    distinct host buffer so neither put can alias the other.
+    Times (1 put + barrier) and (3 puts + barrier) and divides the
+    min-over-reps difference by 2. The barrier is a tiny jitted reduction
+    CONSUMING every put (its execution cannot start until all transfers
+    land) fetched once — both variants pay exactly one fetch round-trip
+    (30-50 ms on the dev tunnel, drifting), so it cancels in the
+    difference. Distinct host buffers so no put can alias another.
     """
     import jax
+    import jax.numpy as jnp
 
-    a = staged
-    b = staged.copy()
+    bufs = [staged, staged.copy(), staged.copy()]
+    bar1 = jax.jit(lambda a: a.ravel()[0].astype(jnp.float32))
+    bar3 = jax.jit(
+        lambda a, b, c: (
+            a.ravel()[0].astype(jnp.float32)
+            + b.ravel()[0].astype(jnp.float32)
+            + c.ravel()[0].astype(jnp.float32)
+        )
+    )
 
-    def put_get(arrs) -> float:
+    def put1() -> float:
         t0 = time.perf_counter()
-        devs = [jax.device_put(x) for x in arrs]
-        for d in devs:  # tiny fetch = completion barrier for the put
-            _ = jax.device_get(d.ravel()[0])
+        d = jax.device_put(bufs[0])
+        _ = jax.device_get(bar1(d))
         return time.perf_counter() - t0
 
-    put_get([a])
-    put_get([a, b])  # warm both shapes/paths
-    t1 = min(put_get([a]) for _ in range(reps))
-    t2 = min(put_get([a, b]) for _ in range(reps))
-    return max(t2 - t1, 0.0)
+    def put3() -> float:
+        t0 = time.perf_counter()
+        devs = [jax.device_put(x) for x in bufs]
+        _ = jax.device_get(bar3(*devs))
+        return time.perf_counter() - t0
+
+    put1(); put3()  # warm transfers + compile both barriers
+    t1 = min(put1() for _ in range(reps))
+    t3 = min(put3() for _ in range(reps))
+    return max((t3 - t1) / 2.0, 0.0)
+
+
+def _device_encode_seconds(encoder, staged: np.ndarray, reps: int = 3) -> float:
+    """Device-only encode seconds per batch on PRE-STAGED device pixels.
+
+    One-vs-two-dispatch difference (bench.py device_seconds method): each
+    rep times fetch(1 forward) and fetch(2 forwards queued back-to-back)
+    on device-resident inputs; the difference is one forward of pure
+    device time — dispatch overhead and the drifting fetch RTT cancel.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    xa = jnp.asarray(staged)
+    xb = jnp.asarray(staged.copy())
+    _ = jax.device_get(xa.ravel()[0]); _ = jax.device_get(xb.ravel()[0])
+    enc = (encoder._encode_image_u8 if staged.dtype == np.uint8
+           else encoder._encode_image)
+    p = encoder.params
+    _ = jax.device_get(enc(p, xa))  # compile + warm
+    ts = []
+    for _r in range(reps):
+        a = enc(p, xa)
+        t0 = time.perf_counter()
+        _ = jax.device_get(a)
+        t1 = time.perf_counter()
+        b = enc(p, xa)
+        c = enc(p, xb)
+        t2 = time.perf_counter()
+        # fetch ONLY c: same-device executions run in dispatch order
+        _ = jax.device_get(c)
+        t3 = time.perf_counter()
+        del b
+        ts.append(max((t3 - t2) - (t1 - t0), 1e-9))
+    return float(np.median(ts))
 
 
 def run_ingest_bench(
@@ -137,7 +195,7 @@ def run_ingest_bench(
     decode_rate = out["decode_img_per_s_core"]
     t_decode_full = len(paths) / decode_rate
 
-    # --- device leg: encode rate on pre-staged pixels -----------------------
+    # staged pixels for the transfer/encode legs
     if use_native:
         from image_retrieval_tpu.utils.native import decode_preprocess_batch_u8
 
@@ -148,6 +206,7 @@ def run_ingest_bench(
         from image_retrieval_tpu.data.loader import _decode_chunk_pil
 
         staged, _ = _decode_chunk_pil(paths[:batch_size], 224)
+
     # --- link leg: host->device pixel upload (the tunnel/PCIe leg) ----------
     try:
         t_xfer_batch = _transfer_seconds_per_batch(staged)
@@ -157,44 +216,78 @@ def run_ingest_bench(
     except Exception:  # CPU / no device: the leg is negligible
         t_transfer_full = 0.0
         out["transfer_img_per_s"] = 0.0
+        out["transfer_MB_per_s"] = 0.0
 
-    _ = encoder.encode_pixels(staged)  # compile + warm
-    t0 = time.perf_counter()
-    reps = 4
-    for _ in range(reps):
+    # --- device leg: encode rate on pre-staged DEVICE pixels ----------------
+    try:
+        t_enc_batch = _device_encode_seconds(encoder, staged)
+        out["encode_img_per_s_device"] = round(batch_size / t_enc_batch, 1)
+        t_encode_full = len(paths) * (t_enc_batch / batch_size)
+    except Exception:  # fake encoder / CPU: fall back to a wall measure
         _ = encoder.encode_pixels(staged)
-    t_enc_batch = (time.perf_counter() - t0) / reps
-    out["encode_img_per_s"] = round(batch_size / t_enc_batch, 1)
-    t_encode_full = len(paths) / (batch_size / t_enc_batch)
-    # the encode loop ships its own pixels: net the link leg out so the
-    # three-leg decomposition below doesn't count transfer twice
-    t_encode_full = max(t_encode_full - t_transfer_full, 1e-9)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            _ = encoder.encode_pixels(staged)
+        t_enc_batch = (time.perf_counter() - t0) / 3
+        out["encode_img_per_s_device"] = round(batch_size / t_enc_batch, 1)
+        t_encode_full = max(
+            len(paths) * (t_enc_batch / batch_size) - t_transfer_full, 1e-9
+        )
 
-    # --- e2e: loader (background decode) -> encode -> index insert ----------
+    # --- e2e: loader (background decode) -> streamed encode -> insert -------
+    # encode_stream keeps device batches in flight across loader batches:
+    # batch N's fetch happens while batch N+1 decodes and its transfer is
+    # in the air (per-batch encode_pixels measured fully serial —
+    # bench_results/ingest_attrib_probe.json D_e2e).
     index = ShardedVectorIndex(
         dim=encoder.dim, config=IndexConfig(capacity_step=4096)
     )
-    t0 = time.perf_counter()
+    phase = {"wait_decode": 0.0, "fetch_insert": 0.0}
+
+    def feed():
+        it = iter(ImageBatchLoader(
+            paths, batch_size=batch_size, size=224, use_native=use_native,
+            threads=1, emit="u8" if use_native else "f32",
+        ))
+        while True:
+            t0 = time.perf_counter()
+            try:
+                chunk, batch, ok = next(it)
+            except StopIteration:
+                return
+            phase["wait_decode"] += time.perf_counter() - t0
+            good = np.flatnonzero(ok)
+            if not len(good):
+                continue
+            # all-ok batches skip the fancy-index copy (single ingest core)
+            yield ([chunk[int(i)] for i in good],
+                   batch if ok.all() else batch[good])
+
+    t0_run = time.perf_counter()
+    cpu0 = time.process_time()
     n_ok = 0
-    for chunk, batch, ok in ImageBatchLoader(
-        paths, batch_size=batch_size, size=224, use_native=use_native,
-        threads=1, emit="u8" if use_native else "f32",
-    ):
-        good = np.flatnonzero(ok)
-        if not len(good):
-            continue
-        # all-ok batches skip the fancy-index copy (single ingest core)
-        embs = encoder.encode_pixels(batch if ok.all() else batch[good])
-        index.insert([chunk[int(i)] for i in good], embs)
-        n_ok += len(good)
+    for good_paths, embs in encoder.encode_stream(feed()):
+        t0 = time.perf_counter()
+        index.insert(good_paths, embs)
+        n_ok += len(good_paths)
+        phase["fetch_insert"] += time.perf_counter() - t0
     index.flush()
-    t_e2e = time.perf_counter() - t0
+    t_e2e = time.perf_counter() - t0_run
+    out["e2e_cpu_s"] = round(time.process_time() - cpu0, 2)
     assert n_ok == len(paths), (n_ok, len(paths))
     assert len(index) == len(paths)
     out["e2e_img_per_s"] = round(len(paths) / t_e2e, 1)
     out["e2e_seconds"] = round(t_e2e, 2)
+    # attribution: wait_decode = blocked on the loader queue; fetch_insert
+    # = fetch barrier on the oldest in-flight batch + index insert; the
+    # residual is the async dispatch (pad + device_put enqueue) and loop
+    # overhead. These partition the e2e wall, so a slow driver run
+    # self-explains (r4's 112-vs-240 spread had no such breakdown).
+    for k, v in phase.items():
+        out[f"e2e_{k}_s"] = round(v, 2)
+    out["e2e_dispatch_s"] = round(t_e2e - sum(phase.values()), 2)
 
-    # --- bound decomposition: three legs (decode / link / encode) -----------
+    # --- bound decomposition: three legs (decode / link / device encode) ----
     legs = {
         "decode": t_decode_full,
         "transfer": t_transfer_full,
@@ -204,12 +297,16 @@ def run_ingest_bench(
     t_ideal = max(legs.values())
     out["pipeline_bound"] = max(legs, key=legs.get)
     out["pipeline_bound_img_per_s"] = round(len(paths) / max(t_ideal, 1e-9), 1)
+    out["serial_floor_img_per_s"] = round(len(paths) / max(t_serial, 1e-9), 1)
     # 1.0 = perfectly pipelined (e2e == slowest leg); 0.0 = fully serial
     denom = t_serial - t_ideal
     out["overlap_efficiency"] = round(
         max(0.0, min(1.0, (t_serial - t_e2e) / denom)), 3
     ) if denom > 1e-9 else 1.0
-    device_rate = device_rate_hint or out["encode_img_per_s"]
+    # n-core projection uses the DEVICE-only rate (no transfer leg on a
+    # PCIe-class production host); device_rate_hint (the serving capture)
+    # takes precedence, the netted device rate is the fallback
+    device_rate = device_rate_hint or out["encode_img_per_s_device"]
     out["cores_to_saturate_device"] = round(device_rate / decode_rate, 1)
     for cores in (8, 32, 64):
         out[f"projected_img_per_s_{cores}cores"] = round(
