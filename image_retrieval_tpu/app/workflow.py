@@ -155,6 +155,61 @@ def run_workflow(
     return results
 
 
+def _maybe_validate_weights(weights_path: str, output_dir: str) -> None:
+    """Checksum-triggered pretrained-checkpoint validation (VERDICT r4
+    item 8): the first time a given checkpoint is used with this output
+    dir, run tools/validate_pretrained.py (torch-forward parity + tokenizer
+    parity) so a silently mis-ported checkpoint can never produce a
+    results.json that LOOKS like the reference reproduction
+    (/root/reference/src/color_analysis_results/.../results.json). The
+    checkpoint's hash is recorded on success; re-runs skip. Best-effort:
+    when the tools/ directory is not present (installed package), log the
+    manual command instead."""
+    import hashlib
+    import subprocess
+    import sys as _sys
+
+    candidates = [os.path.join(weights_path, n)
+                  for n in ("model.safetensors", "pytorch_model.bin")]
+    blob = next((c for c in candidates if os.path.exists(c)), None)
+    if blob is None:
+        logger.warning("weights_path %s has no model.safetensors / "
+                       "pytorch_model.bin — skipping validation", weights_path)
+        return
+    h = hashlib.sha256()
+    with open(blob, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    digest = h.hexdigest()
+    marker = os.path.join(output_dir, ".validated_weights")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if digest in f.read().split():
+                return  # this exact checkpoint already validated here
+    tool = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "tools", "validate_pretrained.py")
+    if not os.path.exists(tool):
+        logger.warning(
+            "new checkpoint %s (sha256 %s…): run "
+            "`python tools/validate_pretrained.py %s` to prove the port "
+            "before trusting results.json", weights_path, digest[:12],
+            weights_path)
+        return
+    logger.info("new checkpoint detected (sha256 %s…) — running one-time "
+                "port validation", digest[:12])
+    proc = subprocess.run([_sys.executable, tool, weights_path],
+                          capture_output=True, text=True)
+    _sys.stdout.write(proc.stdout[-2000:])
+    if proc.returncode != 0:
+        raise SystemExit(
+            f"pretrained-checkpoint validation FAILED for {weights_path} "
+            f"(rc={proc.returncode}):\n{proc.stderr[-2000:]}"
+        )
+    os.makedirs(output_dir, exist_ok=True)
+    with open(marker, "a") as f:
+        f.write(digest + "\n")
+
+
 def main(argv=None):
     logging.basicConfig(
         level=logging.INFO,
@@ -187,6 +242,7 @@ def main(argv=None):
         from image_retrieval_tpu.config import Config
 
         config = Config(weights_path=args.weights_path)
+        _maybe_validate_weights(args.weights_path, args.output_dir)
     run_workflow(
         coco_dir=args.coco_dir,
         annotation_file=args.annotation_file,

@@ -426,3 +426,27 @@ def test_facade_find_similar_through_screen_ann(image_folder):
     assert len(res) == 4 and all(r["path"] != q for r in res)
     with_self = app.find_similar_images(q, top_k=4, exclude_self=False)
     assert with_self[0]["path"] == q
+
+
+def test_workflow_weight_validation_gate(tmp_path, caplog):
+    """--weights_path triggers one-time checksum-gated port validation
+    (VERDICT r4 item 8): no blob -> warn; already-validated checksum ->
+    silent skip (no subprocess)."""
+    import hashlib
+    import logging
+
+    from image_retrieval_tpu.app.workflow import _maybe_validate_weights
+
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "out"
+    ckpt.mkdir(); out.mkdir()
+    with caplog.at_level(logging.WARNING):
+        _maybe_validate_weights(str(ckpt), str(out))
+    assert any("skipping validation" in r.message for r in caplog.records)
+
+    (ckpt / "model.safetensors").write_bytes(b"weights")
+    digest = hashlib.sha256(b"weights").hexdigest()
+    (out / ".validated_weights").write_text(digest + "\n")
+    caplog.clear()
+    _maybe_validate_weights(str(ckpt), str(out))  # returns before the tool
+    assert not caplog.records

@@ -35,7 +35,15 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 res: dict = {}
 
 
+import faulthandler
+
+faulthandler.enable()
+
+
 def save():
+    # watchdog: if any case wedges for 3 min, dump all thread stacks and
+    # exit instead of hanging the session (re-armed after every case)
+    faulthandler.dump_traceback_later(180, exit=True)
     with open(OUT, "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps(res, indent=1), flush=True)
