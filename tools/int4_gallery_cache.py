@@ -17,19 +17,24 @@ D = 512
 CACHE_DIR = "/tmp/int4_gallery_cache"
 
 
-def get_gallery(n_rows, want_int8=True):
+def get_gallery(n_rows, want_int8=True, seed=3):
     """(g8, s8, pk, s4) for the first n_rows of the seeded stream; g8/s8
-    None when want_int8 is False. Arrays are read-only memmaps."""
+    None when want_int8 is False. Arrays are read-only memmaps.
+
+    seed: rng seed of the generated stream. 3 is the historical default
+    (every capture before r5 used it); a second seed backs the r5
+    capacity-tier recall re-check (VERDICT r4 item 3)."""
     from image_retrieval_tpu.ops.int4 import quantize_pack_int4
 
     os.makedirs(CACHE_DIR, exist_ok=True)
-    names = {k: os.path.join(CACHE_DIR, f"{k}_{n_rows}.npy")
+    sfx = "" if seed == 3 else f"_s{seed}"
+    names = {k: os.path.join(CACHE_DIR, f"{k}_{n_rows}{sfx}.npy")
              for k in ("g8", "s8", "pk", "s4")}
     need = ["pk", "s4"] + (["g8", "s8"] if want_int8 else [])
     if not all(os.path.exists(names[k]) for k in need):
         print(f"generating {n_rows >> 20}M gallery into {CACHE_DIR}...",
               flush=True)
-        rng = np.random.default_rng(3)
+        rng = np.random.default_rng(seed)
         g8 = np.lib.format.open_memmap(
             names["g8"] + ".tmp", mode="w+", dtype=np.int8,
             shape=(n_rows, D))
