@@ -377,6 +377,45 @@ def main():
     except Exception as e:  # pragma: no cover
         extra["compressed_error"] = str(e)[:200]
 
+    # --- approx_select recurring guard (VERDICT r4 item 4) -------------------
+    # The serving-stack selector (IndexConfig.approx_select / ?approx=1):
+    # approx_max_k candidate SET + exact top-k of TRUE scores. Tracks both
+    # its latency win and its recall vs the exact int8 selection on the
+    # same gallery/queries, so the one-off int8_tiled_probe capture can't
+    # silently rot.
+    try:
+        @jax.jit
+        def cos8_approx_batch_scan(g, s, qss):
+            def step(_, qs2):
+                q2 = qs2[:, 0, :]
+                qn = q2 / jnp.linalg.norm(q2, axis=-1, keepdims=True)
+                dots = jnp.dot(qn.astype(jnp.bfloat16),
+                               g.astype(jnp.bfloat16).T,
+                               preferred_element_type=jnp.float32)
+                scores = dots * s[None, :]
+                cc = min(max(4 * k, 128), scores.shape[-1])
+                av, ai = jax.lax.approx_max_k(scores, cc, recall_target=0.95)
+                tv, tpos = jax.lax.top_k(av, k)
+                return None, (tv, jnp.take_along_axis(ai, tpos, axis=1))
+            return jax.lax.scan(step, None, qss)[1]
+
+        tba = device_seconds(
+            lambda i: cos8_approx_batch_scan(g8, g_scale, qss_pool[i]),
+            repeats=3,
+        ) / n_qbatches
+        extra["approx_select_batched_qps"] = round(
+            float(np.median(nq / tba)), 1)
+        _, ids_exact = jax.device_get(
+            cos8_batch_scan(g8, g_scale, qss_pool[0]))
+        _, ids_approx = jax.device_get(
+            cos8_approx_batch_scan(g8, g_scale, qss_pool[0]))
+        ex = ids_exact.reshape(-1, k)
+        ap = ids_approx.reshape(-1, k)
+        extra["approx_select_recall_at_10"] = round(float(np.mean(
+            [len(set(a) & set(b)) / k for a, b in zip(ex, ap)])), 4)
+    except Exception as e:  # pragma: no cover
+        extra["approx_select_error"] = str(e)[:200]
+
     # --- int4 capacity tier: packed screen + two-phase recall ----------------
     # (ops/int4.py; resident capacity 2x int8 at screen latency ~= int8's
     # sweep — the rerank is a C-row gather, timed in the scale probe)

@@ -57,32 +57,42 @@ class ImageEmbeddingSystem:
         """Batched encode + bulk insert; per-image failures are skipped
         (reference ImageEmbeddingSystem.py:100-145 semantics, batched).
 
+        Pipelined since r5: decode runs in the loader's background thread
+        (PIL path — identical pixels to the old per-image loop) and the
+        encoder's encode_stream keeps device batches in flight across
+        loader batches, so decode of batch N+1 overlaps batch N's device
+        transfer/compute/fetch instead of fetch-barriering each batch.
+
         Returns (successful_count, failed_count)."""
         if not image_paths:
             logger.warning("No image paths provided for processing.")
             return 0, 0
+        from image_retrieval_tpu.data.loader import ImageBatchLoader
+
         bs = batch_size or self.config.batch_size
         ok_paths: List[str] = []
         ok_embs: List[np.ndarray] = []
         failed = 0
         paths = [str(p) for p in image_paths]
-        for i in range(0, len(paths), bs):
-            chunk = paths[i : i + bs]
-            # decode failures are per-image; encode the decodable subset
-            good, pixels = [], []
-            from image_retrieval_tpu.models.preprocess import preprocess_host
+        size = self.config.model.image_size
 
-            for p in chunk:
-                try:
-                    pixels.append(preprocess_host(p))
-                    good.append(p)
-                except Exception as e:
-                    logger.warning(f"Skipping {p} due to error: {e}")
-                    failed += 1
-            if not good:
-                continue
-            embs = self.encoder.encode_pixels(np.stack(pixels))
-            ok_paths.extend(good)
+        def feed():
+            nonlocal failed
+            # use_native=False keeps the PIL decode (preprocess_host) of
+            # the original per-image loop — bit-identical pixels; decode
+            # failures surface through the ok mask with a logged warning
+            for chunk, batch, ok in ImageBatchLoader(
+                paths, batch_size=bs, size=size, use_native=False,
+            ):
+                failed += int(len(chunk) - ok.sum())
+                if not ok.any():
+                    continue
+                good = np.flatnonzero(ok)
+                yield ([chunk[int(i)] for i in good],
+                       batch if ok.all() else batch[good])
+
+        for good_paths, embs in self.encoder.encode_stream(feed()):
+            ok_paths.extend(good_paths)
             ok_embs.extend(embs)
         if ok_paths:
             from image_retrieval_tpu.utils.profiling import trace
