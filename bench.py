@@ -762,7 +762,9 @@ def main():
         # (wait_decode = host decode starved; fetch_insert = device/fetch
         # barrier; dispatch = pad + enqueue residual)
         for key in ("e2e_wait_decode_s", "e2e_fetch_insert_s",
-                    "e2e_dispatch_s", "e2e_cpu_s", "e2e_seconds"):
+                    "e2e_dispatch_s", "e2e_cpu_s", "e2e_seconds",
+                    "e2e_mode", "e2e_img_per_s_thread",
+                    "e2e_img_per_s_process"):
             if key in ing:
                 extra[f"ingest_{key}"] = ing[key]
         extra["ingest_cores_to_saturate"] = ing["cores_to_saturate_device"]

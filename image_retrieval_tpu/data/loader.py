@@ -35,6 +35,93 @@ def _decode_chunk_native(paths: List[str], size: int, threads: int,
     return batch, ok
 
 
+def _decode_worker_main(conn, size: int, use_native: bool, emit: str,
+                        threads: int):
+    """Decode-worker subprocess loop: receives path chunks, replies
+    (batch, ok). Exists because in-process native decode and in-flight
+    tunnel/device transfers degrade each other 2-4x through the GIL on a
+    1-core host (bench_results/ingest_attrib2_probe.json); a subprocess
+    gives decode its own interpreter. Top-level so 'spawn' can pickle it."""
+    import os as _os
+
+    # never let the child touch the accelerator: it only decodes
+    _os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        while True:
+            msg = conn.recv()
+            if msg is None:
+                return
+            chunk = msg
+            try:
+                if use_native:
+                    batch, ok = _decode_chunk_native(chunk, size, threads,
+                                                     emit)
+                else:
+                    batch, ok = _decode_chunk_pil(chunk, size, emit)
+                conn.send((batch, ok))
+            except Exception as e:  # surfaced through the queue
+                conn.send(e)
+    except (EOFError, KeyboardInterrupt):
+        return
+
+
+class _WorkerHandle:
+    """A spawned decode worker + its pipe, reusable across loaders."""
+
+    def __init__(self, size, use_native, emit, threads):
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        self.conn, child = ctx.Pipe()
+        self.proc = ctx.Process(
+            target=_decode_worker_main,
+            args=(child, size, use_native, emit, threads),
+            daemon=True,
+        )
+        self.proc.start()
+        child.close()
+        # one loader drives the pipe at a time (request/reply protocol)
+        self.lock = threading.Lock()
+
+    def close(self):
+        try:
+            self.conn.send(None)
+            self.conn.close()
+        except Exception:
+            pass
+        self.proc.join(timeout=5)
+        if self.proc.is_alive():
+            self.proc.terminate()
+
+
+# persistent decode workers keyed by (size, use_native, emit, threads):
+# spawn + interpreter start costs seconds, a production ingest service
+# reuses one worker for its lifetime. Guarded by a lock; cleaned at exit.
+_WORKERS: dict = {}
+_WORKERS_LOCK = threading.Lock()
+
+
+def _get_worker(key) -> _WorkerHandle:
+    with _WORKERS_LOCK:
+        w = _WORKERS.get(key)
+        if w is None or not w.proc.is_alive():
+            w = _WorkerHandle(*key)
+            _WORKERS[key] = w
+        return w
+
+
+def _shutdown_workers():
+    with _WORKERS_LOCK:
+        for w in _WORKERS.values():
+            w.close()
+        _WORKERS.clear()
+
+
+import atexit
+
+atexit.register(_shutdown_workers)
+
+
 def _decode_chunk_pil(paths: List[str], size: int, emit: str = "f32"):
     from image_retrieval_tpu.models.preprocess import (
         preprocess_host,
@@ -80,6 +167,7 @@ class ImageBatchLoader:
         use_native: bool = True,
         threads: int = 0,
         emit: str = "f32",
+        use_process: bool = False,
     ):
         assert emit in ("f32", "u8"), emit
         self.emit = emit
@@ -88,6 +176,16 @@ class ImageBatchLoader:
         self.size = size
         self.prefetch = prefetch
         self.threads = threads
+        # use_process: decode in a SPAWNED subprocess instead of a thread.
+        # On a 1-core host with a CPU-mediated device link, in-process
+        # decode and in-flight transfers strangle each other through the
+        # GIL (measured 2-4x mutual slowdown, ingest_attrib2_probe.json);
+        # a subprocess costs one 38 MB pipe hop per batch (~0.2 s) but
+        # decodes at full speed while the parent moves bytes. Production
+        # multi-core hosts want this too (N decode processes scale past
+        # the GIL); single-process remains the default for tests/small
+        # runs (spawn + import costs ~5-10 s once).
+        self.use_process = use_process
         if use_native:
             try:
                 from image_retrieval_tpu.utils import native
@@ -119,12 +217,36 @@ class ImageBatchLoader:
             return False
 
         def producer():
+            worker = None
+            held = False
+            pending = 0
             try:
-                for i in range(0, len(self.paths), self.batch_size):
+                if self.use_process:
+                    worker = _get_worker((self.size, self.use_native,
+                                          self.emit, self.threads))
+                    worker.lock.acquire()
+                    held = True
+                chunks = [self.paths[i : i + self.batch_size]
+                          for i in range(0, len(self.paths),
+                                         self.batch_size)]
+                if worker is not None and chunks:
+                    # prime one chunk so the worker decodes ahead while
+                    # the parent receives/queues the previous batch
+                    worker.conn.send(chunks[0])
+                    pending = 1
+                for j, chunk in enumerate(chunks):
                     if stop.is_set():
                         return
-                    chunk = self.paths[i : i + self.batch_size]
-                    if self.use_native:
+                    if worker is not None:
+                        if j + 1 < len(chunks):
+                            worker.conn.send(chunks[j + 1])
+                            pending += 1
+                        got = worker.conn.recv()
+                        pending -= 1
+                        if isinstance(got, BaseException):
+                            raise got
+                        batch, ok = got
+                    elif self.use_native:
                         batch, ok = _decode_chunk_native(
                             chunk, self.size, self.threads, self.emit)
                     else:
@@ -135,6 +257,16 @@ class ImageBatchLoader:
             except BaseException as e:  # surfaced to the consumer, not lost
                 _put(e)
             finally:
+                if held:
+                    try:
+                        # drain replies for any chunk still queued so the
+                        # next loader starts on a clean pipe
+                        while pending > 0:
+                            worker.conn.recv()
+                            pending -= 1
+                    except (EOFError, OSError):
+                        pass
+                    worker.lock.release()
                 _put(None)
 
         t = threading.Thread(target=producer, daemon=True)

@@ -140,3 +140,36 @@ def test_ingest_bench_full_chain(tmp_path):
                 "e2e_wait_decode_s", "e2e_fetch_insert_s"):
         assert key in res and res[key] >= 0, key
     assert res["n_images"] == 24
+
+
+def test_process_decode_loader(tmp_path):
+    """use_process=True decodes in a spawned subprocess (GIL-free from the
+    parent) and yields identical batches to the in-process path."""
+    from PIL import Image
+
+    rng = np.random.default_rng(9)
+    paths = []
+    for i in range(6):
+        p = tmp_path / f"p{i}.jpg"
+        Image.fromarray(
+            rng.uniform(0, 255, (48, 48, 3)).astype(np.uint8)
+        ).save(p, quality=90)
+        paths.append(str(p))
+    paths.append(str(tmp_path / "missing.jpg"))  # per-image failure
+
+    def collect(**kw):
+        out = []
+        for chunk, batch, ok in ImageBatchLoader(
+            paths, batch_size=4, size=32, use_native=False, **kw
+        ):
+            out.append((list(chunk), batch.copy(), ok.copy()))
+        return out
+
+    a = collect()
+    b = collect(use_process=True)
+    assert len(a) == len(b)
+    for (c1, b1, o1), (c2, b2, o2) in zip(a, b):
+        assert c1 == c2
+        np.testing.assert_array_equal(o1, o2)
+        np.testing.assert_array_equal(b1, b2)
+    assert not a[-1][2][-1]  # the missing file is a per-image skip

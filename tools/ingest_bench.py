@@ -238,54 +238,82 @@ def run_ingest_bench(
     # encode_stream keeps device batches in flight across loader batches:
     # batch N's fetch happens while batch N+1 decodes and its transfer is
     # in the air (per-batch encode_pixels measured fully serial —
-    # bench_results/ingest_attrib_probe.json D_e2e).
-    index = ShardedVectorIndex(
-        dim=encoder.dim, config=IndexConfig(capacity_step=4096)
-    )
-    phase = {"wait_decode": 0.0, "fetch_insert": 0.0}
+    # bench_results/ingest_attrib_probe.json D_e2e). Two decode schedules
+    # are measured: thread (in-process; contends with the tunnel client
+    # through the GIL on this host — ingest_attrib2_probe.json) and
+    # process (decode subprocess, one pipe hop per batch). The headline
+    # e2e is the better one; both are reported.
+    def run_e2e(use_process: bool) -> dict:
+        index = ShardedVectorIndex(
+            dim=encoder.dim, config=IndexConfig(capacity_step=4096)
+        )
+        phase = {"wait_decode": 0.0, "fetch_insert": 0.0}
 
-    def feed():
-        it = iter(ImageBatchLoader(
-            paths, batch_size=batch_size, size=224, use_native=use_native,
-            threads=1, emit="u8" if use_native else "f32",
-        ))
-        while True:
+        def feed():
+            it = iter(ImageBatchLoader(
+                paths, batch_size=batch_size, size=224,
+                use_native=use_native, threads=1,
+                emit="u8" if use_native else "f32",
+                use_process=use_process,
+            ))
+            while True:
+                t0 = time.perf_counter()
+                try:
+                    chunk, batch, ok = next(it)
+                except StopIteration:
+                    return
+                phase["wait_decode"] += time.perf_counter() - t0
+                good = np.flatnonzero(ok)
+                if not len(good):
+                    continue
+                # all-ok batches skip the fancy-index copy (1 ingest core)
+                yield ([chunk[int(i)] for i in good],
+                       batch if ok.all() else batch[good])
+
+        t0_run = time.perf_counter()
+        cpu0 = time.process_time()
+        n_ok = 0
+        for good_paths, embs in encoder.encode_stream(feed()):
             t0 = time.perf_counter()
-            try:
-                chunk, batch, ok = next(it)
-            except StopIteration:
-                return
-            phase["wait_decode"] += time.perf_counter() - t0
-            good = np.flatnonzero(ok)
-            if not len(good):
-                continue
-            # all-ok batches skip the fancy-index copy (single ingest core)
-            yield ([chunk[int(i)] for i in good],
-                   batch if ok.all() else batch[good])
+            index.insert(good_paths, embs)
+            n_ok += len(good_paths)
+            phase["fetch_insert"] += time.perf_counter() - t0
+        index.flush()
+        t_e2e = time.perf_counter() - t0_run
+        assert n_ok == len(paths), (n_ok, len(paths))
+        assert len(index) == len(paths)
+        r = {"img_per_s": round(len(paths) / t_e2e, 1),
+             "seconds": round(t_e2e, 2),
+             "cpu_s": round(time.process_time() - cpu0, 2)}
+        # attribution: wait_decode = blocked on the loader queue;
+        # fetch_insert = fetch barrier on the oldest in-flight batch +
+        # index insert; the residual is async dispatch + loop overhead.
+        # Partitions the wall, so a slow driver run self-explains (r4's
+        # 112-vs-240 spread had no such breakdown).
+        for k, v in phase.items():
+            r[f"{k}_s"] = round(v, 2)
+        r["dispatch_s"] = round(t_e2e - sum(phase.values()), 2)
+        return r
 
-    t0_run = time.perf_counter()
-    cpu0 = time.process_time()
-    n_ok = 0
-    for good_paths, embs in encoder.encode_stream(feed()):
-        t0 = time.perf_counter()
-        index.insert(good_paths, embs)
-        n_ok += len(good_paths)
-        phase["fetch_insert"] += time.perf_counter() - t0
-    index.flush()
-    t_e2e = time.perf_counter() - t0_run
-    out["e2e_cpu_s"] = round(time.process_time() - cpu0, 2)
-    assert n_ok == len(paths), (n_ok, len(paths))
-    assert len(index) == len(paths)
-    out["e2e_img_per_s"] = round(len(paths) / t_e2e, 1)
-    out["e2e_seconds"] = round(t_e2e, 2)
-    # attribution: wait_decode = blocked on the loader queue; fetch_insert
-    # = fetch barrier on the oldest in-flight batch + index insert; the
-    # residual is the async dispatch (pad + device_put enqueue) and loop
-    # overhead. These partition the e2e wall, so a slow driver run
-    # self-explains (r4's 112-vs-240 spread had no such breakdown).
-    for k, v in phase.items():
-        out[f"e2e_{k}_s"] = round(v, 2)
-    out["e2e_dispatch_s"] = round(t_e2e - sum(phase.values()), 2)
+    if use_native:
+        # warm the persistent decode worker (spawn + imports amortize to
+        # zero in a long-lived ingest service; keep them off the clock)
+        for _ in ImageBatchLoader(paths[:8], batch_size=8, size=224,
+                                  use_native=use_native, threads=1,
+                                  emit="u8", use_process=True):
+            pass
+        modes = {"thread": run_e2e(False), "process": run_e2e(True)}
+    else:
+        modes = {"thread": run_e2e(False)}
+    best = max(modes, key=lambda m: modes[m]["img_per_s"])
+    out["e2e_img_per_s"] = modes[best]["img_per_s"]
+    out["e2e_mode"] = best
+    out["e2e_seconds"] = modes[best]["seconds"]
+    out["e2e_cpu_s"] = modes[best]["cpu_s"]
+    for k in ("wait_decode_s", "fetch_insert_s", "dispatch_s"):
+        out[f"e2e_{k}"] = modes[best][k]
+    for m, r in modes.items():
+        out[f"e2e_img_per_s_{m}"] = r["img_per_s"]
 
     # --- bound decomposition: three legs (decode / link / device encode) ----
     legs = {
@@ -301,7 +329,7 @@ def run_ingest_bench(
     # 1.0 = perfectly pipelined (e2e == slowest leg); 0.0 = fully serial
     denom = t_serial - t_ideal
     out["overlap_efficiency"] = round(
-        max(0.0, min(1.0, (t_serial - t_e2e) / denom)), 3
+        max(0.0, min(1.0, (t_serial - out["e2e_seconds"]) / denom)), 3
     ) if denom > 1e-9 else 1.0
     # n-core projection uses the DEVICE-only rate (no transfer leg on a
     # PCIe-class production host); device_rate_hint (the serving capture)
