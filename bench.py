@@ -764,7 +764,7 @@ def main():
         for key in ("e2e_wait_decode_s", "e2e_fetch_insert_s",
                     "e2e_dispatch_s", "e2e_cpu_s", "e2e_seconds",
                     "e2e_mode", "e2e_img_per_s_thread",
-                    "e2e_img_per_s_process"):
+                    "e2e_img_per_s_process", "e2e_img_per_s_staged"):
             if key in ing:
                 extra[f"ingest_{key}"] = ing[key]
         extra["ingest_cores_to_saturate"] = ing["cores_to_saturate_device"]

@@ -295,6 +295,74 @@ def run_ingest_bench(
         r["dispatch_s"] = round(t_e2e - sum(phase.values()), 2)
         return r
 
+    def run_e2e_staged() -> dict:
+        """Third schedule: decode inline, and BARRIER each batch's
+        host->device transfer before decoding the next — decode is never
+        concurrent with a transfer (they mutually degrade 2-4x+ on this
+        host, ingest_attrib2/3 probes); only the device COMPUTE (host-
+        passive) overlaps the next decode. Costs one tiny fetch RTT per
+        batch; immune to the tunnel client's CPU-spin behavior."""
+        import jax
+        import jax.numpy as jnp
+
+        from image_retrieval_tpu.utils.native import (
+            decode_preprocess_batch_u8,
+        )
+
+        index = ShardedVectorIndex(
+            dim=encoder.dim, config=IndexConfig(capacity_step=4096)
+        )
+        phase = {"wait_decode": 0.0, "fetch_insert": 0.0}
+        enc_fn = encoder._encode_image_u8
+        params = encoder.params
+        t0_run = time.perf_counter()
+        cpu0 = time.process_time()
+        prev = None  # (chunk_paths, pending_result, n)
+        for i in range(0, len(paths), batch_size):
+            chunk = paths[i : i + batch_size]
+            t0 = time.perf_counter()
+            batch, ok = decode_preprocess_batch_u8(chunk, threads=1)
+            phase["wait_decode"] += time.perf_counter() - t0
+            good = np.flatnonzero(ok)
+            px = batch if ok.all() else batch[good]
+            nb = encoder._batch_sizes(px.shape[0])
+            if px.shape[0] != nb:
+                px = np.concatenate(
+                    [px, np.zeros((nb - px.shape[0],) + px.shape[1:],
+                                  px.dtype)])
+            dev = jnp.asarray(px)
+            _ = jax.device_get(dev.ravel()[0])  # transfer barrier
+            pending = enc_fn(params, dev)  # compute async (host-passive)
+            if prev is not None:
+                t0 = time.perf_counter()
+                pchunk, pres, pn = prev
+                index.insert(pchunk, np.asarray(pres)[:pn])
+                phase["fetch_insert"] += time.perf_counter() - t0
+            prev = ([chunk[int(j)] for j in good], pending, len(good))
+        if prev is not None:
+            t0 = time.perf_counter()
+            pchunk, pres, pn = prev
+            index.insert(pchunk, np.asarray(pres)[:pn])
+            phase["fetch_insert"] += time.perf_counter() - t0
+        index.flush()
+        t_e2e = time.perf_counter() - t0_run
+        assert len(index) == len(paths)
+        r = {"img_per_s": round(len(paths) / t_e2e, 1),
+             "seconds": round(t_e2e, 2),
+             "cpu_s": round(time.process_time() - cpu0, 2)}
+        for k, v in phase.items():
+            r[f"{k}_s"] = round(v, 2)
+        r["dispatch_s"] = round(t_e2e - sum(phase.values()), 2)
+        return r
+
+    def best_of(fn, reps=2):
+        # the host's available CPU and the tunnel's throughput both drift
+        # minute-to-minute (decode measured 400-1194 img/s within one
+        # session, same binary/corpus); best-of-2 keeps a one-off collapse
+        # from masquerading as a scheduling property
+        runs = [fn() for _ in range(reps)]
+        return max(runs, key=lambda r: r["img_per_s"])
+
     if use_native:
         # warm the persistent decode worker (spawn + imports amortize to
         # zero in a long-lived ingest service; keep them off the clock)
@@ -302,7 +370,12 @@ def run_ingest_bench(
                                   use_native=use_native, threads=1,
                                   emit="u8", use_process=True):
             pass
-        modes = {"thread": run_e2e(False), "process": run_e2e(True)}
+        modes = {"thread": best_of(lambda: run_e2e(False)),
+                 "process": best_of(lambda: run_e2e(True))}
+        try:
+            modes["staged"] = best_of(run_e2e_staged)
+        except AttributeError:
+            pass  # fake encoder: no raw forward handles
     else:
         modes = {"thread": run_e2e(False)}
     best = max(modes, key=lambda m: modes[m]["img_per_s"])

@@ -11,6 +11,17 @@ worker attaches once and then executes queued job scripts in-process:
 Jobs share the process: clean up device arrays (x.delete()) and prefer
 functions over module-level globals. A tiny jit fires between polls as a
 keepalive. Stop with: touch /tmp/tpu_jobs/STOP
+
+GOTCHA — module staleness: repo modules imported by an earlier job stay
+cached (sys.modules). A job that depends on freshly edited code must
+purge first:
+
+    import sys
+    for m in [k for k in list(sys.modules)
+              if k.startswith(("image_retrieval_tpu", "tools"))]:
+        del sys.modules[m]
+
+(leave jax loaded — that's the connection being kept alive).
 """
 
 from __future__ import annotations
