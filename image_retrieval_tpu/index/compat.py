@@ -230,14 +230,18 @@ class Collection:
                     raise ValueError(f"partition {p!r} does not exist")
             pm = self._partition_mask(partition_names)
             flt = pm if flt is None else (flt & pm)
+        if self._impl.live_count == 0:
+            # pymilvus returns empty hits, not an error
+            return [[] for _ in data]
+        # ONE batched device dispatch for the whole query list — the
+        # gallery sweep serves Q queries at ~the cost of one (pymilvus
+        # likewise ships the list in one gRPC call); per-query dispatch
+        # would pay Q tunnel round-trips
+        qs = np.stack([np.asarray(q, np.float32) for q in data])
+        all_vals, all_idx = self._impl.search(
+            qs, top_k=limit, metric=metric, flt=flt)
         results = []
-        for q in data:
-            if self._impl.live_count == 0:
-                results.append([])  # pymilvus returns empty hits, not an error
-                continue
-            vals, idx = self._impl.search(
-                np.asarray(q, np.float32), top_k=limit, metric=metric,
-                flt=flt)
+        for vals, idx in zip(np.atleast_2d(all_vals), np.atleast_2d(all_idx)):
             hits = []
             for v, i in zip(np.atleast_1d(vals), np.atleast_1d(idx)):
                 if i < 0:  # filtered search pads sub-limit results
