@@ -180,3 +180,26 @@ def test_partitions_default_when_column_absent(rng):
     c.create_partition("p1")
     assert c.search([q], limit=9, partition_names=["p1"])[0] == []
     drop_collection("parts_raw")
+
+
+def test_search_batches_query_list(rng):
+    """Collection.search ships the whole query list in ONE batched device
+    dispatch (r5); per-query results must match single-query searches."""
+    drop_collection("batched_search")
+    c = Collection("batched_search", dim=32)
+    emb = rng.normal(size=(40, 32)).astype(np.float32)
+    mags = np.linalg.norm(emb, axis=1)
+    unit = emb / mags[:, None]
+    c.insert([[f"b{i}.jpg" for i in range(40)], unit, mags])
+    queries = [unit[5], unit[17], unit[33]]
+    batched = c.search(data=queries, limit=4,
+                       output_fields=["image_path"])
+    assert len(batched) == 3
+    for qi, q in enumerate(queries):
+        single = c.search(data=[q], limit=4, output_fields=["image_path"])
+        assert ([h.entity.get("image_path") for h in batched[qi]]
+                == [h.entity.get("image_path") for h in single[0]])
+        np.testing.assert_allclose(
+            [h.score for h in batched[qi]], [h.score for h in single[0]],
+            rtol=1e-6)
+    drop_collection("batched_search")
