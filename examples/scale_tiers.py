@@ -52,6 +52,18 @@ def main():
                + rng.normal(size=(4, d)).astype(np.float32) * 0.3)
     paths = [f"img{i}.jpg" for i in range(n)]
 
+    # 0) the planner: turns a corpus size into the measured-best tier
+    #    (index/plan.py — every crossover cites a hardware capture).
+    #    Latency-hungry multi-M resident plans flip approx_select
+    #    (approximate candidate SET, true scores, 5.8x batched at 16M).
+    from image_retrieval_tpu.index.plan import plan_index
+
+    for rows in (1_000_000, 16_000_000, 60_000_000):
+        p = plan_index(rows, dim=512)
+        print(f"[0] plan {rows:>11,} rows -> {p.tier} "
+              f"(approx_select={p.index.approx_select}, "
+              f"est {p.est_batched_ms_per_query} ms/query batched)")
+
     # 1) HBM-resident exact: the default engine (int8 storage: 4x less HBM)
     idx = ShardedVectorIndex(dim=d, config=IndexConfig(dtype="int8"))
     idx.insert(paths, emb)
