@@ -29,7 +29,7 @@ Measured anchors (v5e single chip, 512-d; all cited from bench_results/):
   * usable HBM ~13.5 GB/chip (streaming_probe.json: a 16 GB gallery is
     genuinely beyond-chip) => ~27M int8 512-d rows or ~52M int4 rows
     resident per chip (32M int4 rows MEASURED resident at 8.6 GB with
-    screen 28.2 ms/16q and two-phase recall@10 1.0 —
+    screen 26.4-28.2 ms/16q and two-phase recall@10 0.9891 at n=64 —
     int4_scale_probe.json r4; the 52M figure extrapolates 1.6x past
     that point).
   * streamed exact sweep runs AT the host->device transfer bound
