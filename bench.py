@@ -759,9 +759,10 @@ def main():
             "serial_floor_img_per_s", 0.0)
         extra["ingest_overlap_efficiency"] = ing["overlap_efficiency"]
         # per-phase e2e attribution: a slow run names its slow phase
-        # (wait_decode = host decode starved; fetch_insert = device/fetch
-        # barrier; dispatch = pad + enqueue residual)
-        for key in ("e2e_wait_decode_s", "e2e_fetch_insert_s",
+        # (wait_decode = host decode starved; wait_device = device fetch/
+        # dispatch barrier; insert = host index append; dispatch = loop
+        # residual)
+        for key in ("e2e_wait_decode_s", "e2e_wait_device_s", "e2e_insert_s",
                     "e2e_dispatch_s", "e2e_cpu_s", "e2e_seconds",
                     "e2e_mode", "e2e_img_per_s_thread",
                     "e2e_img_per_s_process", "e2e_img_per_s_staged"):

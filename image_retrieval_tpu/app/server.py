@@ -82,6 +82,13 @@ class SearchServer:
         self.ann = ann
         self.overfetch = overfetch
         self.approx_select = approx_select
+        if ann is not None and approx_select:
+            logger.warning(
+                "approx_select has no effect on requests served by the ANN "
+                "candidate path (unfiltered cosine/optimized); only "
+                "filtered/other-metric requests fall through to the exact "
+                "index sweep where the selector applies"
+            )
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self._queue: "queue.Queue[_Request]" = queue.Queue()
@@ -391,6 +398,12 @@ class SearchServer:
                     # request override > server default > index config
                     approx = (r.approx if r.approx is not None
                               else self.approx_select)
+                    # the ANN candidate path ignores the selector — don't
+                    # let a mixed approx=0/1 batch split one sweep in two
+                    if (self.ann is not None and r.flt is None
+                            and r.metric in ("cosine_similarity",
+                                             "optimized_similarity")):
+                        approx = None
                     groups.setdefault(
                         (r.metric, r.weights, r.flt, approx), []
                     ).append(i)

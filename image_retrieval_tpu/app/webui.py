@@ -113,11 +113,18 @@ class _Handler(BaseHTTPRequestHandler):
 
     @staticmethod
     def _parse_approx(qs):
-        """&approx=1/0 -> True/False; absent -> None (server default)."""
+        """&approx=1/0 -> True/False; absent -> None (server default).
+        Unrecognized values are a 400, not a silent True — a typo like
+        &approx=off must not force the approximate selector."""
         raw = (qs.get("approx") or [None])[0]
         if raw is None:
             return None
-        return raw.lower() not in ("0", "false", "no", "")
+        low = raw.lower()
+        if low in ("1", "true", "yes", "on"):
+            return True
+        if low in ("0", "false", "no", "off", ""):
+            return False
+        raise ValueError(f"bad approx value {raw!r} (use 1/0)")
 
     def _do_search(self, ctx, qs, query, k, metric, flt):
         approx = self._parse_approx(qs)
@@ -167,8 +174,8 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             metric = (qs.get("metric") or ["cosine"])[0]
             flt = (qs.get("filter") or [None])[0] or None
-            approx = self._parse_approx(qs)
             try:
+                approx = self._parse_approx(qs)
                 if metric.startswith("optimized"):
                     results = ctx["server"].search_similar(
                         path, top_k=k, metric="optimized_similarity",

@@ -176,16 +176,28 @@ def _maybe_validate_weights(weights_path: str, output_dir: str) -> None:
         logger.warning("weights_path %s has no model.safetensors / "
                        "pytorch_model.bin — skipping validation", weights_path)
         return
+    marker = os.path.join(output_dir, ".validated_weights")
+    st = os.stat(blob)
+    stat_tag = f"stat:{blob}:{st.st_size}:{int(st.st_mtime)}"
+    marked = ""
+    if os.path.exists(marker):
+        with open(marker) as f:
+            marked = f.read()
+        if stat_tag in marked.split():
+            return  # same blob by (path, size, mtime) — skip the re-hash
+    # full hash only when the cheap stat check missed (first run, or the
+    # blob was touched/replaced): a 600 MB read is seconds on this
+    # single-core host and must not recur on every workflow start
     h = hashlib.sha256()
     with open(blob, "rb") as f:
         for chunk in iter(lambda: f.read(1 << 20), b""):
             h.update(chunk)
     digest = h.hexdigest()
-    marker = os.path.join(output_dir, ".validated_weights")
-    if os.path.exists(marker):
-        with open(marker) as f:
-            if digest in f.read().split():
-                return  # this exact checkpoint already validated here
+    if digest in marked.split():
+        # same bytes under a new mtime (copied/restored): refresh the tag
+        with open(marker, "a") as f:
+            f.write(stat_tag + "\n")
+        return
     tool = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), "tools", "validate_pretrained.py")
     if not os.path.exists(tool):
@@ -207,7 +219,7 @@ def _maybe_validate_weights(weights_path: str, output_dir: str) -> None:
         )
     os.makedirs(output_dir, exist_ok=True)
     with open(marker, "a") as f:
-        f.write(digest + "\n")
+        f.write(digest + "\n" + stat_tag + "\n")
 
 
 def main(argv=None):

@@ -44,8 +44,19 @@ def _decode_worker_main(conn, size: int, use_native: bool, emit: str,
     gives decode its own interpreter. Top-level so 'spawn' can pickle it."""
     import os as _os
 
-    # never let the child touch the accelerator: it only decodes
+    # never let the child touch the accelerator: it only decodes. The env
+    # var alone is too late on hosts whose sitecustomize imports jax before
+    # this function runs (jax reads JAX_PLATFORMS at import time), so pin
+    # the already-imported config too — same trap tests/conftest.py
+    # documents. Attaching a second client wedges single-owner device
+    # tunnels.
     _os.environ["JAX_PLATFORMS"] = "cpu"
+    import sys as _sys
+    if "jax" in _sys.modules:  # config flip only; don't import jax to decode
+        try:
+            _sys.modules["jax"].config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     try:
         while True:
             msg = conn.recv()

@@ -230,8 +230,9 @@ class Collection:
                     raise ValueError(f"partition {p!r} does not exist")
             pm = self._partition_mask(partition_names)
             flt = pm if flt is None else (flt & pm)
-        if self._impl.live_count == 0:
-            # pymilvus returns empty hits, not an error
+        if self._impl.live_count == 0 or len(data) == 0:
+            # pymilvus returns empty hits, not an error (and an empty
+            # query list returns [] rather than tripping np.stack)
             return [[] for _ in data]
         # ONE batched device dispatch for the whole query list — the
         # gallery sweep serves Q queries at ~the cost of one (pymilvus

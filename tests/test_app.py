@@ -450,3 +450,45 @@ def test_workflow_weight_validation_gate(tmp_path, caplog):
     caplog.clear()
     _maybe_validate_weights(str(ckpt), str(out))  # returns before the tool
     assert not caplog.records
+
+
+def test_workflow_weight_validation_stat_shortcircuit(tmp_path):
+    """After a digest match, the (path, size, mtime) tag is recorded and
+    later runs skip the full-file re-hash (r5 review finding: a ~600 MB
+    sha256 on every workflow start on a 1-core host)."""
+    import hashlib
+
+    from image_retrieval_tpu.app import workflow as wf
+
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "out"
+    ckpt.mkdir(); out.mkdir()
+    blob = ckpt / "model.safetensors"
+    blob.write_bytes(b"weights")
+    digest = hashlib.sha256(b"weights").hexdigest()
+    marker = out / ".validated_weights"
+    marker.write_text(digest + "\n")
+
+    # first call: digest path taken, stat tag appended
+    wf._maybe_validate_weights(str(ckpt), str(out))
+    assert "stat:" in marker.read_text()
+
+    # second call must return via the stat tag without hashing
+    real_sha = hashlib.sha256
+    calls = []
+
+    class _Spy:
+        def __init__(self):
+            calls.append(1)
+            self._h = real_sha()
+        def update(self, b):
+            self._h.update(b)
+        def hexdigest(self):
+            return self._h.hexdigest()
+
+    hashlib.sha256 = _Spy
+    try:
+        wf._maybe_validate_weights(str(ckpt), str(out))
+    finally:
+        hashlib.sha256 = real_sha
+    assert calls == []

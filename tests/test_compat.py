@@ -203,3 +203,16 @@ def test_search_batches_query_list(rng):
             [h.score for h in batched[qi]], [h.score for h in single[0]],
             rtol=1e-6)
     drop_collection("batched_search")
+
+
+def test_search_empty_query_list(rng):
+    """pymilvus returns [] for an empty data list, not an error — both on
+    an empty collection and on one with live rows (r5 review finding)."""
+    drop_collection("empty_query_list")
+    c = Collection("empty_query_list", dim=16)
+    assert c.search(data=[], limit=5) == []
+    emb = rng.normal(size=(8, 16)).astype(np.float32)
+    mags = np.linalg.norm(emb, axis=1)
+    c.insert([[f"e{i}.jpg" for i in range(8)], emb / mags[:, None], mags])
+    assert c.search(data=[], limit=5) == []
+    drop_collection("empty_query_list")

@@ -257,3 +257,24 @@ def test_index_search_approx_kwarg(serving_stack):
     v_approx, i_approx = idx.search(qn, top_k=5, approx=True)
     np.testing.assert_array_equal(i_exact, i_approx)
     np.testing.assert_allclose(v_exact, v_approx, rtol=1e-6)
+
+
+def test_approx_ignored_on_ann_path(serving_stack, caplog):
+    """The ANN candidate path ignores the selector: a mixed approx=0/1
+    batch must coalesce into ONE group (no split sweep), and configuring
+    both ann and approx_select warns (r5 review finding)."""
+    import logging
+
+    from image_retrieval_tpu.index.ivf import IVFIndex
+
+    enc, idx = serving_stack
+    ann = IVFIndex.from_index(idx, nlist=4, nprobe=4)
+    with caplog.at_level(logging.WARNING):
+        server = SearchServer(enc, idx, ann=ann, approx_select=True)
+    assert any("approx_select has no effect" in r.message
+               for r in caplog.records)
+    q = "object number 5 in color green"
+    with server:
+        a = server.search(q, top_k=5, approx=True)
+        b = server.search(q, top_k=5, approx=False)
+    assert [r["path"] for r in a] == [r["path"] for r in b]

@@ -133,3 +133,14 @@ def test_search_approx_param(web_stack):
     approx = json.loads(urllib.request.urlopen(
         base + "/search?q=brown%20shape&k=3&approx=1").read())
     assert [r["path"] for r in approx] == [r["path"] for r in exact]
+
+
+def test_search_approx_bad_value_is_400(web_stack):
+    """A typo like &approx=off must be a client error, not a silent
+    approximate search (r5 review finding)."""
+    base, _ = web_stack
+    try:
+        urllib.request.urlopen(base + "/search?q=brown&k=3&approx=exact")
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

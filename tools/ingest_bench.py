@@ -27,8 +27,9 @@ measures the full chain from bytes on disk and decomposes the bound:
                           — r4 ADVICE item 3).
   e2e_img_per_s           JPEG file -> indexed row through the overlapped
                           pipeline, with per-phase attribution
-                          (e2e_wait_decode_s / e2e_dispatch_s /
-                          e2e_fetch_insert_s) so a slow run self-explains.
+                          (e2e_wait_decode_s / e2e_wait_device_s /
+                          e2e_insert_s / e2e_dispatch_s — same meanings in
+                          every schedule) so a slow run self-explains.
   pipeline_bound          name of the slowest leg; pipeline_bound_img_per_s
                           is the best rate ANY scheduler could reach here.
   overlap_efficiency      (sum(legs) - T_e2e) / (sum(legs) - max(legs)):
@@ -247,7 +248,7 @@ def run_ingest_bench(
         index = ShardedVectorIndex(
             dim=encoder.dim, config=IndexConfig(capacity_step=4096)
         )
-        phase = {"wait_decode": 0.0, "fetch_insert": 0.0}
+        phase = {"wait_decode": 0.0, "wait_device": 0.0, "insert": 0.0}
 
         def feed():
             it = iter(ImageBatchLoader(
@@ -273,11 +274,25 @@ def run_ingest_bench(
         t0_run = time.perf_counter()
         cpu0 = time.process_time()
         n_ok = 0
-        for good_paths, embs in encoder.encode_stream(feed()):
+        stream = encoder.encode_stream(feed())
+        while True:
+            # the stream advance is where encode_stream blocks on the
+            # device (fetch barrier on the oldest in-flight batch +
+            # dispatch of the newest); feed() runs inside it too, so net
+            # out the decode wait it accumulates during this window to
+            # keep the phases a partition of the wall
+            t0 = time.perf_counter()
+            wd0 = phase["wait_decode"]
+            try:
+                good_paths, embs = next(stream)
+            except StopIteration:
+                break
+            phase["wait_device"] += (time.perf_counter() - t0) - (
+                phase["wait_decode"] - wd0)
             t0 = time.perf_counter()
             index.insert(good_paths, embs)
             n_ok += len(good_paths)
-            phase["fetch_insert"] += time.perf_counter() - t0
+            phase["insert"] += time.perf_counter() - t0
         index.flush()
         t_e2e = time.perf_counter() - t0_run
         assert n_ok == len(paths), (n_ok, len(paths))
@@ -286,10 +301,10 @@ def run_ingest_bench(
              "seconds": round(t_e2e, 2),
              "cpu_s": round(time.process_time() - cpu0, 2)}
         # attribution: wait_decode = blocked on the loader queue;
-        # fetch_insert = fetch barrier on the oldest in-flight batch +
-        # index insert; the residual is async dispatch + loop overhead.
-        # Partitions the wall, so a slow driver run self-explains (r4's
-        # 112-vs-240 spread had no such breakdown).
+        # wait_device = blocked in the stream advance (device fetch/
+        # dispatch); insert = host-side index append; the residual is
+        # loop overhead. Partitions the wall, so a slow driver run
+        # self-explains (r4's 112-vs-240 spread had no such breakdown).
         for k, v in phase.items():
             r[f"{k}_s"] = round(v, 2)
         r["dispatch_s"] = round(t_e2e - sum(phase.values()), 2)
@@ -312,7 +327,7 @@ def run_ingest_bench(
         index = ShardedVectorIndex(
             dim=encoder.dim, config=IndexConfig(capacity_step=4096)
         )
-        phase = {"wait_decode": 0.0, "fetch_insert": 0.0}
+        phase = {"wait_decode": 0.0, "wait_device": 0.0, "insert": 0.0}
         enc_fn = encoder._encode_image_u8
         params = encoder.params
         t0_run = time.perf_counter()
@@ -334,16 +349,22 @@ def run_ingest_bench(
             _ = jax.device_get(dev.ravel()[0])  # transfer barrier
             pending = enc_fn(params, dev)  # compute async (host-passive)
             if prev is not None:
-                t0 = time.perf_counter()
                 pchunk, pres, pn = prev
-                index.insert(pchunk, np.asarray(pres)[:pn])
-                phase["fetch_insert"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                emb = np.asarray(pres)[:pn]  # device fetch barrier
+                phase["wait_device"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                index.insert(pchunk, emb)
+                phase["insert"] += time.perf_counter() - t0
             prev = ([chunk[int(j)] for j in good], pending, len(good))
         if prev is not None:
-            t0 = time.perf_counter()
             pchunk, pres, pn = prev
-            index.insert(pchunk, np.asarray(pres)[:pn])
-            phase["fetch_insert"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            emb = np.asarray(pres)[:pn]
+            phase["wait_device"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            index.insert(pchunk, emb)
+            phase["insert"] += time.perf_counter() - t0
         index.flush()
         t_e2e = time.perf_counter() - t0_run
         assert len(index) == len(paths)
@@ -383,7 +404,7 @@ def run_ingest_bench(
     out["e2e_mode"] = best
     out["e2e_seconds"] = modes[best]["seconds"]
     out["e2e_cpu_s"] = modes[best]["cpu_s"]
-    for k in ("wait_decode_s", "fetch_insert_s", "dispatch_s"):
+    for k in ("wait_decode_s", "wait_device_s", "insert_s", "dispatch_s"):
         out[f"e2e_{k}"] = modes[best][k]
     for m, r in modes.items():
         out[f"e2e_img_per_s_{m}"] = r["img_per_s"]
