@@ -18,7 +18,8 @@ Endpoints:
     GET  /similar?path=...&k=10     image-query: gallery ranked by
                                     similarity to an indexed image
                                     (click a thumbnail in the UI)
-    POST /batch_search              JSON {"queries": [...], "k": 10} ->
+    POST /batch_search              JSON {"queries": [...], "k": 10,
+                                    "approx": true|false (optional)} ->
                                     JSON [[{path, score}], ...]
     GET  /image?path=...            the image file (only paths in the index)
     GET  /stats                     JSON serving counters (requests,
@@ -223,7 +224,12 @@ class _Handler(BaseHTTPRequestHandler):
             try:
                 queries = list(body.get("queries") or [])
                 k = int(body.get("k", 10))
+                approx = body.get("approx")
+                if approx is not None and not isinstance(approx, bool):
+                    raise ValueError(
+                        f"bad approx value {approx!r} (use true/false)")
                 out = ctx["server"].search_many(queries, top_k=k,
+                                                approx=approx,
                                                 timeout=_SEARCH_TIMEOUT_S)
                 self._send(200, json.dumps(out).encode(), "application/json")
             except Exception as e:

@@ -144,3 +144,25 @@ def test_search_approx_bad_value_is_400(web_stack):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_batch_search_approx_body(web_stack):
+    """POST body {"approx": true/false} reaches search_many; non-bool is a
+    400 (mirrors the GET &approx= contract)."""
+    base, _ = web_stack
+
+    def post(body):
+        req = urllib.request.Request(
+            base + "/batch_search", data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        return json.loads(urllib.request.urlopen(req).read())
+
+    exact = post({"queries": ["brown", "shape"], "k": 2, "approx": False})
+    approx = post({"queries": ["brown", "shape"], "k": 2, "approx": True})
+    assert [[r["path"] for r in row] for row in approx] == \
+        [[r["path"] for r in row] for row in exact]
+    try:
+        post({"queries": ["brown"], "k": 2, "approx": "yes"})
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
