@@ -399,9 +399,13 @@ def main():
                 return None, (tv, jnp.take_along_axis(ai, tpos, axis=1))
             return jax.lax.scan(step, None, qss)[1]
 
+        # sub-ms unit: the one-vs-two differencing is RTT-jitter-noisy at
+        # this scale (one r5 run read 199k QPS, past the HBM-bound ~90k
+        # ceiling), so take the median over more repeats
         tba = device_seconds(
-            lambda i: cos8_approx_batch_scan(g8, g_scale, qss_pool[i]),
-            repeats=3,
+            lambda i: cos8_approx_batch_scan(
+                g8, g_scale, qss_pool[i % len(qss_pool)]),
+            repeats=9,
         ) / n_qbatches
         extra["approx_select_batched_qps"] = round(
             float(np.median(nq / tba)), 1)
@@ -494,13 +498,15 @@ def main():
                 jax.jit(lambda key: jax.random.normal(key, (nq, d),
                                                       jnp.bfloat16))(
                     jax.random.PRNGKey(300 + i))
-                for i in range(tags_needed(3))
+                for i in range(tags_needed(9))
             ]
             _ = jax.device_get(qb_pool[-1][0, 0])
+            # few-ms units: median over more repeats (differencing noise
+            # produced a 0.0 and a 2x reading in r5 runs at repeats=3)
             tp4 = device_seconds(
                 lambda i: int4_screen_topc_pallas(
                     qb_pool[i], pkp, s4p, valid4, 128, selector="approx"),
-                repeats=3,
+                repeats=9,
             ) / nq
             extra["int4_screen_pallas_p50_ms"] = round(
                 float(np.percentile(tp4, 50) * 1e3), 4)
@@ -527,7 +533,7 @@ def main():
                 lambda i: sharded_int4_two_phase_topk(
                     qb_pool[i].astype(jnp.float32), pkp, valid4, s4p,
                     g8p, g_scale_p, 128, k, mesh=mesh1, axis="data"),
-                repeats=3,
+                repeats=9,
             ) / nq
             extra["int4_two_phase_fused_p50_ms"] = round(
                 float(np.percentile(tpl, 50) * 1e3), 4)
@@ -716,6 +722,38 @@ def main():
             repeats=5,
         ) / n_qbatches
         extra["e2e_query_qps_int8"] = round(float(np.median(nq / te)), 1)
+
+        # same chain with the approximate selector (true scores, approx
+        # candidate set — the serving-stack --approx-select path): with the
+        # text tower at ~26k texts/s the exact int8 sweep is about half the
+        # per-query budget, so the selector's ~4x selection win roughly
+        # doubles end-to-end QPS at its guarded recall (the
+        # approx_select_recall_at_10 extra above, measured on this same
+        # gallery)
+        @jax.jit
+        def e2e_scan_approx(p, toks, g, s, j):
+            def step(_, tb):
+                tb = jnp.maximum(tb - j % 2, 1)
+                q = model_s.apply(p, tb, method=CLIP.encode_text)
+                qn = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+                dots = jnp.dot(
+                    qn.astype(jnp.bfloat16), g.astype(jnp.bfloat16).T,
+                    preferred_element_type=jnp.float32,
+                )
+                scores = dots * s[None, :]
+                cc = min(max(4 * k, 128), scores.shape[-1])
+                av, ai = jax.lax.approx_max_k(scores, cc, recall_target=0.95)
+                tv, tpos = jax.lax.top_k(av, k)
+                return None, (tv, jnp.take_along_axis(ai, tpos, axis=1))
+            return jax.lax.scan(step, None, toks)[1]
+
+        tea = device_seconds(
+            lambda i: e2e_scan_approx(
+                params_s, qtoks, g8, g_scale, jnp.int32(i)),
+            repeats=5,
+        ) / n_qbatches
+        extra["e2e_query_qps_int8_approx"] = round(
+            float(np.median(nq / tea)), 1)
     except Exception as e:  # pragma: no cover
         extra["e2e_query_error"] = str(e)[:200]
 
