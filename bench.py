@@ -370,9 +370,20 @@ def main():
                 return None, jax.lax.top_k(dots * s[None, :], k)
             return jax.lax.scan(step, None, qss)[1]
 
+        # the int8 sweep is ~0.7 ms/batch — an 8-batch dispatch (~6 ms) is
+        # within tunnel RTT jitter and the differencing can read 2-5x off
+        # (one r5 run: 520k QPS, far past the HBM roofline). Tile the scan
+        # so one dispatch does ~70 ms of device work.
+        reps8 = 12 if on_tpu else 2
+
+        @jax.jit
+        def cos8_batch_scan_tiled(g, s, qss):
+            return cos8_batch_scan(g, s, jnp.concatenate([qss] * reps8))
+
         tb8 = device_seconds(
-            lambda i: cos8_batch_scan(g8, g_scale, qss_pool[i]), repeats=5
-        ) / n_qbatches
+            lambda i: cos8_batch_scan_tiled(g8, g_scale, qss_pool[i]),
+            repeats=5,
+        ) / (n_qbatches * reps8)
         extra["batched_qps_int8"] = round(float(np.median(nq / tb8)), 1)
     except Exception as e:  # pragma: no cover
         extra["compressed_error"] = str(e)[:200]
@@ -399,14 +410,21 @@ def main():
                 return None, (tv, jnp.take_along_axis(ai, tpos, axis=1))
             return jax.lax.scan(step, None, qss)[1]
 
-        # sub-ms unit: the one-vs-two differencing is RTT-jitter-noisy at
-        # this scale (one r5 run read 199k QPS, past the HBM-bound ~90k
-        # ceiling), so take the median over more repeats
+        # sub-ms unit: tile the scan (like the int8 sweep above) so the
+        # dispatch is jitter-proof — untiled 8-batch dispatches read 199k
+        # and 125k QPS in r5 runs, past the HBM-bound ~90k ceiling
+        repsa = 24 if on_tpu else 2
+
+        @jax.jit
+        def cos8_approx_batch_scan_tiled(g, s, qss):
+            return cos8_approx_batch_scan(
+                g, s, jnp.concatenate([qss] * repsa))
+
         tba = device_seconds(
-            lambda i: cos8_approx_batch_scan(
+            lambda i: cos8_approx_batch_scan_tiled(
                 g8, g_scale, qss_pool[i % len(qss_pool)]),
-            repeats=9,
-        ) / n_qbatches
+            repeats=7,
+        ) / (n_qbatches * repsa)
         extra["approx_select_batched_qps"] = round(
             float(np.median(nq / tba)), 1)
         _, ids_exact = jax.device_get(
