@@ -519,13 +519,25 @@ def main():
                 for i in range(tags_needed(9))
             ]
             _ = jax.device_get(qb_pool[-1][0, 0])
-            # few-ms units: median over more repeats (differencing noise
-            # produced a 0.0 and a 2x reading in r5 runs at repeats=3)
+            # ~1.5 ms units sit inside tunnel RTT jitter (r5 runs spread
+            # 0.0138-0.048 ms/q); scan the dispatch 16x like the int8/
+            # approx sweeps so each differencing window is ~25 ms of
+            # device work
+            reps4 = 16 if on_tpu else 2
+
+            @jax.jit
+            def int4_screen_scanned(qb, pk_, s4_, v_):
+                def step(_, qx):
+                    return None, int4_screen_topc_pallas(
+                        qx, pk_, s4_, v_, 128, selector="approx")
+                qbs = jnp.stack([qb + jnp.bfloat16(1e-3) * ii
+                                 for ii in range(reps4)])
+                return jax.lax.scan(step, None, qbs)[1]
+
             tp4 = device_seconds(
-                lambda i: int4_screen_topc_pallas(
-                    qb_pool[i], pkp, s4p, valid4, 128, selector="approx"),
-                repeats=9,
-            ) / nq
+                lambda i: int4_screen_scanned(qb_pool[i], pkp, s4p, valid4),
+                repeats=5,
+            ) / (nq * reps4)
             extra["int4_screen_pallas_p50_ms"] = round(
                 float(np.percentile(tp4, 50) * 1e3), 4)
 
@@ -547,12 +559,21 @@ def main():
             g_scale_p = (jnp.concatenate(
                              [g_scale, jnp.ones((pad4,), jnp.float32)])
                          if pad4 else g_scale)
+            @jax.jit
+            def int4_two_phase_scanned(qb, pk_, v_, s4_, g8_, gs_):
+                def step(_, qx):
+                    return None, sharded_int4_two_phase_topk(
+                        qx, pk_, v_, s4_, g8_, gs_, 128, k,
+                        mesh=mesh1, axis="data")
+                qbs = jnp.stack([qb.astype(jnp.float32) + 1e-3 * ii
+                                 for ii in range(reps4)])
+                return jax.lax.scan(step, None, qbs)[1]
+
             tpl = device_seconds(
-                lambda i: sharded_int4_two_phase_topk(
-                    qb_pool[i].astype(jnp.float32), pkp, valid4, s4p,
-                    g8p, g_scale_p, 128, k, mesh=mesh1, axis="data"),
-                repeats=9,
-            ) / nq
+                lambda i: int4_two_phase_scanned(
+                    qb_pool[i], pkp, valid4, s4p, g8p, g_scale_p),
+                repeats=5,
+            ) / (nq * reps4)
             extra["int4_two_phase_fused_p50_ms"] = round(
                 float(np.percentile(tpl, 50) * 1e3), 4)
             del pkp, valid4, s4p
