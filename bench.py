@@ -183,6 +183,18 @@ def main():
         bumping repeats anywhere can no longer under-size a pool."""
         return 3 * repeats + 1
 
+    def tile_scan(scan_fn, reps):
+        """Jitter-proofing for sub-RTT sweeps: wrap a (g, s, qss) scan so
+        one dispatch covers the query tensor `reps` times — the
+        differencing window then holds tens of ms of device work instead
+        of sitting inside the tunnel RTT's multi-ms jitter (untiled int8/
+        approx dispatches read 520k/199k QPS in r5 runs, past the HBM
+        roofline). Callers divide the measured unit by reps."""
+        @jax.jit
+        def tiled(g, s, qss):
+            return scan_fn(g, s, jnp.concatenate([qss] * reps))
+        return tiled
+
     def timed_per_query(fn, repeats=5):
         """fn(queries) -> small output. Returns per-query device-seconds."""
         qs_pool = [make_queries(jax.random.PRNGKey(100 + i))
@@ -228,8 +240,11 @@ def main():
         # the identical program for every pool element
         return _make_qbatches(key)
 
+    # sized for the LARGEST repeats any consumer passes (the approx sweep
+    # uses 7) — modulo-wrapping a smaller pool would silently reuse inputs
+    # and defeat device_seconds' repeat-distinct-inputs contract
     qss_pool = [make_qbatches(jax.random.PRNGKey(300 + i))
-                for i in range(tags_needed(5))]
+                for i in range(tags_needed(7))]
     _ = jax.device_get(qss_pool[-1][0, 0, 0, 0])
     tb = device_seconds(
         lambda i: cosine_batch_scan(gallery, qss_pool[i]), repeats=5
@@ -370,15 +385,9 @@ def main():
                 return None, jax.lax.top_k(dots * s[None, :], k)
             return jax.lax.scan(step, None, qss)[1]
 
-        # the int8 sweep is ~0.7 ms/batch — an 8-batch dispatch (~6 ms) is
-        # within tunnel RTT jitter and the differencing can read 2-5x off
-        # (one r5 run: 520k QPS, far past the HBM roofline). Tile the scan
-        # so one dispatch does ~70 ms of device work.
+        # ~0.7 ms/batch: tile to ~70 ms per dispatch (see tile_scan)
         reps8 = 12 if on_tpu else 2
-
-        @jax.jit
-        def cos8_batch_scan_tiled(g, s, qss):
-            return cos8_batch_scan(g, s, jnp.concatenate([qss] * reps8))
+        cos8_batch_scan_tiled = tile_scan(cos8_batch_scan, reps8)
 
         tb8 = device_seconds(
             lambda i: cos8_batch_scan_tiled(g8, g_scale, qss_pool[i]),
@@ -410,19 +419,13 @@ def main():
                 return None, (tv, jnp.take_along_axis(ai, tpos, axis=1))
             return jax.lax.scan(step, None, qss)[1]
 
-        # sub-ms unit: tile the scan (like the int8 sweep above) so the
-        # dispatch is jitter-proof — untiled 8-batch dispatches read 199k
-        # and 125k QPS in r5 runs, past the HBM-bound ~90k ceiling
+        # ~0.25 ms/batch: tile harder (see tile_scan)
         repsa = 24 if on_tpu else 2
-
-        @jax.jit
-        def cos8_approx_batch_scan_tiled(g, s, qss):
-            return cos8_approx_batch_scan(
-                g, s, jnp.concatenate([qss] * repsa))
+        cos8_approx_batch_scan_tiled = tile_scan(cos8_approx_batch_scan,
+                                                 repsa)
 
         tba = device_seconds(
-            lambda i: cos8_approx_batch_scan_tiled(
-                g8, g_scale, qss_pool[i % len(qss_pool)]),
+            lambda i: cos8_approx_batch_scan_tiled(g8, g_scale, qss_pool[i]),
             repeats=7,
         ) / (n_qbatches * repsa)
         extra["approx_select_batched_qps"] = round(
@@ -512,12 +515,10 @@ def main():
             valid4 = jnp.asarray(np.arange(n_pad4) < n)
             s4p = (jnp.concatenate([s4, jnp.ones((pad4,), jnp.float32)])
                    if pad4 else s4)
-            qb_pool = [
-                jax.jit(lambda key: jax.random.normal(key, (nq, d),
-                                                      jnp.bfloat16))(
-                    jax.random.PRNGKey(300 + i))
-                for i in range(tags_needed(9))
-            ]
+            _make_qb = jax.jit(
+                lambda key: jax.random.normal(key, (nq, d), jnp.bfloat16))
+            qb_pool = [_make_qb(jax.random.PRNGKey(300 + i))
+                       for i in range(tags_needed(5))]
             _ = jax.device_get(qb_pool[-1][0, 0])
             # ~1.5 ms units sit inside tunnel RTT jitter (r5 runs spread
             # 0.0138-0.048 ms/q); scan the dispatch 16x like the int8/
@@ -756,10 +757,21 @@ def main():
                 return None, jax.lax.top_k(dots * s[None, :], k)
             return jax.lax.scan(step, None, toks)[1]
 
+        # tile both e2e chains too (tile_scan rationale): the exact chain
+        # is ~50 ms/dispatch and the approx one ~23 ms — the latter sits
+        # inside RTT jitter untiled (its first two r5 readings spread 23%)
+        repse = 2 if on_tpu else 1
+        repsea = 4 if on_tpu else 1
+
+        @jax.jit
+        def e2e_scan_tiled(p, toks, g, s, j):
+            return e2e_scan(p, jnp.concatenate([toks] * repse), g, s, j)
+
         te = device_seconds(
-            lambda i: e2e_scan(params_s, qtoks, g8, g_scale, jnp.int32(i)),
+            lambda i: e2e_scan_tiled(
+                params_s, qtoks, g8, g_scale, jnp.int32(i)),
             repeats=5,
-        ) / n_qbatches
+        ) / (n_qbatches * repse)
         extra["e2e_query_qps_int8"] = round(float(np.median(nq / te)), 1)
 
         # same chain with the approximate selector (true scores, approx
@@ -786,11 +798,16 @@ def main():
                 return None, (tv, jnp.take_along_axis(ai, tpos, axis=1))
             return jax.lax.scan(step, None, toks)[1]
 
+        @jax.jit
+        def e2e_scan_approx_tiled(p, toks, g, s, j):
+            return e2e_scan_approx(
+                p, jnp.concatenate([toks] * repsea), g, s, j)
+
         tea = device_seconds(
-            lambda i: e2e_scan_approx(
+            lambda i: e2e_scan_approx_tiled(
                 params_s, qtoks, g8, g_scale, jnp.int32(i)),
             repeats=5,
-        ) / n_qbatches
+        ) / (n_qbatches * repsea)
         extra["e2e_query_qps_int8_approx"] = round(
             float(np.median(nq / tea)), 1)
     except Exception as e:  # pragma: no cover

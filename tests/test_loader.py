@@ -137,7 +137,7 @@ def test_ingest_bench_full_chain(tmp_path):
     for key in ("decode_img_per_s_core", "encode_img_per_s_device",
                 "e2e_img_per_s", "overlap_efficiency",
                 "cores_to_saturate_device", "serial_floor_img_per_s",
-                "e2e_wait_decode_s", "e2e_fetch_insert_s"):
+                "e2e_wait_decode_s", "e2e_wait_device_s", "e2e_insert_s"):
         assert key in res and res[key] >= 0, key
     assert res["n_images"] == 24
 
