@@ -188,6 +188,7 @@ class IndexJournal:
         BEFORE the log so a durable log record never references a torn
         segment; recovery handles the inverse (durable segment, lost
         record) by construction — an unreferenced segment is ignored."""
+        synced_any = False
         for seg in self._pending_segs:
             try:
                 fd = os.open(seg, os.O_RDONLY)
@@ -195,8 +196,14 @@ class IndexJournal:
                 continue  # checkpoint GC raced us; its data is covered
             try:
                 os.fsync(fd)
+                synced_any = True
             finally:
                 os.close(fd)
+        if synced_any:
+            # segment files were published via os.replace(); fsync the
+            # directory so a power loss cannot un-publish a segment whose
+            # log record is about to be made durable (r5 review finding)
+            self._fsync_dir(self.dir)
         self._pending_segs = []
         self._fh.flush()
         os.fsync(self._fh.fileno())
@@ -229,19 +236,49 @@ class IndexJournal:
     def begin_checkpoint(self):
         """Reserve the next snapshot directory. Returns (seq, base_path) —
         the caller runs `index.save(base_path)` into it, then calls
-        commit_checkpoint(seq)."""
+        commit_checkpoint(seq). Returns (None, None) when there is nothing
+        new to checkpoint (no ops since the last one): snap-<seq> would
+        then BE the live published snapshot, and rmtree'ing it here would
+        destroy the only durable copy before the new save lands — a crash
+        mid-save would lose the whole index (r5 review finding)."""
         seq = self.next_seq - 1
         name = f"snap-{seq}"
+        if seq == self.covered_seq and name == self.snapshot_dirname:
+            return None, None  # idempotent: current snapshot already covers seq
         path = os.path.join(self.dir, name)
         if os.path.exists(path):  # leftover from a crashed checkpoint
             shutil.rmtree(path)
         os.makedirs(path)
         return seq, os.path.join(path, "snapshot")
 
+    def _fsync_dir(self, path: str) -> None:
+        try:
+            fd = os.open(path, os.O_RDONLY)
+        except OSError:
+            return  # platform without directory fds: best effort
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
     def commit_checkpoint(self, seq: int) -> None:
         """Atomically publish snap-<seq> as CURRENT, then truncate the log
-        and GC consumed segments + old snapshots."""
+        and GC consumed segments + old snapshots.
+
+        Power-loss ordering (r5 review finding): the snapshot payload
+        files and their directory entry fsync BEFORE CURRENT is published
+        — otherwise a power cut after the rename could leave CURRENT
+        durably naming a torn snapshot with the op log already truncated,
+        and no fallback."""
         name = f"snap-{seq}"
+        snap_dir = os.path.join(self.dir, name)
+        for fname in os.listdir(snap_dir):
+            fd = os.open(os.path.join(snap_dir, fname), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        self._fsync_dir(snap_dir)
         cur = os.path.join(self.dir, CURRENT)
         tmp = cur + ".tmp"
         with open(tmp, "w") as f:
@@ -249,6 +286,7 @@ class IndexJournal:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, cur)
+        self._fsync_dir(self.dir)
         old_snap = self.snapshot_dirname
         self.snapshot_dirname = name
         self.covered_seq = seq

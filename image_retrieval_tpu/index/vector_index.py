@@ -19,10 +19,12 @@ Milvus API semantics preserved (SURVEY §5):
 from __future__ import annotations
 
 import dataclasses
+import errno
 import functools
 import json
 import os
 import threading
+import zipfile
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -40,6 +42,15 @@ from image_retrieval_tpu.parallel.collectives import (
 )
 
 _WEIGHT_KEYS = ("w_angle", "w_l1", "w_l2", "w_inf", "w_mag")
+
+
+def _config_from_saved(saved: dict) -> IndexConfig:
+    """IndexConfig from a persisted dict, ignoring unknown keys (forward
+    compat with configs saved by newer versions). One helper shared by
+    journal recovery and load_from() so the two reconstruction paths can
+    never diverge."""
+    known = {fl.name for fl in dataclasses.fields(IndexConfig)}
+    return IndexConfig(**{k: v for k, v in saved.items() if k in known})
 
 
 def _locked(fn):
@@ -218,16 +229,25 @@ class ShardedVectorIndex:
                 "rows — path/row alignment would silently corrupt every "
                 "subsequent search result"
             )
-        # validates schema/lengths and commits only on success, BEFORE the
-        # gallery mutates — a bad attrs dict leaves the index untouched
-        self.attrs.append(attrs, emb.shape[0])
         if magnitudes is None:
             mags = np.linalg.norm(emb, axis=1)
             safe = np.where(mags > 0, mags, 1.0)
             unit = emb / safe[:, None]
         else:
             mags = np.asarray(magnitudes, np.float32)
+            if mags.shape != (emb.shape[0],):
+                # validate BEFORE attrs commit: a later length error would
+                # leave the attribute columns permanently shifted against
+                # the gallery rows (and a 1-element list would silently
+                # broadcast one magnitude over every row)
+                raise ValueError(
+                    f"insert(): magnitudes shape {mags.shape} for "
+                    f"{emb.shape[0]} embedding rows"
+                )
             unit = emb
+        # validates schema/lengths and commits only on success, BEFORE the
+        # gallery mutates — a bad attrs dict leaves the index untouched
+        self.attrs.append(attrs, emb.shape[0])
         n_new = emb.shape[0]
         start = self.count
         self._grow_to(start + n_new)
@@ -469,6 +489,11 @@ class ShardedVectorIndex:
             self._stream_scales = sc
             self._gallery = self._mags = self._valid = self._scales = None
             self._shadow = None
+            # also drop the int4 resident arrays: a previous resident sync
+            # left ~threshold-sized _packed/_scales4 on device, and the
+            # streamed tier would otherwise compete with that dead HBM at
+            # exactly the beyond-HBM sizes it exists for (r5 review)
+            self._packed = self._scales4 = None
             self._device_dirty = False
             return
         self._stream = self._stream_live = None
@@ -629,6 +654,11 @@ class ShardedVectorIndex:
         """
         if self.count == 0:
             raise ValueError("index is empty")
+        if metric == "cosine":
+            # the int4/streamed tiers accepted this alias while the
+            # resident tiers crashed on it — normalize once here so the
+            # same caller code survives an IndexConfig.dtype change
+            metric = "cosine_similarity"
         self._sync_device()
         if self._stream is not None:
             return self._search_streamed(queries, top_k, metric, flt=flt)
@@ -933,19 +963,26 @@ class ShardedVectorIndex:
         (reference ImageEmbeddingSystem.py:147-202). Tombstoned (deleted)
         rows are excluded — Milvus query() never returns deleted
         entities, and delete() promises that parity."""
-        g_all = self._host_gallery[: self.count].astype(np.float32)
-        if self._quantized and self.count:
-            g_all = g_all * self._host_scales[: self.count, None]
+        if self.count == 0 or self._host_gallery is None:
+            return []  # Milvus query() on an empty collection returns []
+        # select the emitted live rows FIRST, then dequantize only that
+        # slice — the old form dequantized the whole gallery to f32 up
+        # front (a ~65 GB allocation at the 32M int8 tier) for what is
+        # typically a limit<=1000 peek (r5 review finding)
+        if self._host_valid is not None:
+            live = np.flatnonzero(self._host_valid[: self.count])[:limit]
+        else:
+            live = np.arange(min(limit, self.count))
+        rows = self._host_gallery[live].astype(np.float32)
+        if self._quantized and live.size:
+            rows = rows * self._host_scales[live, None]
         out = []
-        for i in range(self.count):
-            if len(out) >= limit:
-                break
-            if self._host_valid is not None and not self._host_valid[i]:
-                continue
+        for j, i in enumerate(live):
+            i = int(i)
             if with_magnitude:
-                out.append((self.paths[i], g_all[i], float(self._host_mags[i])))
+                out.append((self.paths[i], rows[j], float(self._host_mags[i])))
             else:
-                out.append((self.paths[i], g_all[i]))
+                out.append((self.paths[i], rows[j]))
         return out
 
     @_locked
@@ -1001,6 +1038,8 @@ class ShardedVectorIndex:
                 "checkpoint() requires a journaled index — use "
                 "ShardedVectorIndex.open(journal_dir)")
         seq, base = self._journal.begin_checkpoint()
+        if seq is None:
+            return  # nothing logged since the last checkpoint: no-op
         # save() compacts; suppress journaling of that compact — the
         # snapshot embodies its effect and the log is truncated anyway
         self._replaying = True
@@ -1034,9 +1073,7 @@ class ShardedVectorIndex:
             if config is None:
                 saved = journal.load_config()
                 if saved is not None:
-                    known = {fl.name for fl in dataclasses.fields(IndexConfig)}
-                    config = IndexConfig(
-                        **{k: v for k, v in saved.items() if k in known})
+                    config = _config_from_saved(saved)
             cfg = config or IndexConfig()
             idx = cls(dim=cfg.embedding_dim, mesh=mesh, config=config)
         journal.store_config(dataclasses.asdict(idx.config))
@@ -1045,11 +1082,17 @@ class ShardedVectorIndex:
             if op == "insert":
                 try:
                     unit, mags = journal.load_segment(rec["seq"])
-                except Exception:
+                except (FileNotFoundError, KeyError, OSError, ValueError,
+                        zipfile.BadZipFile) as e:
                     # torn/missing segment: this record and everything
                     # after it are the un-flushed tail (group commit —
                     # segments fsync at the flush() barrier); drop them,
-                    # exactly the durability Milvus gives pre-flush writes
+                    # exactly the durability Milvus gives pre-flush writes.
+                    # NOT a bare except: a transient MemoryError here must
+                    # re-raise, never destroy flushed durable records
+                    if isinstance(e, OSError) and e.errno in (
+                            errno.ENOMEM, errno.EMFILE, errno.ENFILE):
+                        raise
                     journal.drop_from(rec["seq"])
                     break
                 idx.insert(rec["paths"], unit, mags, attrs=rec.get("attrs"))
@@ -1079,9 +1122,7 @@ class ShardedVectorIndex:
         if config is None and os.path.exists(npz_path + ".config.json"):
             with open(npz_path + ".config.json") as f:
                 saved = json.load(f)
-            known = {fl.name for fl in dataclasses.fields(IndexConfig)}
-            config = IndexConfig(
-                **{k: v for k, v in saved.items() if k in known})
+            config = _config_from_saved(saved)
         emb = data["embeddings"]
         dim = (emb.shape[1] if emb.size
                else (config.embedding_dim if config else 512))

@@ -235,10 +235,12 @@ def sharded_search_topk(
         out_specs=(P(), P()),
         check_vma=False,
     )
-    dummy = jnp.zeros((gallery.shape[0],), jnp.float32) if mags is None else mags
-    dummy_sc = jnp.zeros((gallery.shape[0],), jnp.float32) if scales is None else scales
-    # a tiny replicated placeholder when no shadow exists — never a
-    # full-size (N, D) dummy
+    # tiny replicated placeholders when an operand is absent — never a
+    # full-size dummy (a replicated (N,) zero buffer costs real HBM per
+    # device at the 16M+ tiers; the P() specs above make (1,) legal
+    # because `local` never reads the placeholder)
+    dummy = jnp.zeros((1,), jnp.float32) if mags is None else mags
+    dummy_sc = jnp.zeros((1,), jnp.float32) if scales is None else scales
     dummy_sh = (jnp.zeros((1, 1), jnp.bfloat16) if shadow is None else shadow)
     return fn(queries, gallery, valid, dummy, dummy_sc, dummy_sh)
 
@@ -310,7 +312,7 @@ def sharded_multimetric_topk(
         out_specs=tuple((P(), P()) for _ in metric_dirs),
         check_vma=False,
     )
-    dummy_sc = jnp.zeros((gallery.shape[0],), jnp.float32) if scales is None else scales
+    dummy_sc = jnp.zeros((1,), jnp.float32) if scales is None else scales
     outs = fn(queries, gallery, valid, mags, dummy_sc)
     return {name: out for (name, _), out in zip(metric_dirs, outs)}
 
@@ -386,8 +388,8 @@ def multislice_search_topk(
         out_specs=(P(), P()),
         check_vma=False,
     )
-    dummy = jnp.zeros((gallery.shape[0],), jnp.float32) if mags is None else mags
-    dummy_sc = jnp.zeros((gallery.shape[0],), jnp.float32) if scales is None else scales
+    dummy = jnp.zeros((1,), jnp.float32) if mags is None else mags
+    dummy_sc = jnp.zeros((1,), jnp.float32) if scales is None else scales
     dummy_sh = (jnp.zeros((1, 1), jnp.bfloat16) if shadow is None else shadow)
     return fn(queries, gallery, valid, dummy, dummy_sc, dummy_sh)
 
@@ -591,6 +593,6 @@ def sharded_scores(
         out_specs=P(),
         check_vma=False,
     )
-    dummy = jnp.zeros((gallery.shape[0],), jnp.float32) if mags is None else mags
-    dummy_sc = jnp.zeros((gallery.shape[0],), jnp.float32) if scales is None else scales
+    dummy = jnp.zeros((1,), jnp.float32) if mags is None else mags
+    dummy_sc = jnp.zeros((1,), jnp.float32) if scales is None else scales
     return fn(queries, gallery, dummy, dummy_sc)

@@ -476,3 +476,50 @@ def test_approx_select_flag(mesh, rng):
         vb, ib = approx.search(q, top_k=10, metric=metric)
         np.testing.assert_array_equal(ia, ib)
         np.testing.assert_array_equal(va, vb)
+
+
+def test_insert_bad_magnitudes_length_leaves_index_unchanged(mesh, rng):
+    """A wrong-length magnitudes list must fail BEFORE anything commits —
+    the old order committed attrs first, permanently shifting the
+    attribute columns against the gallery rows (r5 review)."""
+    idx = ShardedVectorIndex(dim=16, mesh=mesh,
+                             config=IndexConfig(capacity_step=8))
+    emb = rng.normal(size=(2, 16)).astype(np.float32)
+    with pytest.raises(ValueError):
+        idx.insert(["a", "b"], emb, magnitudes=[1.0, 2.0, 3.0],
+                   attrs={"color": ["r", "g"]})
+    assert idx.count == 0 and idx.attrs.rows == 0
+    # a 1-element list must not silently broadcast either
+    with pytest.raises(ValueError):
+        idx.insert(["a", "b"], emb, magnitudes=[1.0])
+    # the index still works after the rejected inserts
+    idx.insert(["a", "b"], emb, attrs={"color": ["r", "g"]})
+    assert idx.count == 2
+    _, ids = idx.search(emb[0] / np.linalg.norm(emb[0]), top_k=1,
+                        flt="color == 'r'")
+    assert ids[0] == 0
+
+
+def test_query_on_empty_index_returns_empty(mesh):
+    """Milvus query() on an empty collection returns [], not a crash."""
+    idx = ShardedVectorIndex(dim=16, mesh=mesh)
+    assert idx.query() == []
+    assert idx.reconstruct_original_embeddings() == []
+
+
+def test_cosine_alias_every_resident_tier(mesh, rng):
+    """metric='cosine' must behave like 'cosine_similarity' on every tier
+    (it worked on int4/streamed but crashed resident f32/int8 — r5
+    review: an IndexConfig.dtype flip broke caller code)."""
+    emb = rng.normal(size=(24, 32)).astype(np.float32)
+    q = emb[3] / np.linalg.norm(emb[3])
+    for dtype in ("float32", "int8"):
+        idx = ShardedVectorIndex(
+            dim=32, mesh=mesh,
+            config=IndexConfig(dtype=dtype, capacity_step=8))
+        idx.insert([f"p{i}" for i in range(24)], emb)
+        v1, i1 = idx.search(q, top_k=3, metric="cosine")
+        v2, i2 = idx.search(q, top_k=3, metric="cosine_similarity")
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(v1, v2)
+        assert int(i1[0]) == 3

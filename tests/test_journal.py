@@ -249,3 +249,41 @@ def test_magnitudes_roundtrip_through_journal(tmp_path):
     # reconstructed originals match too
     recon = dict(re.reconstruct_original_embeddings(limit=5))
     np.testing.assert_allclose(recon["p0"], emb[0], rtol=1e-5)
+
+
+def test_idle_checkpoint_is_noop_and_preserves_snapshot(tmp_path):
+    """checkpoint() twice with no mutations in between must NOT touch the
+    live snapshot (the old code rmtree'd it as a 'leftover' and re-saved —
+    a crash mid-save would have lost the whole index; r5 review)."""
+    jd = tmp_path / "j"
+    idx = _mk(jd)
+    idx.insert(["a", "b", "c"], _rows(3))
+    idx.checkpoint()
+    snap = (jd / "CURRENT").read_text()
+    snap_dir = jd / snap
+    mtimes = {f: os.path.getmtime(snap_dir / f) for f in os.listdir(snap_dir)}
+
+    idx.checkpoint()  # idle: nothing logged since the last one
+    assert (jd / "CURRENT").read_text() == snap
+    assert snap_dir.exists()
+    assert {f: os.path.getmtime(snap_dir / f)
+            for f in os.listdir(snap_dir)} == mtimes
+    del idx
+
+    re = _mk(jd)
+    assert re.live_count == 3
+
+
+def test_idle_checkpoint_after_reopen(tmp_path):
+    """Same idle-checkpoint safety through a close/reopen cycle (covered_seq
+    is reconstructed from CURRENT on open)."""
+    jd = tmp_path / "j"
+    idx = _mk(jd)
+    idx.insert(["a", "b"], _rows(2))
+    idx.checkpoint()
+    del idx
+    re = _mk(jd)
+    re.checkpoint()  # no new ops since the reopened checkpoint
+    del re
+    again = _mk(jd)
+    assert again.live_count == 2
