@@ -355,15 +355,20 @@ def _rebalance_assign(
     nm = len(assign)
     if rows is None:
         rows = np.arange(nm)
-    # confidence = similarity to the assigned centroid, chunked
-    conf = np.empty(nm, np.float32)
-    for i in range(0, nm, 1 << 20):
-        sl = slice(i, min(i + (1 << 20), nm))
+    # confidence = similarity to the assigned centroid — computed only for
+    # members of OVER-FULL clusters (the only entries that can spill); the
+    # all-entries form was a full-gallery host pass per build (r5 review)
+    over = np.flatnonzero(counts > cap)
+    over_mask = np.isin(assign, over)
+    cand = np.flatnonzero(over_mask)
+    conf = np.empty(nm, np.float32)  # read only at `cand` positions
+    for i in range(0, len(cand), 1 << 20):
+        sl = cand[i: i + (1 << 20)]
         conf[sl] = np.einsum(
             "nd,nd->n", unit[rows[sl]], centroids[assign[sl]]
         )
     overflow_rows = []
-    for c in np.flatnonzero(counts > cap):
+    for c in over:
         members = np.flatnonzero(assign == c)
         order = members[np.argsort(conf[members])]  # least confident first
         spill = order[: counts[c] - cap]
@@ -413,6 +418,10 @@ class IVFIndex:
         self.seed = seed
         self.dtype = dtype  # "float32" | "int8" (4x less probe HBM traffic)
         self.paths: list = []
+        # exact O(1) default-paths tracking for save(): True while every
+        # path was auto-generated str(row) — materializing the comparison
+        # list at 32M rows costs GBs of transient host RAM (r5 review)
+        self._custom_paths = False
         self._centroids = None
         self._packed = None
         self._row_ids = None
@@ -439,7 +448,7 @@ class IVFIndex:
     def build(self, embeddings: np.ndarray, paths: Optional[Sequence[str]] = None,
               iters: int = 10, balance: Optional[float] = 1.5,
               replicas: int = 1, train_size: Optional[int] = None,
-              assign_chunk: int = 131072) -> "IVFIndex":
+              assign_chunk: int = 131072, offload: bool = False) -> "IVFIndex":
         """balance: cluster-size cap as a multiple of the mean (None = raw
         k-means assignment). Capping bounds Lmax — memory is
         nlist * Lmax * D, and every probe pays Lmax — at a small recall
@@ -573,17 +582,33 @@ class IVFIndex:
                 flat8[dest[sl]] = q8[src[sl]]
                 sc_flat[dest[sl]] = sc_row[src[sl]]
             del q8
-            self._packed = jnp.asarray(flat8)
-            self._scales = jnp.asarray(sc_flat)
+            if offload:
+                # beyond-HBM build: slabs never touch the device (a
+                # device-put here would OOM at exactly the sizes offload
+                # exists for — r5 review); state mirrors offload()
+                self._host_packed, self._host_slab_scales = flat8, sc_flat
+            else:
+                self._packed = jnp.asarray(flat8)
+                self._scales = jnp.asarray(sc_flat)
         else:
             flat = np.zeros((nlist * lmax, d), np.float32)
             for i in range(0, nm, step):
                 sl = slice(i, min(i + step, nm))
                 flat[dest[sl]] = unit[src[sl]]
-            self._packed = jnp.asarray(flat)
-            self._scales = None
-        self._row_ids = jnp.asarray(row_ids)
+            if offload:
+                self._host_packed, self._host_slab_scales = flat, None
+            else:
+                self._packed = jnp.asarray(flat)
+                self._scales = None
+        if offload:
+            self._host_ids = row_ids
+            self._packed = self._row_ids = self._scales = None
+            self._offloaded = True
+            self._sharded_fn = None
+        else:
+            self._row_ids = jnp.asarray(row_ids)
         self.paths = list(paths) if paths is not None else [str(i) for i in range(n)]
+        self._custom_paths = paths is not None
         self.count = n
         self.nlist = nlist
         return self
@@ -636,6 +661,8 @@ class IVFIndex:
             list(paths) if paths is not None
             else [str(first + i) for i in range(n_new)]
         )
+        if paths is not None:
+            self._custom_paths = True
         self.count += n_new
         return first
 
@@ -696,7 +723,7 @@ class IVFIndex:
         if self._tail_n:
             arrays["tail_rows"] = self._tail_rows[: self._tail_n]
             arrays["tail_scales"] = self._tail_scales[: self._tail_n]
-        if self.paths != [str(i) for i in range(self.count)]:
+        if self._custom_paths:
             arrays["paths"] = np.array(self.paths)
         np.savez(path, **arrays)
 
@@ -734,6 +761,7 @@ class IVFIndex:
                 [str(p) for p in z["paths"]] if "paths" in z.files
                 else [str(i) for i in range(count)]
             )
+            ivf._custom_paths = "paths" in z.files
         return ivf
 
     @classmethod
@@ -760,14 +788,30 @@ class IVFIndex:
         if len(rows) > (1 << 20):
             build_kwargs.setdefault("train_size", 512 << 10)
         ivf = cls(nlist=nlist, nprobe=nprobe, seed=seed, dtype=dtype)
+        # offload decision BEFORE build: the resident build device-puts the
+        # full slab tensor, which would OOM HBM at exactly the beyond-HBM
+        # sizes this branch serves (r5 review). The unpadded row bytes are
+        # a lower bound on slab bytes; the padded post-build check below
+        # still catches threshold crossings from lmax padding.
+        thr = getattr(index.config, "stream_threshold_bytes", None)
+        itemsize = 1 if dtype == "int8" else 4
+        est_bytes = (len(rows) * build_kwargs.get("replicas", 1)
+                     * rows.shape[1] * itemsize) if len(rows) else 0
+        if thr is not None and est_bytes > thr:
+            build_kwargs.setdefault("offload", True)
         ivf.build(rows, **build_kwargs)
         # remap packed ids from live-subset order to index row order, and
         # point paths at the FULL index path list so ivf.paths[id] and
         # index.paths[id] agree
-        rid = np.asarray(ivf._row_ids)
+        rid = (np.asarray(ivf._row_ids) if ivf._row_ids is not None
+               else ivf._host_ids)
         remapped = np.where(rid >= 0, live[np.maximum(rid, 0)], -1).astype(np.int32)
-        ivf._row_ids = jnp.asarray(remapped)
+        if ivf._offloaded:
+            ivf._host_ids = remapped
+        else:
+            ivf._row_ids = jnp.asarray(remapped)
         ivf.paths = list(index.paths)
+        ivf._custom_paths = True
         # count must cover the FULL index row space: remapped ids reach up
         # to index.count-1, and add() assigns tail ids starting at
         # self.count — with tombstones, live-count-based ids would collide
@@ -778,7 +822,8 @@ class IVFIndex:
         # the IVF tier offloads its slabs to host RAM the same way — but
         # transfers only PROBED slabs per query batch instead of the whole
         # gallery per sweep
-        thr = getattr(index.config, "stream_threshold_bytes", None)
+        if ivf._offloaded:
+            return ivf
         slab_bytes = ivf._packed.size * ivf._packed.dtype.itemsize
         if thr is not None and slab_bytes > thr:
             ivf.offload()
@@ -866,6 +911,36 @@ class IVFIndex:
         self._sharded_fn = None
         return self
 
+    def _postprocess(self, vals, ids, nq, k, top_k, q, single):
+        """Shared raw-candidates -> final (vals, ids) tail: slice to the
+        real queries, keep-first replica dedup, exact tail merge. One body
+        for search() and sharded().search_fn — the two copies had already
+        drifted in variable names (r5 review)."""
+        vals, ids = np.asarray(vals)[:nq], np.asarray(ids)[:nq]
+        if self._replicas > 1:
+            dv = np.full((nq, k), -np.inf, vals.dtype)
+            di = np.full((nq, k), -1, ids.dtype)
+            for r in range(nq):
+                _, first = np.unique(ids[r], return_index=True)
+                keep = np.sort(first)  # preserve score order
+                keep = keep[ids[r][keep] >= 0][:k]
+                dv[r, : len(keep)] = vals[r][keep]
+                di[r, : len(keep)] = ids[r][keep]
+            vals, ids = dv, di
+        else:
+            vals, ids = vals[:, :k], ids[:, :k]
+        if self._tail_n:
+            # incremental-insert tail: exact top-k over the tail buffer,
+            # merged with the probed candidates (tail recall is 1.0)
+            tv, ti = self._tail_topk(q, min(top_k, self._tail_n))
+            vals = np.concatenate([vals, tv[:nq]], axis=1)
+            ids = np.concatenate([ids, ti[:nq]], axis=1)
+            order = np.argsort(-vals, axis=1, kind="stable")
+            kk = min(top_k, self.count)
+            vals = np.take_along_axis(vals, order, axis=1)[:, :kk]
+            ids = np.take_along_axis(ids, order, axis=1)[:, :kk]
+        return (vals[0], ids[0]) if single else (vals, ids)
+
     def sharded(self, mesh, axis: str = "data"):
         """Shard the built index's cluster slabs over a mesh axis and return
         a search callable with `search()`'s contract.
@@ -942,28 +1017,7 @@ class IVFIndex:
                 lmax, np_, kf, d_scales, mesh=mesh, axis=axis,
                 nlist_real=nlist if pad else None,
             )
-            vals, rids = np.asarray(vals)[:nq], np.asarray(rids)[:nq]
-            if self._replicas > 1:
-                dv = np.full((nq, k), -np.inf, vals.dtype)
-                di = np.full((nq, k), -1, rids.dtype)
-                for r in range(nq):
-                    _, first = np.unique(rids[r], return_index=True)
-                    keep = np.sort(first)
-                    keep = keep[rids[r][keep] >= 0][:k]
-                    dv[r, : len(keep)] = vals[r][keep]
-                    di[r, : len(keep)] = rids[r][keep]
-                vals, rids = dv, di
-            else:
-                vals, rids = vals[:, :k], rids[:, :k]
-            if self._tail_n:
-                tv, ti = self._tail_topk(q, min(top_k, self._tail_n))
-                vals = np.concatenate([vals, tv[:nq]], axis=1)
-                rids = np.concatenate([rids, ti[:nq]], axis=1)
-                order = np.argsort(-vals, axis=1, kind="stable")
-                kk = min(top_k, self.count)
-                vals = np.take_along_axis(vals, order, axis=1)[:, :kk]
-                rids = np.take_along_axis(rids, order, axis=1)[:, :kk]
-            return (vals[0], rids[0]) if single else (vals, rids)
+            return self._postprocess(vals, rids, nq, k, top_k, q, single)
 
         return search_fn
 
@@ -995,7 +1049,12 @@ class IVFIndex:
             (b for b in ShardedVectorIndex._Q_BUCKETS if nq <= b), nq
         )
         if qb > nq:
-            q = np.concatenate([q, np.zeros((qb - nq, q.shape[1]), np.float32)])
+            # pad with a COPY of a real query, not zeros: a zero query's
+            # centroid sims are all zero, so its top-nprobe probes pick
+            # arbitrary clusters and the offloaded path then gathers+
+            # transfers slabs no real query needs (r5 review). Duplicate
+            # probes dedup to nothing; pad results are sliced off below.
+            q = np.concatenate([q, np.repeat(q[:1], qb - nq, axis=0)])
         np_ = min(nprobe or self.nprobe, self.nlist)
         packed_n = self.count - self._tail_n
         # k can't exceed the probed slot count (nprobe * lmax scores exist
@@ -1014,37 +1073,12 @@ class IVFIndex:
                 jnp.asarray(q), self._centroids, self._packed, self._row_ids,
                 self._lmax, np_, kf, self._scales,
             )
-        vals, ids = np.asarray(vals)[:nq], np.asarray(ids)[:nq]
-        if self._replicas > 1:
-            dv = np.full((len(ids), k), -np.inf, vals.dtype)
-            di = np.full((len(ids), k), -1, ids.dtype)
-            for r in range(len(ids)):
-                _, first = np.unique(ids[r], return_index=True)
-                keep = np.sort(first)  # preserve score order
-                keep = keep[ids[r][keep] >= 0][:k]
-                dv[r, : len(keep)] = vals[r][keep]
-                di[r, : len(keep)] = ids[r][keep]
-            vals, ids = dv, di
-        else:
-            vals, ids = vals[:, :k], ids[:, :k]
-        if self._tail_n:
-            # incremental-insert tail: exact top-k over the tail buffer,
-            # merged with the probed candidates (tail recall is 1.0)
-            tv, ti = self._tail_topk(q, min(top_k, self._tail_n))
-            vals = np.concatenate([vals, tv[:nq]], axis=1)
-            ids = np.concatenate([ids, ti[:nq]], axis=1)
-            order = np.argsort(-vals, axis=1, kind="stable")
-            kk = min(top_k, self.count)
-            vals = np.take_along_axis(vals, order, axis=1)[:, :kk]
-            ids = np.take_along_axis(ids, order, axis=1)[:, :kk]
-        return (vals[0], ids[0]) if single else (vals, ids)
+        return self._postprocess(vals, ids, nq, k, top_k, q, single)
 
     def recall_at(self, queries: np.ndarray, exact_ids: np.ndarray, k: int = 10,
                   nprobe: Optional[int] = None) -> float:
         """Mean top-k recall vs exact ids — the nprobe tuning measurement."""
+        from image_retrieval_tpu.index.evaluation import mean_recall
+
         _, got = self.search(queries, top_k=k, nprobe=nprobe)
-        hits = sum(
-            len(set(g.tolist()) & set(e.tolist())) / len(e)
-            for g, e in zip(np.atleast_2d(got), np.atleast_2d(exact_ids))
-        )
-        return hits / len(np.atleast_2d(got))
+        return mean_recall(got, exact_ids)

@@ -554,13 +554,11 @@ class ScreenedSearch:
         self, queries: np.ndarray, exact_ids: np.ndarray, k: int = 10
     ) -> float:
         """Mean top-k recall vs exact ids — the (ds, candidates) tuning
-        measurement (IVFIndex.recall_at's contract)."""
+        measurement (IVFIndex.recall_at's contract, one shared helper)."""
+        from image_retrieval_tpu.index.evaluation import mean_recall
+
         _, got = self.search(queries, top_k=k)
-        hits = sum(
-            len(set(g.tolist()) & set(e.tolist())) / len(e)
-            for g, e in zip(np.atleast_2d(got), np.atleast_2d(exact_ids))
-        )
-        return hits / len(np.atleast_2d(got))
+        return mean_recall(got, exact_ids)
 
     # -- search ---------------------------------------------------------------
 

@@ -165,17 +165,24 @@ class StreamingGallerySearch:
                 preferred_element_type=jnp.float32,
             )
 
-        @jax.jit
-        def _sweep_chunk(state_vals, state_idx, g8, all_scales, qn16,
-                         offset, n_valid):
-            """One chunk: score + chunk top-k + merge into running state."""
+        def _sweep_body(state_vals, state_idx, g8, mask, all_scales,
+                        qn16, offset, n_valid):
+            """One chunk: score + chunk top-k + merge into running state.
+            mask=None is the unfiltered form (its own jit signature, no
+            mask transfer); a (chunk_rows,) bool mask scores False rows
+            -inf — attribute-filtered search at streaming scale, 1/D of
+            the row payload so the sweep stays transfer-bound. ONE body
+            for both (the two near-identical jits diverged — r5 review)."""
             k = state_vals.shape[1]
             sc = jax.lax.dynamic_slice_in_dim(all_scales, offset, cr, 0)
             dots = _chunk_dots(qn16, g8)
             scores = dots * sc[None, :]
             # pad rows (row >= n_valid) must lose every comparison
             col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-            scores = jnp.where(col < n_valid, scores, -jnp.inf)
+            keep = col < n_valid
+            if mask is not None:
+                keep = keep & mask[None, :]
+            scores = jnp.where(keep, scores, -jnp.inf)
             # a chunk can contribute at most chunk_rows candidates (k may
             # exceed the chunk when chunks are tiny); the merge still fills
             # all k state slots from the accumulated candidates
@@ -187,31 +194,10 @@ class StreamingGallerySearch:
             mv, mi = jax.lax.top_k(cand_vals, k)
             return mv, jnp.take_along_axis(cand_idx, mi, axis=1)
 
-        self._sweep_chunk = _sweep_chunk
-
-        @jax.jit
-        def _sweep_chunk_masked(state_vals, state_idx, g8, mask, all_scales,
-                                qn16, offset, n_valid):
-            """Like _sweep_chunk but rows where mask is False score -inf —
-            attribute-filtered search at streaming scale. The mask chunk is
-            (chunk_rows,) bool: 1/D of the row payload, so the filtered
-            sweep stays transfer-bound at the same rate."""
-            k = state_vals.shape[1]
-            sc = jax.lax.dynamic_slice_in_dim(all_scales, offset, cr, 0)
-            dots = _chunk_dots(qn16, g8)
-            scores = dots * sc[None, :]
-            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-            keep = (col < n_valid) & mask[None, :]
-            scores = jnp.where(keep, scores, -jnp.inf)
-            cv, ci = jax.lax.top_k(scores, min(k, scores.shape[1]))
-            cand_vals = jnp.concatenate([state_vals, cv], axis=1)
-            cand_idx = jnp.concatenate(
-                [state_idx, ci.astype(jnp.int32) + offset], axis=1
-            )
-            mv, mi = jax.lax.top_k(cand_vals, k)
-            return mv, jnp.take_along_axis(cand_idx, mi, axis=1)
-
-        self._sweep_chunk_masked = _sweep_chunk_masked
+        self._sweep_chunk = jax.jit(
+            lambda sv, si, g8, asc, qn, off, nv: _sweep_body(
+                sv, si, g8, None, asc, qn, off, nv))
+        self._sweep_chunk_masked = jax.jit(_sweep_body)
 
         if self._paired:
             from image_retrieval_tpu.ops.pallas_kernels import (
@@ -363,6 +349,8 @@ class StreamingGallerySearch:
     ) -> float:
         """Analytic sweep-time model: max(transfer, compute) per chunk when
         overlapped (the probe reports achieved overlap vs this bound)."""
-        per_chunk_bytes = self.chunk_rows * self.dim
+        # _store_width, not dim: packed int4 chunks move dim/2 bytes/row
+        # (the old form over-estimated int4 transfer 2x — r5 review)
+        per_chunk_bytes = self.chunk_rows * self._store_width
         t_xfer = per_chunk_bytes / (transfer_gbps * 1e9)
         return len(self._chunks) * max(t_xfer, compute_s_per_chunk)

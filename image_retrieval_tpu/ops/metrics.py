@@ -164,12 +164,11 @@ def pairwise_metrics(
     return result
 
 
-@functools.partial(jax.jit, static_argnames=("metrics", "exact_l2"))
+@functools.partial(jax.jit, static_argnames=("metrics",))
 def pair_metrics(
     a: jnp.ndarray,
     b: jnp.ndarray,
     metrics: Sequence[str] = METRIC_NAMES,
-    exact_l2: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Row-aligned metrics: a[i] vs b[i] -> {metric: (P,)}.
 

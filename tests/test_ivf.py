@@ -771,3 +771,32 @@ def test_save_load_offloaded_stays_offloaded(clustered_data, tmp_path):
     bv, bi = back.search(queries, top_k=10, nprobe=16)
     ov, oi = off.search(queries, top_k=10, nprobe=16)
     np.testing.assert_array_equal(bi, oi)
+
+
+def test_save_skips_default_paths_but_keeps_custom(clustered_data, tmp_path):
+    """save() persists paths only when a caller supplied real ones — the
+    default str(i) list is reconstructible and materializing it for a
+    comparison at 32M rows costs GBs of host RAM (r5 review: now an O(1)
+    flag, exact in both directions)."""
+    emb, queries = clustered_data
+    ivf = IVFIndex(nlist=16, nprobe=8).build(emb)
+    p1 = str(tmp_path / "default.npz")
+    ivf.save(p1)
+    with np.load(p1, allow_pickle=False) as z:
+        assert "paths" not in z.files
+    re1 = IVFIndex.load(p1)
+    assert re1.paths[:3] == ["0", "1", "2"] and not re1._custom_paths
+
+    custom = [f"img_{i}.jpg" for i in range(len(emb))]
+    ivf2 = IVFIndex(nlist=16, nprobe=8).build(emb, paths=custom)
+    p2 = str(tmp_path / "custom.npz")
+    ivf2.save(p2)
+    with np.load(p2, allow_pickle=False) as z:
+        assert "paths" in z.files
+    re2 = IVFIndex.load(p2)
+    assert re2.paths == custom and re2._custom_paths
+    # a reloaded custom index saves its paths again
+    p3 = str(tmp_path / "resave.npz")
+    re2.save(p3)
+    with np.load(p3, allow_pickle=False) as z:
+        assert "paths" in z.files
