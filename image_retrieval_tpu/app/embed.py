@@ -67,31 +67,22 @@ class ImageEmbeddingSystem:
         if not image_paths:
             logger.warning("No image paths provided for processing.")
             return 0, 0
-        from image_retrieval_tpu.data.loader import ImageBatchLoader
+        from image_retrieval_tpu.data.loader import stream_decoded
 
         bs = batch_size or self.config.batch_size
         ok_paths: List[str] = []
         ok_embs: List[np.ndarray] = []
-        failed = 0
         paths = [str(p) for p in image_paths]
         size = self.config.model.image_size
+        # use_native=False keeps the PIL decode (preprocess_host) of the
+        # original per-image loop — bit-identical pixels; decode failures
+        # surface through the ok mask with a logged warning. One shared
+        # loader->stream adapter (data/loader.py stream_decoded).
+        fail_count = [0]
+        feed = stream_decoded(paths, batch_size=bs, size=size,
+                              fail_count=fail_count, use_native=False)
 
-        def feed():
-            nonlocal failed
-            # use_native=False keeps the PIL decode (preprocess_host) of
-            # the original per-image loop — bit-identical pixels; decode
-            # failures surface through the ok mask with a logged warning
-            for chunk, batch, ok in ImageBatchLoader(
-                paths, batch_size=bs, size=size, use_native=False,
-            ):
-                failed += int(len(chunk) - ok.sum())
-                if not ok.any():
-                    continue
-                good = np.flatnonzero(ok)
-                yield ([chunk[int(i)] for i in good],
-                       batch if ok.all() else batch[good])
-
-        for good_paths, embs in self.encoder.encode_stream(feed()):
+        for good_paths, embs in self.encoder.encode_stream(feed):
             ok_paths.extend(good_paths)
             ok_embs.extend(embs)
         if ok_paths:
@@ -102,7 +93,7 @@ class ImageEmbeddingSystem:
                 self.index.insert(ok_paths, np.stack(ok_embs), attrs=attrs)
                 self.index.flush()
             logger.info(f"Inserted batch of {len(ok_paths)} images into index.")
-        return len(ok_paths), failed
+        return len(ok_paths), fail_count[0]
 
     def get_embeddings(self, limit: int = 1000):
         """[(path, unit_embedding)] (reference ImageEmbeddingSystem.py:147-171)."""

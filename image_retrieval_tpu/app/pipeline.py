@@ -46,9 +46,9 @@ class SimpleSearcher:
     """Similarity-params holder (reference app_pipeline.py:375-390)."""
 
     def __init__(self):
-        self.similarity_params = {
-            "w_angle": 1.0, "w_l1": 0.0, "w_l2": 0.0, "w_inf": 0.0, "w_mag": 0.0,
-        }
+        from image_retrieval_tpu.config import DEFAULT_SIMILARITY_PARAMS
+
+        self.similarity_params = dict(DEFAULT_SIMILARITY_PARAMS)
 
     def set_similarity_params(self, params):
         self.similarity_params.update(params)
@@ -167,7 +167,8 @@ class ImageSearchApp:
         from image_retrieval_tpu.data.loader import encode_folder
 
         ok_paths, embs = encode_folder(
-            enc, paths, batch_size=self.config.batch_size, use_native=False
+            enc, paths, batch_size=self.config.batch_size,
+            size=self.config.model.image_size, use_native=False
         )
         if ok_paths:
             for p, e in zip(ok_paths, embs):
@@ -367,7 +368,7 @@ class ImageSearchApp:
         enc = self._get_encoder()
         exclude: frozenset = frozenset()
         if isinstance(image, (str, bytes)) or hasattr(image, "__fspath__"):
-            path = str(image)
+            path = _os.fsdecode(image)  # str(b'...') would mangle bytes
             q = enc.encode_images([path])[0]
             if exclude_self:
                 exclude = frozenset({path, _os.path.abspath(path)})
@@ -378,7 +379,17 @@ class ImageSearchApp:
                     f"expected a path or (H, W, 3) pixels, got shape "
                     f"{pixels.shape}"
                 )
-            q = enc.encode_pixels(pixels[None])[0]
+            # full CLIP transform for raw arrays (fixed-size positional
+            # embeddings; float inputs must not bypass normalize)
+            from image_retrieval_tpu.models.preprocess import preprocess_host
+
+            if pixels.dtype != np.uint8:
+                arr = np.asarray(pixels, np.float32)
+                if arr.size and float(arr.max()) <= 1.0:
+                    arr = arr * 255.0
+                pixels = np.clip(np.rint(arr), 0, 255).astype(np.uint8)
+            q = enc.encode_pixels(preprocess_host(
+                pixels, size=self.config.model.image_size)[None])[0]
         logger.info(f"Image-query search (optimized: {use_optimized_similarity})")
         return self._rank_with_embedding(
             index, np.asarray(q), top_k, use_optimized_similarity,
@@ -559,37 +570,35 @@ class ImageSearchApp:
     # -- multi-metric search (reference app_pipeline.py:278-372) ---------------
 
     def search_with_multiple_metrics(self, query: str, top_k: int = 5) -> dict:
-        if not self.embeddings:
-            return {"analysis": {"intersections": {}, "unique_contributions": {}}}
+        # index-based guard (not self.embeddings): after a journaled
+        # restart the rows live in the recovered index while the
+        # embeddings dict is empty — search_images already works there
+        # and this surface must too (r5 review)
         index = self._ensure_index()
+        if index is None or len(index) == 0:
+            return {"analysis": {"intersections": {}, "unique_contributions": {}}}
         q = self._get_query_embedding(query)
         paths = index.paths
-        # scores() includes tombstoned rows; mask them out (the live_mask
-        # contract search_images already follows)
-        live = index.live_mask()
-        cos = index.scores(q, metric="cosine_similarity")
-        l1 = index.scores(q, metric="l1_distance")
-        l2 = index.scores(q, metric="l2_distance")
+        # one gallery pass for every metric (multi_metric_topk masks
+        # tombstones and fetches only top_k entries — the old form ran
+        # three full scores() sweeps and shipped three (count,) matrices)
+        mm = index.multi_metric_topk(q, top_k=top_k)
 
-        def top_entries(scores, key, negate):
-            masked = np.where(
-                live, scores, -np.inf if not negate else np.inf
-            )
-            order = np.argsort(
-                -(-masked if negate else masked), kind="stable"
-            )[:top_k]
-            order = [i for i in order if live[int(i)]]
-            scores = masked
+        def top_entries(key, negate):
+            vals, idx = mm[key]
+            vals = np.atleast_2d(np.asarray(vals))[0]
+            idx = np.atleast_2d(np.asarray(idx))[0]
             return [
-                {"path": paths[int(i)], key: float(scores[i]),
-                 "score": float(-scores[i] if negate else scores[i])}
-                for i in order
+                {"path": paths[int(i)], key: float(v),
+                 "score": float(-v if negate else v)}
+                for v, i in zip(vals, idx)
+                if i >= 0 and np.isfinite(v)
             ]
 
         results = {
-            "cosine_similarity": top_entries(cos, "cosine_similarity", negate=False),
-            "l1_distance": top_entries(l1, "l1_distance", negate=True),
-            "l2_distance": top_entries(l2, "l2_distance", negate=True),
+            "cosine_similarity": top_entries("cosine_similarity", negate=False),
+            "l1_distance": top_entries("l1_distance", negate=True),
+            "l2_distance": top_entries("l2_distance", negate=True),
         }
         cp = set(r["path"] for r in results["cosine_similarity"])
         p1 = set(r["path"] for r in results["l1_distance"])

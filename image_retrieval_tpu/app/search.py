@@ -15,17 +15,18 @@ get_all_metrics, the documented intent (SURVEY §7).
 from __future__ import annotations
 
 import logging
+import os
 from typing import Dict, List, Optional
 
 import numpy as np
 
-from image_retrieval_tpu.config import SCORE_THRESHOLD
+from image_retrieval_tpu.config import DEFAULT_SIMILARITY_PARAMS, SCORE_THRESHOLD
 from image_retrieval_tpu.index import ShardedVectorIndex
 from image_retrieval_tpu.models.encoder import Encoder
 
 logger = logging.getLogger(__name__)
 
-_DEFAULT_PARAMS = {"w_angle": 1.0, "w_l1": 0.0, "w_l2": 0.0, "w_inf": 0.0, "w_mag": 0.0}
+_DEFAULT_PARAMS = DEFAULT_SIMILARITY_PARAMS
 
 
 def _all_metrics_rows(q: np.ndarray, g: np.ndarray) -> Dict[str, np.ndarray]:
@@ -97,7 +98,7 @@ class TextImageSearcher:
 
     def _candidates(self, text_embedding: np.ndarray, limit: int,
                     filter_expr=None):
-        qn = text_embedding / np.linalg.norm(text_embedding)
+        qn = text_embedding / max(float(np.linalg.norm(text_embedding)), 1e-12)
         if filter_expr is not None:
             # attribute filters ride the exact masked scan (the ANN tiers
             # don't see attribute columns; exact is the recommendation
@@ -160,7 +161,7 @@ class TextImageSearcher:
         exclude = frozenset()
         with trace("search/encode_image"):
             if isinstance(image, (str, bytes)) or hasattr(image, "__fspath__"):
-                path = str(image)
+                path = os.fsdecode(image)  # str(b'...') would mangle bytes
                 emb = self.encoder.encode_images([path])[0]
                 if exclude_self:
                     exclude = frozenset([path])
@@ -171,7 +172,25 @@ class TextImageSearcher:
                         f"expected a path or (H, W, 3) pixels, got shape "
                         f"{pixels.shape}"
                     )
-                emb = self.encoder.encode_pixels(pixels[None])[0]
+                # raw pixel arrays need the full CLIP transform (resize/
+                # crop/normalize): the tower's positional embeddings are
+                # fixed-size, and a float array would otherwise be trusted
+                # as already-normalized (garbage scores)
+                from image_retrieval_tpu.models.preprocess import (
+                    preprocess_host,
+                )
+
+                size = getattr(
+                    getattr(getattr(self.encoder, "config", None),
+                            "model", None),
+                    "image_size", 224) or 224
+                if pixels.dtype != _np.uint8:
+                    arr = _np.asarray(pixels, _np.float32)
+                    if arr.size and float(arr.max()) <= 1.0:
+                        arr = arr * 255.0  # [0,1] float convention
+                    pixels = _np.clip(_np.rint(arr), 0, 255).astype(_np.uint8)
+                emb = self.encoder.encode_pixels(
+                    preprocess_host(pixels, size=size)[None])[0]
         unique = self._search_with_embedding(
             _np.asarray(emb), top_k, score_threshold, use_optimized_similarity,
             exclude_paths=exclude, filter_expr=filter_expr,
@@ -223,9 +242,14 @@ class TextImageSearcher:
                 filtered = [m for m in matches if m["score"] >= cut]
             else:
                 filtered = [m for m in matches if m["score"] >= score_threshold]
+            # exclusion compares REAL paths: the caller's spelling of the
+            # query path ('./a/b.png', an absolute form, a symlink) rarely
+            # equals the indexed string byte-for-byte
+            excl_real = {os.path.realpath(p) for p in exclude_paths}
             seen, unique = set(exclude_paths), []
             for m in filtered:
-                if m["path"] not in seen:
+                if (m["path"] not in seen
+                        and os.path.realpath(m["path"]) not in excl_real):
                     seen.add(m["path"])
                     unique.append(m)
                     if len(unique) >= top_k:
@@ -323,8 +347,14 @@ class TextImageSearcher:
         at 64 queries over 1M x 512 on one v5e chip, BENCH_r01 batched_qps)."""
         if not text_queries:
             return []
+        for q in text_queries:
+            if not q.strip():
+                # same contract as search(): a blank query is a caller
+                # error, and its zero embedding would divide to NaN rows
+                raise ValueError("Text query cannot be empty")
         embs = self.encoder.encode_texts(text_queries)
-        qn = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+        norms = np.linalg.norm(embs, axis=1, keepdims=True)
+        qn = embs / np.maximum(norms, 1e-12)
         vals, idx = self.index.search(qn, top_k=min(top_k, len(self.index)))
         return [
             [

@@ -17,6 +17,13 @@ EMBEDDING_DIM = 512
 BATCH_SIZE = 100
 SCORE_THRESHOLD = 0.25
 
+# One canonical copy of the reference's default optimized-similarity
+# weights (app_pipeline.py:379-385) — search.py and SimpleSearcher both
+# read it, so a re-weighting can never drift between surfaces.
+DEFAULT_SIMILARITY_PARAMS = {
+    "w_angle": 1.0, "w_l1": 0.0, "w_l2": 0.0, "w_inf": 0.0, "w_mag": 0.0,
+}
+
 
 @dataclasses.dataclass
 class ModelConfig:
@@ -268,7 +275,7 @@ class Config:
     @property
     def similarity_params(self) -> dict:
         """Default optimized-similarity weights (reference app_pipeline.py:379-385)."""
-        return {"w_angle": 1.0, "w_l1": 0.0, "w_l2": 0.0, "w_inf": 0.0, "w_mag": 0.0}
+        return dict(DEFAULT_SIMILARITY_PARAMS)
 
 
 def default_config() -> Config:

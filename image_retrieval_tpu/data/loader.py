@@ -18,7 +18,7 @@ from __future__ import annotations
 import logging
 import queue
 import threading
-from typing import Iterator, List, Sequence, Tuple
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -302,6 +302,31 @@ class ImageBatchLoader:
                 pass
 
 
+def stream_decoded(
+    paths: Sequence[str],
+    batch_size: int = 256,
+    size: int = 224,
+    fail_count: Optional[list] = None,
+    **loader_kw,
+):
+    """(good_paths, good_pixels) batches from the decode loader, per-image
+    failures dropped. `fail_count`: optional 1-element list accumulating
+    the failed-image count. The ONE loader->encode_stream adapter —
+    encode_folder and ImageEmbeddingSystem both ride it (two verbatim
+    copies had started to drift — r5 review)."""
+    for chunk, batch, ok in ImageBatchLoader(paths, batch_size, size,
+                                             **loader_kw):
+        if fail_count is not None:
+            fail_count[0] += int(len(chunk) - ok.sum())
+        if not ok.any():
+            continue
+        good = np.flatnonzero(ok)
+        # all-ok batches skip the fancy-index copy (it costs a full
+        # batch write on the single ingest core)
+        yield ([chunk[int(i)] for i in good],
+               batch if ok.all() else batch[good])
+
+
 def encode_folder(
     encoder,
     paths: Sequence[str],
@@ -313,15 +338,7 @@ def encode_folder(
     host decode with device encode. Returns (ok_paths, embeddings)."""
 
     def feed():
-        for chunk, batch, ok in ImageBatchLoader(paths, batch_size, size,
-                                                 **loader_kw):
-            if not ok.any():
-                continue
-            good = np.flatnonzero(ok)
-            # all-ok batches skip the fancy-index copy (it costs a full
-            # batch write on the single ingest core)
-            yield ([chunk[int(i)] for i in good],
-                   batch if ok.all() else batch[good])
+        return stream_decoded(paths, batch_size, size, **loader_kw)
 
     ok_paths: List[str] = []
     embs: List[np.ndarray] = []

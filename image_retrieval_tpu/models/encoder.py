@@ -238,6 +238,19 @@ class CLIPEncoder(Encoder):
                     yield fetch(pending.pop(0))
                 yield meta, self.encode_pixels(pixels)
                 continue
+            # drain BEFORE dispatching so in-flight stays bounded by
+            # _MAX_IN_FLIGHT even transiently (dispatch-then-drain let the
+            # window double to 2x for a moment — ~0.9 GB of extra pinned
+            # HBM at bucket 256, r5 review). The oldest fetch still
+            # overlaps the previously dispatched batches.
+            n_px = pixels.shape[0]
+            step = (self._batch_sizes(min(n_px, self._BUCKETS[-1]))
+                    if n_px else 1)
+            incoming = max(1, -(-n_px // step))
+            while (len(pending) > 1
+                   and sum(len(p) for _, p in pending) + incoming
+                   > self._MAX_IN_FLIGHT):
+                yield fetch(pending.pop(0))
             pending.append((meta, self._dispatch_pixels(pixels)))
             while (sum(len(p) for _, p in pending) > self._MAX_IN_FLIGHT
                    and len(pending) > 1):

@@ -492,3 +492,69 @@ def test_workflow_weight_validation_stat_shortcircuit(tmp_path):
     finally:
         hashlib.sha256 = real_sha
     assert calls == []
+
+
+def test_search_by_image_pixels_match_path_query(loaded_system):
+    """A raw pixel-array query routes through the SAME preprocess as the
+    path form (resize/crop/normalize) — a float array must not be trusted
+    as already CLIP-normalized (r5 review)."""
+    sys_, paths = loaded_system
+    searcher = TextImageSearcher(sys_.encoder, sys_.index)
+    from PIL import Image
+
+    arr_u8 = np.asarray(Image.open(paths[2]).convert("RGB"))
+    by_path = searcher.search_by_image(paths[2], top_k=3, exclude_self=False,
+                                       score_threshold=-10.0)
+    by_pixels = searcher.search_by_image(arr_u8, top_k=3,
+                                         score_threshold=-10.0)
+    assert [r["path"] for r in by_pixels] == [r["path"] for r in by_path]
+    np.testing.assert_allclose(
+        [r["score"] for r in by_pixels], [r["score"] for r in by_path],
+        rtol=1e-4, atol=1e-5)
+    # [0,1] float convention lands on the same results
+    by_f = searcher.search_by_image(arr_u8.astype(np.float32) / 255.0,
+                                    top_k=3, score_threshold=-10.0)
+    assert [r["path"] for r in by_f] == [r["path"] for r in by_path]
+
+
+def test_search_by_image_excludes_relative_spelling(loaded_system, tmp_path):
+    """exclude_self matches by realpath, so './'-prefixed or relative
+    spellings of an indexed path still exclude the query image."""
+    import os
+
+    sys_, paths = loaded_system
+    searcher = TextImageSearcher(sys_.encoder, sys_.index)
+    q = paths[1]
+    rel = os.path.join(".", os.path.relpath(q))
+    assert rel != q
+    res = searcher.search_by_image(rel, top_k=3, score_threshold=-10.0)
+    assert all(os.path.realpath(r["path"]) != os.path.realpath(q)
+               for r in res)
+
+
+def test_multi_metric_search_after_journal_restart(tmp_path, monkeypatch):
+    """search_with_multiple_metrics must serve from the journal-recovered
+    index like search_images does (the old self.embeddings guard returned
+    an empty analysis after restart — r5 review)."""
+    monkeypatch.chdir(tmp_path)
+    from image_retrieval_tpu.data.synthetic import synth_image
+
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    imgs = []
+    for i in range(5):
+        p = folder / f"i{i}.png"
+        synth_image(i % 10, "brown", i).save(p)
+        imgs.append(str(p))
+    jdir = str(tmp_path / "j")
+    app1 = ImageSearchApp(encoder=FakeEncoder(dim=512), journal_dir=jdir)
+    app1.process_images(imgs)
+    before = app1.search_with_multiple_metrics("brown shape", top_k=3)
+    assert len(before["cosine_similarity"]) == 3
+
+    app2 = ImageSearchApp(encoder=FakeEncoder(dim=512), journal_dir=jdir)
+    assert not app2.embeddings  # nothing re-encoded
+    after = app2.search_with_multiple_metrics("brown shape", top_k=3)
+    assert ([r["path"] for r in after["cosine_similarity"]]
+            == [r["path"] for r in before["cosine_similarity"]])
+    assert len(after["l1_distance"]) == 3 and len(after["l2_distance"]) == 3
