@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import sys
 from typing import Tuple
 
@@ -77,8 +78,9 @@ def _build_app(args):
     app = ImageSearchApp(encoder=encoder,
                          journal_dir=getattr(args, "journal_dir", None))
     if getattr(args, "fast_encoder", False) and not args.fake_encoder:
-        # Measured-fastest v5e serving model (Pallas attention + int8 MXU
-        # projections, cos >0.999 vs f32; bench_results/attn_probe4.json).
+        # Measured-fastest v5e serving model (whole-layer Pallas mega-
+        # kernels + int8 MXU projections, 21.0k img/s @256, cos >0.999 vs
+        # f32; bench_results/r2_layer8_bench.json).
         from image_retrieval_tpu.config import vit_b32_serving
 
         app.config.model = vit_b32_serving()
@@ -125,10 +127,8 @@ def save_results_grid(results, output_path: str, thumb: int = 180) -> str:
             sheet.paste(im, (x + (thumb - im.width) // 2, y + (thumb - im.height) // 2))
         except Exception:
             draw.rectangle([x, y, x + thumb, y + thumb], outline=(200, 60, 60))
-        import os as _os
-
         draw.text((x, y + thumb + 2),
-                  f"{r['score']:.3f} {_os.path.basename(r['path'])[:24]}",
+                  f"{r['score']:.3f} {os.path.basename(r['path'])[:24]}",
                   fill=(30, 30, 30))
     sheet.save(output_path)
     return output_path
@@ -318,9 +318,10 @@ def make_parser() -> argparse.ArgumentParser:
         sp.add_argument("--fake-encoder", action="store_true",
                         help="Deterministic encoder (no CLIP weights needed)")
         sp.add_argument("--fast-encoder", action="store_true",
-                        help="Serving-optimized CLIP (Pallas attention + "
-                             "int8 MXU projections; 16.0k vs 11.4k img/s on "
-                             "v5e, cos >0.999 vs f32)")
+                        help="Serving-optimized CLIP (whole-layer Pallas "
+                             "mega-kernels + int8 MXU projections; 21.0k vs "
+                             "11.4k img/s on v5e, cos >0.999 vs f32 — "
+                             "r2_layer8_bench.json)")
         sp.add_argument("--approx-select", action="store_true",
                         help="Approximate SELECTION on the exact sweep: "
                              "per-shard approx_max_k picks the candidate "

@@ -19,6 +19,7 @@ Usage:
 from __future__ import annotations
 
 import logging
+import os
 import queue
 import threading
 import time
@@ -118,12 +119,10 @@ class SearchServer:
         # fail fast for requests still queued (enqueued after the loop's
         # last collect): without this their callers block for the full
         # request timeout before seeing an error
-        import queue as _q
-
         while True:
             try:
                 req = self._queue.get_nowait()
-            except _q.Empty:
+            except queue.Empty:
                 break
             req.error = RuntimeError("server stopped")
             req.done.set()
@@ -153,8 +152,6 @@ class SearchServer:
         Under-full probed clusters yield -1 padding slots; those are dropped
         per query and the output padded with (score=-inf, id=-1), which the
         result builder skips — fewer-than-k hits, never bogus paths."""
-        import numpy as np
-
         limit = min(k * self.overfetch, len(self.index))
         cos, cand = self.ann.search(q_unit, top_k=limit)
         # drop candidates tombstoned in the base index since the ANN was
@@ -216,7 +213,19 @@ class SearchServer:
         ok, failed = emb.process_and_store_images(
             list(image_paths), batch_size=batch_size)
         if self.ann is not None and ok:
-            self.ann.add(self.index.get_vectors(range(start, start + ok)))
+            if hasattr(self.ann, "add"):
+                self.ann.add(self.index.get_vectors(range(start, start + ok)))
+            else:
+                # e.g. a ScreenedSearch: no incremental add, and a stale
+                # sketch raises on every later search. Detach so serving
+                # degrades to the exact sweep (correct results) instead of
+                # erroring per batch (r5 review).
+                logger.warning(
+                    "attached ANN (%s) has no add(); detaching — serving "
+                    "falls back to the exact sweep (rebuild and re-attach "
+                    "to restore the two-phase path)",
+                    type(self.ann).__name__)
+                self.ann = None
         # durability barrier BEFORE acknowledging: with a journaled index
         # an insert this method returned for must survive a crash (Milvus
         # flush() contract, reference ImageEmbeddingSystem.py:137); no-op
@@ -233,6 +242,14 @@ class SearchServer:
         ids shift; rebuild the ANN after). Returns rows deleted."""
         n = self.index.delete(list(image_paths))
         if n:
+            if self.ann is not None and not hasattr(self.ann, "add"):
+                # generation-checked tiers (ScreenedSearch) would raise on
+                # every post-mutation search; detach -> exact fallback
+                logger.warning(
+                    "attached ANN (%s) cannot follow deletions; detaching "
+                    "— serving falls back to the exact sweep",
+                    type(self.ann).__name__)
+                self.ann = None
             # tombstones are journaled mutations too: an acknowledged
             # delete must not resurrect on restart
             self.index.flush()
@@ -442,7 +459,11 @@ class SearchServer:
                                 if j < 0:  # ANN padding: fewer, not bogus
                                     continue
                                 p = self.index.paths[int(j)]
-                                if p == r.exclude_path:
+                                if r.exclude_path is not None and (
+                                    p == r.exclude_path
+                                    or os.path.realpath(p)
+                                    == os.path.realpath(r.exclude_path)
+                                ):
                                     continue
                                 hits.append({"path": p, "score": float(v)})
                                 if len(hits) >= r.top_k:

@@ -111,7 +111,12 @@ def run_workflow(
             use_native=native_decode,
         )
         embeddings = {p: e for p, e in zip(ok_paths, embs)}
-        np.savez(embeddings_file, embeddings=np.array(embeddings, dtype=object))
+        # atomic publish: --skip_embeddings trusts bare existence of this
+        # file, so a crash mid-savez must not leave a truncated npz behind
+        tmp = embeddings_file + ".tmp"
+        np.savez(tmp, embeddings=np.array(embeddings, dtype=object))
+        os.replace(tmp if os.path.exists(tmp) else tmp + ".npz",
+                   embeddings_file)
         logger.info(f"Saved embeddings for {len(embeddings)} images to {embeddings_file}")
 
     # Step 3: analysis

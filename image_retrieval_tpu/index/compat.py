@@ -64,15 +64,31 @@ class Collection:
         index/journal.py): existing state is recovered from the directory
         and every mutation is logged; flush() becomes a real barrier."""
         self.name = name
-        if name in _REGISTRY and index is None and journal_dir is None:
-            impl = _REGISTRY[name]._impl
+        reg = _REGISTRY.get(name)
+        if reg is not None and index is None and (
+            journal_dir is None or journal_dir == reg._journal_dir
+        ):
+            # reuse the registered instance — including when the SAME
+            # journal_dir is passed again: a second ShardedVectorIndex.open
+            # on a live directory would run two IndexJournals with
+            # independent seq counters over one ops.jsonl (duplicate seqs,
+            # overwritten segments — silent corruption; r5 review)
+            impl = reg._impl
             if dim is not None and impl.dim != dim:
                 raise ValueError(
                     f"collection {name!r} exists with dim={impl.dim}, "
                     f"requested dim={dim}"
                 )
             self._impl = impl
-            self._partitions = _REGISTRY[name]._partitions
+            self._partitions = reg._partitions
+            self._journal_dir = reg._journal_dir
+        elif reg is not None and journal_dir is not None:
+            raise ValueError(
+                f"collection {name!r} is already open"
+                + (f" on journal_dir={reg._journal_dir!r}"
+                   if reg._journal_dir else " without a journal")
+                + f"; refusing a second live journal on {journal_dir!r}"
+            )
         else:
             if index is not None:
                 self._impl = index
@@ -86,6 +102,7 @@ class Collection:
                     dim=dim if dim is not None else 512
                 )
             self._partitions = {"_default"}
+            self._journal_dir = journal_dir
             if journal_dir is not None:
                 # recover the partition name SET from journaled index
                 # metadata (create/drop log it via set_meta) — Milvus
@@ -158,15 +175,23 @@ class Collection:
             raise ValueError("cannot drop the _default partition")
         if partition_name not in self._partitions:
             raise ValueError(f"partition {partition_name!r} does not exist")
+        # delete rows FIRST: discarding the name before a failed delete
+        # (e.g. a tunnel wedge mid-dispatch) would leave the rows live but
+        # the partition unreachable (r5 review)
+        mask = self._partition_mask([partition_name]) & self._impl.live_mask()
+        deleted = self._impl.delete_rows(np.flatnonzero(mask))
         self._partitions.discard(partition_name)
         self._persist_partitions()
-        mask = self._partition_mask([partition_name]) & self._impl.live_mask()
-        return self._impl.delete_rows(np.flatnonzero(mask))
+        return deleted
 
     def _partition_mask(self, partition_names: Sequence[str]) -> np.ndarray:
         from image_retrieval_tpu.index.filters import FilterError, parse_filter
 
-        names = ", ".join(json.dumps(p) for p in partition_names)
+        # ensure_ascii=False: the filter tokenizer's unescape would turn
+        # json's \uXXXX into 'uXXXX' and non-ASCII partition names would
+        # silently match zero rows (r5 review)
+        names = ", ".join(json.dumps(p, ensure_ascii=False)
+                          for p in partition_names)
         try:
             return self._impl.attrs.evaluate(
                 parse_filter(f"_partition in [{names}]"), self._impl.count

@@ -97,6 +97,18 @@ class IndexJournal:
             # drop the torn tail so the next append starts a clean line
             with open(self.ops_path, "rb+") as f:
                 f.truncate(good_end)
+        elif records:
+            # the final line parsed but may lack its trailing newline (a
+            # crash can persist a prefix ending exactly at the closing
+            # brace). Appending onto it would merge two records on one
+            # line, and a LATER recovery would drop both — losing a
+            # flushed, acknowledged record (r5 review). Terminate it now.
+            with open(self.ops_path, "rb+") as f:
+                f.seek(-1, os.SEEK_END)
+                if f.read(1) != b"\n":
+                    f.write(b"\n")
+                    f.flush()
+                    os.fsync(f.fileno())
         return records
 
     def pending(self) -> List[dict]:
@@ -116,6 +128,8 @@ class IndexJournal:
         tmp = os.path.join(self.dir, "config.json.tmp")
         with open(tmp, "w") as f:
             json.dump(config, f)
+            f.flush()
+            os.fsync(f.fileno())  # a torn config.json blocks recovery
         os.replace(tmp, os.path.join(self.dir, "config.json"))
 
     def snapshot_path(self) -> Optional[str]:

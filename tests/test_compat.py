@@ -216,3 +216,42 @@ def test_search_empty_query_list(rng):
     c.insert([[f"e{i}.jpg" for i in range(8)], emb / mags[:, None], mags])
     assert c.search(data=[], limit=5) == []
     drop_collection("empty_query_list")
+
+
+def test_journaled_collection_double_open_is_safe(tmp_path):
+    """Re-instantiating a registered journaled collection reuses the live
+    journal instead of opening a second IndexJournal on the same directory
+    (duplicate seqs / overwritten segments — r5 review); a DIFFERENT
+    journal_dir for the same name refuses."""
+    jd = str(tmp_path / "j")
+    drop_collection("dbl")
+    c1 = Collection("dbl", dim=16, journal_dir=jd)
+    emb = np.eye(16, dtype=np.float32)[:3]
+    c1.insert([[f"x{i}" for i in range(3)], emb, np.ones(3, np.float32)])
+    c2 = Collection("dbl", journal_dir=jd)
+    assert c2._impl is c1._impl  # same live index + journal
+    c3 = Collection("dbl")      # plain reopen also reuses
+    assert c3._impl is c1._impl
+    with pytest.raises(ValueError, match="already open"):
+        Collection("dbl", journal_dir=str(tmp_path / "other"))
+    drop_collection("dbl")
+
+
+def test_non_ascii_partition_names(rng):
+    """Partition names outside ASCII must scope searches correctly (the
+    json \\uXXXX escaping used to make them match zero rows; r5 review)."""
+    drop_collection("uni")
+    c = Collection("uni", dim=16)
+    c.create_partition("café")
+    emb = rng.normal(size=(4, 16)).astype(np.float32)
+    unit = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    mags = np.ones(4, np.float32)
+    c.insert([[f"c{i}" for i in range(2)], unit[:2], mags[:2]],
+             partition_name="café")
+    c.insert([[f"d{i}" for i in range(2)], unit[2:], mags[2:]])
+    hits = c.search(data=[unit[0]], limit=4, partition_names=["café"],
+                    output_fields=["image_path"])
+    got = {h.entity.get("image_path") for h in hits[0]}
+    assert got == {"c0", "c1"}
+    assert c.drop_partition("café") == 2
+    drop_collection("uni")

@@ -287,3 +287,30 @@ def test_idle_checkpoint_after_reopen(tmp_path):
     del re
     again = _mk(jd)
     assert again.live_count == 2
+
+
+def test_recovery_terminates_unterminated_final_line(tmp_path):
+    """A final log line that parsed but lost its trailing newline must be
+    terminated during recovery — appending onto it would merge two records
+    on one line, and a LATER recovery would drop both (losing a flushed,
+    acknowledged record; r5 review)."""
+    jd = tmp_path / "j"
+    idx = _mk(jd)
+    idx.insert(["a", "b"], _rows(2))
+    idx.flush()
+    del idx
+    # simulate the crash artifact: strip the final newline
+    ops = jd / "ops.jsonl"
+    raw = ops.read_bytes()
+    assert raw.endswith(b"\n")
+    ops.write_bytes(raw[:-1])
+
+    re1 = _mk(jd)           # recovery terminates the line
+    assert re1.live_count == 2
+    re1.insert(["c"], _rows(1, seed=2))
+    re1.flush()
+    del re1
+
+    re2 = _mk(jd)           # both records must survive the second cycle
+    assert re2.live_count == 3
+    assert "c" in re2.paths
