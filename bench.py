@@ -28,7 +28,7 @@ import time
 import numpy as np
 
 
-def _wait_for_tpu_tunnel(max_wait_s=1500, probe_timeout_s=330):
+def _wait_for_tpu_tunnel(max_wait_s=1500, probe_timeout_s=75):
     """The axon tunnel occasionally wedges (CLAUDE.md: trivial jits hang;
     one observed outage >4 h). If bench starts mid-outage it would hang at
     the first dispatch and the driver's capture would be lost — so probe
@@ -36,8 +36,11 @@ def _wait_for_tpu_tunnel(max_wait_s=1500, probe_timeout_s=330):
     Returns True when a probe succeeds, False when the budget runs out
     (callers emit an error JSON line instead of hanging).
 
-    The probe timeout exceeds the documented healthy remote-compile time
-    (1–5 min for a new jit signature), and the child shares the repo's
+    Probe timeout: r5 measured that SUCCESSFUL attaches complete in
+    seconds (the trivial jit rides the warm compile cache) while failed
+    ones hang indefinitely in lucky/unlucky windows — so short probes +
+    more attempts beat one long probe (75 s + 60 s sleep = ~11 attempts
+    per 25-min budget vs 4 at the old 330 s). The child shares the repo's
     persistent compile cache so retries don't recompile from scratch."""
     import os
     import subprocess
